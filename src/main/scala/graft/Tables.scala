@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver testdata tables (TESTDATA.md).
+  *
+  * One parquet file per table. At 100 TB each of these would be a
+  * partitioned parquet/iceberg-style directory; `spark.read.parquet`
+  * handles both transparently (glob/dir reads union files natively —
+  * replaces the reference's per-file read+concat loop,
+  * kafka_producer.py:273–282).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.parquet` carries parquet TIMESTAMP(NANOS) which Spark's
+    * vectorized reader rejects by default; read nanos as long and
+    * convert to a microsecond timestamp (integral `div` — a double
+    * division would lose precision above 2^53 ns).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
