@@ -207,6 +207,103 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // ================= LLM-data-pipeline extensions =================
+
+    // ---- exact dedup by content fingerprint ----
+    "q_doc_exact_dedup" -> ((s, d) =>
+      graft.dedup.Dedup.exactDedup(t("documents")(s, d), "doc_id", "text")),
+
+    // ---- text analysis: token / char / punctuation counts ----
+    "q_doc_token_stats" -> ((s, d) => {
+      import graft.text.TextOps._
+      t("documents")(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        charCount(col("text")).as("n_chars_computed"),
+        punctCount(col("text")).as("n_punct"),
+        digitCount(col("text")).as("n_digits"))
+    }),
+
+    // ---- text quality gate (integer-threshold heuristic) ----
+    "q_doc_quality" -> ((s, d) => {
+      import graft.text.TextOps._
+      t("documents")(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        qualityOk(col("text")).as("quality_ok"))
+    }),
+
+    // ---- language ID (stopword-hit heuristic) ----
+    "q_doc_langid" -> ((s, d) => {
+      import graft.text.TextOps._
+      t("documents")(s, d).select(
+        col("doc_id"),
+        wordHits(col("text"), stopwords("en")).as("en_hits"),
+        wordHits(col("text"), stopwords("de")).as("de_hits"),
+        wordHits(col("text"), stopwords("fr")).as("fr_hits"),
+        wordHits(col("text"), stopwords("es")).as("es_hits"),
+        langId(col("text")).as("lang_pred"))
+    }),
+
+    // ---- document fingerprinting ----
+    "q_doc_fingerprint" -> ((s, d) => {
+      import graft.text.TextOps._
+      t("documents")(s, d).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        substring(fingerprint(col("text")), 1, 4).as("fp_bucket"))
+    }),
+
+    // ---- exact n-gram Jaccard near-dup pairs (oracle for MinHash) ----
+    "q_ngram_jaccard_pairs" -> ((s, d) =>
+      graft.dedup.Dedup.ngramJaccardPairs(
+        t("documents")(s, d), "doc_id", "text", 3, 0.8)),
+
+    // ---- MinHash+LSH near-dup pairs (rows-only; validated in tests
+    //      against q_ngram_jaccard_pairs ground truth) ----
+    "q_minhash_lsh" -> ((s, d) =>
+      graft.dedup.Dedup.minhashLsh(t("documents")(s, d), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))),
+
+    // ---- SimHash near-dup pairs (rows-only; custom Catalyst expr) ----
+    "q_simhash_pairs" -> ((s, d) =>
+      graft.dedup.Dedup.simhashPairs(t("documents")(s, d), "doc_id", "text", 7)),
+
+    // ---- brute-force cosine KNN ----
+    "q_knn_bruteforce" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      graft.similarity.Knn.bruteForceKnn(
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("vector")),
+        emb.select(col("vec_id"), col("embedding").as("vector")),
+        10)
+    }),
+
+    // ---- LSH-bucketed ANN (rows-only; recall measured in tests) ----
+    "q_knn_lsh" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      graft.similarity.Knn.lshKnn(
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("vector")),
+        emb.select(col("vec_id"), col("embedding").as("vector")),
+        64, 10)
+    }),
+
+    // ---- embedding-cosine near-dup pairs (scoped all-pairs) ----
+    "q_embedding_neardup" -> ((s, d) => {
+      graft.dedup.Dedup.embeddingNearDup(
+        t("embeddings")(s, d).filter(col("vec_id") < 500),
+        "vec_id", "embedding", 0.4)
+    }),
+
+    // ---- multimodal: binary payload + partition-parallel features ----
+    "q_multimodal_features" -> ((s, d) => {
+      graft.multimodal.Multimodal.extractFeatures(s,
+        graft.multimodal.Multimodal.assetsFromDocuments(t("documents")(s, d)))
+        .toDF()
+        .select("asset_id", "mime", "n_bytes", "content_hash")
     })
   )
 
@@ -356,6 +453,118 @@ object SparkEntry {
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    // ================= LLM-data-pipeline extensions =================
+
+    "q_doc_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+         count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+
+    "q_doc_token_stats" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         length(text) AS n_chars_computed,
+         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digits
+         FROM documents""",
+
+    "q_doc_quality" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         (len(regexp_extract_all(text, '\S+')) >= 10 AND
+          len(regexp_extract_all(text, '[.,!?;:]')) * 2
+            <= len(regexp_extract_all(text, '\S+'))) AS quality_ok
+         FROM documents""",
+
+    "q_doc_langid" ->
+      """WITH h AS (SELECT doc_id,
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS en_hits,
+           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS de_hits,
+           len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un)\b')) AS fr_hits,
+           len(regexp_extract_all(lower(text), '\b(el|los|las|es|un|una)\b')) AS es_hits
+         FROM documents)
+         SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+           CASE
+             WHEN en_hits >= de_hits AND en_hits >= fr_hits
+              AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+             WHEN de_hits >= en_hits AND de_hits >= fr_hits
+              AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+             WHEN fr_hits >= en_hits AND fr_hits >= de_hits
+              AND fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+             WHEN es_hits >= en_hits AND es_hits >= de_hits
+              AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+             ELSE 'unknown' END AS lang_pred
+         FROM h""",
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+         substr(md5(text), 1, 4) AS fp_bucket
+         FROM documents""",
+
+    "q_ngram_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]
+             ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) s FROM g),
+         p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(sh) n_sh FROM g)
+         SELECT p.doc_a, p.doc_b,
+           round(CAST(p.common AS DOUBLE)
+             / CAST(la.n_sh + lb.n_sh - p.common AS DOUBLE), 6) AS jaccard
+         FROM p
+         JOIN sz la ON la.doc_id = p.doc_a
+         JOIN sz lb ON lb.doc_id = p.doc_b
+         WHERE CAST(p.common AS DOUBLE)
+             / CAST(la.n_sh + lb.n_sh - p.common AS DOUBLE) >= 0.8""",
+
+    "q_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+             round(
+               list_reduce(list_transform(list_zip(q.qv, e.v),
+                 p -> p[1] * p[2]), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                    (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(e.v, x -> x * x),
+                    (acc, x) -> acc + x))), 4) AS score
+           FROM e, q WHERE e.vec_id <> q.query_id)
+         SELECT query_id, vec_id, score, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 10""",
+
+    "q_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+           FROM embeddings WHERE vec_id < 500),
+         s AS (
+           SELECT a.vec_id id_a, b.vec_id id_b,
+             list_reduce(list_transform(list_zip(a.v, b.v),
+               p -> p[1] * p[2]), (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                  (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                  (acc, x) -> acc + x))) AS cos
+           FROM e a, e b WHERE a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(cos, 4) AS cos FROM s WHERE cos >= 0.4""",
+
+    "q_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+         'application/octet-stream' AS mime,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         md5(text) AS content_hash
+         FROM documents"""
   )
 }

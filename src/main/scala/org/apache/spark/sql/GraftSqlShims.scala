@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column ↔ Expression converters, for
+  * exposing custom Catalyst expressions as user-facing Columns.
+  * Standard extension-library pattern (a one-object file placed in the
+  * `org.apache.spark.sql` package); no Spark internals are modified.
+  */
+object GraftSqlShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("shingles: distinct word 3-grams; short docs fall back to whole text") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L).toSet == Set("a b c", "b c d"))
+    assert(got(2L) == Seq("x y"))
+  }
+
+  test("exactDedup groups identical texts under one fingerprint") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhashLsh recovers exactly the ≥0.8-Jaccard ground-truth pairs") {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.minhashLsh(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    val recall = (truth & found).size.toDouble / truth.size
+    val precision = if (found.isEmpty) 0d
+      else (truth & found).size.toDouble / found.size
+    assert(recall >= 0.9, s"minhash recall $recall < 0.9 (found ${found.size})")
+    assert(precision >= 0.8, s"minhash precision $precision < 0.8")
+  }
+
+  test("simhashPairs catches most ground-truth near-dups") {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", 7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.7, s"simhash recall $recall < 0.7 (found ${found.size})")
+  }
+
+  test("SimHash64 expression: known bit pattern") {
+    // two hashes voting: bit set where majority of inputs have it
+    val df = Seq((Seq(0x3L, 0x1L, 0x1L))).toDF("hs")
+    val got = df.select(
+      graft.functions.GraftFunctions.simhash64(col("hs")).as("sh"))
+      .as[Long].head()
+    // bit0: 3 votes for → set; bit1: 1 for, 2 against → clear
+    assert(got == 1L)
+  }
+
+  test("SimHash64 registered as SQL function") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql("SELECT simhash64(array(3L, 1L, 1L)) AS sh")
+      .as[Long].head()
+    assert(got == 1L)
+  }
+
+  test("identical texts have identical simhash and hamming 0") {
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", 0)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+}

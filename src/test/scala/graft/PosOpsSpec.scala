@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.PosOps
+
+/** Unit tests per FIXTURES.md §A: tier boundaries, defaults, upsert/
+  * anti-join semantics, routing — on hand-built tiny DataFrames.
+  */
+class PosOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("membership tier boundaries and Bronze default") {
+    // boundaries at 100 / 500 / 2000 (reference POS_spark_dag.py:378–384)
+    val customers = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"),
+      (5, "e"), (6, "f"), (7, "g"), (8, "no-sales"))
+      .toDF("customer_id", "customer_name")
+    val sales = Seq(
+      (1, 99.99), (2, 100.0), (3, 499.99), (4, 500.0),
+      (5, 1999.99), (6, 2000.0), (7, 0.0))
+      .toDF("customer_id", "total_price")
+    val got = PosOps.membershipLevel(
+      customers, sales, "customer_id", col("total_price"), 100, 500, 2000)
+      .select("customer_id", "membership_level")
+      .as[(Int, String)].collect().toMap
+    assert(got == Map(
+      1 -> "Bronze", 2 -> "Silver", 3 -> "Silver", 4 -> "Gold",
+      5 -> "Gold", 6 -> "Platinum", 7 -> "Bronze", 8 -> "Bronze"))
+  }
+
+  test("purchase frequency defaults to 0 for customers with no sales") {
+    val customers = Seq((1, "a"), (2, "b")).toDF("customer_id", "name")
+    val sales = Seq((1, 10), (1, 11)).toDF("customer_id", "sale_id")
+    val got = PosOps.purchaseFrequency(customers, sales, "customer_id", "sale_id")
+      .select("customer_id", "purchase_frequency")
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 2L, 2 -> 0L))
+  }
+
+  test("deleteSet finds snapshot keys absent from fresh") {
+    val snapshot = Seq(1, 2, 3, 4).toDF("k")
+    val fresh = Seq(2, 4).toDF("k")
+    val got = PosOps.deleteSet(snapshot, fresh, "k").as[Int].collect().sorted
+    assert(got.toSeq == Seq(1, 3))
+  }
+
+  test("upsert: updates win, unmatched base rows survive") {
+    val base = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("k", "v")
+    val updates = Seq((2, "new2"), (9, "new9")).toDF("k", "v")
+    val got = PosOps.upsert(base, updates, "k")
+      .as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "old1", 2 -> "new2", 3 -> "old3", 9 -> "new9"))
+  }
+
+  test("upsert is idempotent") {
+    val base = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val updates = Seq((2, "B")).toDF("k", "v")
+    val once = PosOps.upsert(base, updates, "k")
+    val twice = PosOps.upsert(once, updates, "k")
+    assert(once.as[(Int, String)].collect().toMap ==
+      twice.as[(Int, String)].collect().toMap)
+  }
+
+  test("category routing: first digit → category, unknown digits → Other") {
+    val df = Seq(101, 2345, 7001, 80, 9).toDF("product_id")
+    val got = df.select(col("product_id"),
+      PosOps.routeCategory(col("product_id")).as("cat"))
+      .as[(Int, String)].collect().toMap
+    assert(got == Map(101 -> "Daily", 2345 -> "Meat",
+      7001 -> "Alcohol", 80 -> "Other", 9 -> "Other"))
+  }
+
+  test("cleanLoad drops null rows and exact duplicates") {
+    val df = Seq(
+      (Some(1), Some("x")), (Some(1), Some("x")),
+      (None, Some("y")), (Some(2), None), (Some(3), Some("z")))
+      .toDF("id", "v")
+    val got = PosOps.cleanLoad(df).as[(Int, String)].collect().toSet
+    assert(got == Set((1, "x"), (3, "z")))
+  }
+
+  test("stockDecrement subtracts sold qty, 0 for unsold") {
+    val products = Seq((1, 100.0), (2, 50.0)).toDF("product_id", "stock")
+    val sales = Seq((1, 3.0), (1, 4.0)).toDF("product_id", "qty")
+    val got = PosOps.stockDecrement(products, sales,
+      "product_id", col("qty"), col("stock"))
+      .select("product_id", "stock_after")
+      .as[(Int, Double)].collect().toMap
+    assert(got == Map(1 -> 93.0, 2 -> 50.0))
+  }
+
+  test("topK returns k rows in order") {
+    val df = Seq((1, 5.0), (2, 9.0), (3, 7.0), (4, 9.0)).toDF("id", "score")
+    val got = PosOps.topK(df, 2, col("score").desc, col("id").asc)
+      .as[(Int, Double)].collect().toSeq
+    assert(got == Seq((2, 9.0), (4, 9.0)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("token/char/punct counts on edge cases") {
+    val df = Seq(
+      (1L, "one two  three"),   // double space
+      (2L, ""),                 // empty
+      (3L, "  leading trailing  "),
+      (4L, "a,b.c!?"))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+      TextOps.tokenCount(col("text")).as("t"),
+      TextOps.punctCount(col("text")).as("p"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3, 0)))
+    assert(got(2L) == ((0, 0)))
+    assert(got(3L) == ((2, 0)))
+    assert(got(4L) == ((1, 4)))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der Hund und die Katze ist ein Tier"),
+      (3L, "xyzzy qwerty"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), TextOps.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "unknown"))
+  }
+
+  test("fingerprint is md5 of utf-8 bytes") {
+    val got = Seq("abc").toDF("text")
+      .select(TextOps.fingerprint(col("text"))).as[String].head()
+    assert(got == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("qualityOk thresholds") {
+    val df = Seq(
+      (1L, "w w w w w w w w w w"),        // 10 tokens, 0 punct → ok
+      (2L, "short doc"),                  // 2 tokens → fail
+      (3L, "a, b, c, d, e, f, g, h, i, j,")) // 10 tokens, 10 punct → fail
+      .toDF("id", "text")
+    val got = df.select(col("id"), TextOps.qualityOk(col("text")).as("q"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+}
