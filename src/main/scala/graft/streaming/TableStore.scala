@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Minimal versioned parquet table store: mutable-table semantics on
+  * immutable files (SURVEY §7.4.2).
+  *
+  * Each `overwrite` writes a brand-new `v=N` directory and then flips
+  * a `_latest` pointer file — readers never observe a half-written
+  * table, replacing the reference's racy whole-CSV rewrites
+  * (kafka_consumer.py:106 ↔ 117). This is the smallest possible
+  * version-pointer design (what table formats like Iceberg/Delta do
+  * with manifests); single-writer per table is assumed, as in the
+  * streaming ingest where `foreachBatch` serializes batches.
+  */
+class TableStore(root: String) {
+
+  private def tableDir(name: String): Path = Paths.get(root, name)
+  private def pointer(name: String): Path = tableDir(name).resolve("_latest")
+
+  def currentVersion(name: String): Option[Long] = {
+    val p = pointer(name)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  /** Read the current version; empty DataFrame with the given schema if
+    * the table does not exist yet.
+    */
+  def read(spark: SparkSession, name: String, schema: StructType): DataFrame =
+    currentVersion(name) match {
+      case Some(v) =>
+        spark.read.parquet(tableDir(name).resolve(s"v=$v").toString)
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Write a new version and atomically flip the pointer. */
+  def overwrite(name: String, df: DataFrame): Unit = {
+    val next = currentVersion(name).getOrElse(0L) + 1
+    val dest = tableDir(name).resolve(s"v=$next")
+    df.write.mode("overwrite").parquet(dest.toString)
+    val tmp = tableDir(name).resolve("_latest.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, pointer(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // retire old versions (keep previous for in-flight readers)
+    currentVersion(name).foreach { cur =>
+      val dir = tableDir(name)
+      if (Files.exists(dir)) {
+        Files.list(dir).filter(p => p.getFileName.toString.startsWith("v="))
+          .filter(p => p.getFileName.toString.drop(2).toLong < cur - 1)
+          .forEach { p =>
+            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+              .forEach(f => Files.deleteIfExists(f))
+          }
+      }
+    }
+  }
+}
