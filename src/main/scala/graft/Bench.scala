@@ -1,24 +1,50 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR (default sf0.1), local[32].
+  *
+  * Prints ONE JSON line and also writes it to a file
+  * (SPARK_GRAFT_BENCH_OUT, default ./BENCH_OUT.json) so the driver
+  * never has to fish the line out of the sbt log stream. A failing
+  * query FAILS the run (non-zero exit) — round 1 recorded broken
+  * queries as fast successes.
+  *
+  * Optional args: query names to run (subset, for local iteration).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries persist intermediate signature tables; drop them so
+      // timings stay independent
+      spark.catalog.clearCache()
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get(out), json + "\n")
     spark.stop()
   }
 }

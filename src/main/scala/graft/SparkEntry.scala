@@ -261,9 +261,17 @@ object SparkEntry {
       graft.dedup.Dedup.ngramJaccardPairs(
         t("documents")(s, d), "doc_id", "text", 3, 0.8)),
 
-    // ---- MinHash+LSH near-dup pairs (rows-only; validated in tests
-    //      against q_ngram_jaccard_pairs ground truth) ----
+    // ---- MinHash+LSH near-dup with exact verification: banding
+    //      proposes candidates, true Jaccard filters them, so the
+    //      output is oracle-checkable against the all-pairs ground
+    //      truth (miss probability (1-0.8²)³² ≈ 6e-15 per true pair) ----
     "q_minhash_lsh" -> ((s, d) =>
+      graft.dedup.Dedup.minhashLshVerified(t("documents")(s, d), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))),
+
+    // ---- MinHash estimate-only LSH (rows-only; recall/precision vs
+    //      exact ground truth measured in DedupSpec) ----
+    "q_minhash_est" -> ((s, d) =>
       graft.dedup.Dedup.minhashLsh(t("documents")(s, d), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"))),
 
@@ -504,6 +512,29 @@ object SparkEntry {
          FROM documents""",
 
     "q_ngram_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]
+             ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) s FROM g),
+         p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(sh) n_sh FROM g)
+         SELECT p.doc_a, p.doc_b,
+           round(CAST(p.common AS DOUBLE)
+             / CAST(la.n_sh + lb.n_sh - p.common AS DOUBLE), 6) AS jaccard
+         FROM p
+         JOIN sz la ON la.doc_id = p.doc_a
+         JOIN sz lb ON lb.doc_id = p.doc_b
+         WHERE CAST(p.common AS DOUBLE)
+             / CAST(la.n_sh + lb.n_sh - p.common AS DOUBLE) >= 0.8""",
+
+    // identical SQL to q_ngram_jaccard_pairs by construction: LSH
+    // banding only prunes candidates, the emitted jaccard is exact
+    "q_minhash_lsh" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
            FROM documents),
          g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3

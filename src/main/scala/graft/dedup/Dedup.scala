@@ -50,29 +50,58 @@ object Dedup {
   // MinHash + LSH
   // ---------------------------------------------------------------
 
-  /** Universal-hash parameters (a·h + b mod P over a 32-bit base hash).
-    * Fixed seed ⇒ signatures are deterministic across runs/executors.
-    * P is the smallest prime > 2^32; a < 2^31 and h < 2^32 keep the
-    * product under 2^63 (no silent long overflow).
+  /** k-element MinHash signature of a shingle array, via the native
+    * one-pass Catalyst expression
+    * [[graft.functions.MinHashSignature]] (the round-1 form — k
+    * separate `aggregate` HOF folds — was 63% of the whole bench).
+    * Computed map-side, no shuffle; only `xxhash64` per shingle plus
+    * one O(k·|shingles|) JVM loop.
     */
-  private val P = 4294967311L
-  private val HashSpace = 4294967296L // 2^32
-  private def perms(k: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
-                 rnd.nextInt(Int.MaxValue).toLong))
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    graft.functions.GraftFunctions.minhashSignature(
+      transform(shingleArr, s => xxhash64(s)), k)
+
+  /** LSH band keys over a signature: band i hashes signature positions
+    * [i·r, (i+1)·r) together with the band index, yielding a compact
+    * 8-byte key (round 1 shuffled position-tagged concat strings).
+    */
+  private def bandKeys(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { i =>
+      xxhash64(lit(i), slice(sig, i * r + 1, r))
+    }: _*)
+
+  /** Skew guard: drop LSH buckets larger than `maxBucket` (a degenerate
+    * shingle — e.g. boilerplate — would otherwise make one bucket
+    * quadratic). `groupBy.count` + broadcast anti-join of the oversized
+    * keys: the oversized-key set is tiny by construction, and unlike
+    * round 1's window-count guard this adds no sort and no second
+    * shuffle of the banded rows.
+    */
+  private def dropOversizedBuckets(
+      banded: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
+    val big = banded.groupBy(col(keyCol)).count()
+      .filter(col("count") > maxBucket)
+      .select(col(keyCol))
+    banded.join(broadcast(big), Seq(keyCol), "left_anti")
   }
 
-  /** k-element MinHash signature of a shingle array: for each
-    * permutation i, min over shingles of (aᵢ·xxhash64(s) + bᵢ) mod P.
-    * Pure expression tree — computed map-side, no shuffle.
+  /** Candidate near-dup pairs from MinHash-LSH banding: a pair is a
+    * candidate if any band agrees. Output (doc_a, doc_b), deduplicated.
     */
-  def minhashSignature(shingleArr: Column, k: Int): Column = {
-    val base = transform(shingleArr, s => pmod(xxhash64(s), lit(HashSpace)))
-    array(perms(k).map { case (a, b) =>
-      aggregate(base, lit(Long.MaxValue),
-        (acc, h) => least(acc, pmod(h * lit(a) + lit(b), lit(P))))
-    }: _*)
+  private def minhashCandidates(
+      signed: DataFrame, // (doc_id, sig)
+      bands: Int,
+      r: Int,
+      maxBucket: Int): DataFrame = {
+    val banded = signed.select(
+      col("doc_id"), explode(bandKeys(col("sig"), bands, r)).as("band_key"))
+    val ok = dropOversizedBuckets(banded, "band_key", maxBucket)
+    ok.select(col("band_key"), col("doc_id").as("doc_a"))
+      .join(ok.select(col("band_key"), col("doc_id").as("doc_b")),
+        Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** MinHash-LSH near-duplicate pairs.
@@ -99,36 +128,21 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
+    // signature table: small (id + k longs), read twice by the bucket
+    // self-join — persist so shingling/hashing runs once per document.
+    // At cluster scale this is the signature table you would materialize
+    // to storage anyway.
     val signed = docs.select(
       col(idCol).as("doc_id"),
       minhashSignature(shingles(col(textCol), shingleLen), numHashes)
         .as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band key: position-tagged so band i only collides with band i
-    val bandKeys = array((0 until bands).map { i =>
-      concat_ws(",", lit(i.toString) +:
-        (0 until r).map(j => col("sig").getItem(i * r + j).cast("string")): _*)
-    }: _*)
-    val banded = signed.select(
-      col("doc_id"), col("sig"), explode(bandKeys).as("band_key"))
-
-    // skew guard: drop degenerate buckets before the self-join
-    val bucketed = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_key"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-
-    val a = bucketed.select(
-      col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = bucketed.select(
-      col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-
-    a.join(b, Seq("band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
-      .dropDuplicates("doc_a", "doc_b")
+    minhashCandidates(signed, bands, r, maxBucket)
+      .join(signed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(signed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("sig_a"), col("sig_b"),
@@ -136,6 +150,50 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** MinHash-LSH near-dup detection with EXACT verification: banding
+    * proposes candidates, then the true n-gram Jaccard is computed for
+    * candidates only and pairs ≥ threshold are emitted.
+    *
+    * This is the production shape at 100 TB — the quadratic exact
+    * computation runs only within the candidate set (linear-ish in
+    * corpus size for bounded near-dup rates), never all-pairs — and it
+    * is exactly oracle-checkable: with r=2/bands=32 banding, a pair at
+    * Jaccard ≥ 0.8 escapes every band with probability (1−0.8²)³²
+    * ≈ 6·10⁻¹⁵, so the output equals the all-pairs ground truth
+    * ([[ngramJaccardPairs]]) up to that vanishing probability.
+    */
+  def minhashLshVerified(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+
+    // (doc_id, shingle set) feeds both signature and verification;
+    // persist so the text is shingled once.
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      shingles(col(textCol), shingleLen).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val signed = sh.select(
+      col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+
+    minhashCandidates(signed, bands, r, maxBucket)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ---------------------------------------------------------------
@@ -205,12 +263,16 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDist: Int = 7): DataFrame = {
+    // (doc_id, 64-bit hash) — tiny; persist so the shingling + simhash
+    // computation runs once, not once per join side.
     val hashed = docs.select(
       col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // chunk key = (chunk index, 8 hash bits) packed into one long —
+    // a compact shuffle key instead of round 1's built strings
     val chunkKeys = array((0 until 8).map { i =>
-      concat_ws(":", lit(i.toString),
-        shiftrightunsigned(col("sh"), 8 * i).bitwiseAND(lit(0xFFL))
-          .cast("string"))
+      (shiftrightunsigned(col("sh"), 8 * i).bitwiseAND(lit(0xFFL)) +
+        lit((i.toLong + 1) << 8)).cast("long")
     }: _*)
     val banded = hashed.select(
       col("doc_id"), col("sh"), explode(chunkKeys).as("chunk_key"))

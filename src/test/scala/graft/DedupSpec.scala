@@ -38,6 +38,29 @@ class DedupSpec extends SparkTestBase {
     assert(precision >= 0.8, s"minhash precision $precision < 0.8")
   }
 
+  test("MinHashSignature native expr matches the universal-hash math") {
+    val hashes = Seq(12345L, -987654321L, 42L)
+    val df = Seq(Tuple1(hashes)).toDF("hs")
+    val got = df.select(
+      graft.functions.GraftFunctions.minhashSignature(col("hs"), 8).as("sig"))
+      .as[Seq[Long]].head()
+    val (pa, pb) = graft.functions.MinHashSignature.params(8)
+    val p = graft.functions.MinHashSignature.P
+    val want = (0 until 8).map { j =>
+      hashes.map { h => val x = h & 0xFFFFFFFFL; (pa(j) * x + pb(j)) % p }.min
+    }
+    assert(got == want)
+  }
+
+  test("minhashLshVerified equals the exact all-pairs ground truth") {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Dedup.minhashLshVerified(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    assert(got == truth)
+  }
+
   test("simhashPairs catches most ground-truth near-dups") {
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
