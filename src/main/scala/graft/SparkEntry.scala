@@ -306,6 +306,13 @@ object SparkEntry {
         "vec_id", "embedding", 0.4)
     }),
 
+    // ---- embedding near-dup, LSH-bucketed scale path (rows-only;
+    //      deterministic planted-dup recall measured in DedupSpec) ----
+    "q_embedding_neardup_lsh" -> ((s, d) => {
+      graft.dedup.Dedup.embeddingNearDupLsh(
+        t("embeddings")(s, d), "vec_id", "embedding", 64, 0.4)
+    }),
+
     // ---- multimodal: binary payload + partition-parallel features ----
     "q_multimodal_features" -> ((s, d) => {
       graft.multimodal.Multimodal.extractFeatures(s,

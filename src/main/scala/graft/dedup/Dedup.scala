@@ -292,24 +292,73 @@ object Dedup {
   // Embedding near-dup
   // ---------------------------------------------------------------
 
-  /** Embedding-cosine near-duplicate pairs ≥ threshold (all-pairs
-    * form; at scale, route through [[graft.similarity.Knn]] LSH
-    * bucketing first).
+  /** Embedding-cosine near-duplicate pairs ≥ threshold — EXACT
+    * all-pairs form. Norms are computed once per row (n, not n²), the
+    * per-pair cost is one native [[graft.functions.VectorDot]]; the
+    * pair enumeration itself is still quadratic, so this is the
+    * verification/oracle path — the production path at corpus scale is
+    * [[embeddingNearDupLsh]].
     */
   def embeddingNearDup(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    import graft.similarity.Knn
     val e = embeddings.select(
       col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
-        graft.similarity.Knn.cosine(col("v_a"), col("v_b")))
+        Knn.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Embedding-cosine near-dup at scale: random-hyperplane LSH buckets
+    * prune the pair space (same-bucket or one probe bit apart), exact
+    * cosine verifies candidates. Sub-quadratic: each row joins only its
+    * (bits+1) probe buckets, ~(bits+1)/2^bits of the corpus. Recall < 1
+    * by construction (the recall/cost dial is `bits`); measured against
+    * [[embeddingNearDup]] in DedupSpec.
+    */
+  def embeddingNearDupLsh(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      bits: Int = 8,
+      maxBucket: Int = 100000): DataFrame = {
+    import graft.similarity.Knn
+    val e = embeddings.select(
+      col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+      .withColumn("sig", Knn.hyperplaneSignature(col("v"), dim, bits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a-side probes its own bucket plus each Hamming-1 neighbor
+    val probes = array(col("sig") +:
+      (0 until bits).map(i => col("sig").bitwiseXOR(lit(1L << i))): _*)
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a"), explode(probes).as("bucket"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b"), col("sig").as("bucket"))
+    // skew guard BEFORE the join, sized on corpus-side buckets
+    val big = b.groupBy(col("bucket")).count()
+      .filter(col("count") > maxBucket).select(col("bucket"))
+    a.join(broadcast(big), Seq("bucket"), "left_anti")
+      .join(b.join(broadcast(big), Seq("bucket"), "left_anti"), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos",
+        Knn.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
@@ -115,6 +115,51 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Dot product of two `array<double>` columns in one tight JVM loop —
+  * replaces the interpreted `aggregate(zip_with(...))` fold in the
+  * similarity hot path (scored once per candidate pair).
+  *
+  * Accumulation is left-to-right from element 0 with a 0.0 init,
+  * bit-identical to the HOF fold it replaces (and to a left-fold SQL
+  * oracle), so existing hash-compared results are unchanged.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "vector_dot"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _),
+            ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_dot requires (array<double>, array<double>), " +
+            s"got (${l.catalogString}, ${r.catalogString})")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHashSignature {
   /** Smallest prime > 2^32. */
   val P = 4294967311L
@@ -148,6 +193,9 @@ object GraftFunctions {
 
   def minhashSignature(shingleHashes: Column, k: Int): Column =
     toColumn(MinHashSignature(exprOf(shingleHashes), k))
+
+  def vectorDot(a: Column, b: Column): Column =
+    toColumn(VectorDot(exprOf(a), exprOf(b)))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

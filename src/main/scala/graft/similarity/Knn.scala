@@ -18,15 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Sequential-fold dot product in double precision. Element order is
-    * the array order, so results are bit-deterministic for a given
-    * input (and match a left-fold oracle).
+  /** Sequential-fold dot product in double precision, via the native
+    * one-loop Catalyst expression [[graft.functions.VectorDot]].
+    * Accumulation order is the array order with 0.0 init — bit-identical
+    * to the interpreted `aggregate(zip_with(...))` fold it replaces and
+    * to a left-fold SQL oracle.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.vectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity. In pair-scoring hot paths do NOT call this per
+    * pair — precompute `norm` once per row and divide a [[dot]] by the
+    * two norms (same expression, n instead of n² norm computations).
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force exact top-k cosine neighbors for each query vector.
@@ -42,11 +48,14 @@ object Knn {
       corpus: DataFrame,   // (vec_id, vector)
       k: Int): DataFrame = {
     val q = broadcast(queries.select(
-      col("query_id"), col("vector").cast("array<double>").as("qv")))
+      col("query_id"), col("vector").cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv"))))
     val c = corpus.select(
       col("vec_id"), col("vector").cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(q, col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("score",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     scored
@@ -85,18 +94,21 @@ object Knn {
     val qSig = queries.select(
       col("query_id"),
       col("vector").cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
       .withColumn("sig", hyperplaneSignature(col("qv"), dim, bits))
     // multiprobe: the signature itself plus each 1-bit flip
     val probes = array(col("sig") +:
       (0 until bits).map(i => col("sig").bitwiseXOR(lit(1L << i))): _*)
-    val q = broadcast(
-      qSig.select(col("query_id"), col("qv"), explode(probes).as("sig")))
+    val q = broadcast(qSig.select(
+      col("query_id"), col("qv"), col("qn"), explode(probes).as("sig")))
     val c = corpus.select(
       col("vec_id"), col("vector").cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
       .withColumn("sig", hyperplaneSignature(col("cv"), dim, bits))
     val scored = c.join(q, Seq("sig"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("score",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     scored

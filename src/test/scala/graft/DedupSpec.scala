@@ -87,6 +87,24 @@ class DedupSpec extends SparkTestBase {
     assert(got == 1L)
   }
 
+  test("embeddingNearDupLsh: planted same-direction dups found; output ⊆ exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // plant 20 scaled copies: scaling preserves direction ⇒ cosine 1,
+    // identical hyperplane signature ⇒ recall on these is deterministic
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    val got = Dedup.embeddingNearDupLsh(corpus, "vec_id", "embedding", 64, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach { i =>
+      assert(got.contains((i, i + 10000)), s"planted dup pair ($i, ${i + 10000}) missed")
+    }
+    val exact = Dedup.embeddingNearDup(corpus, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), "LSH output must be a subset of the exact pairs")
+  }
+
   test("identical texts have identical simhash and hamming 0") {
     val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"))
       .toDF("doc_id", "text")
