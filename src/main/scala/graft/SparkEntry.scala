@@ -209,6 +209,24 @@ object SparkEntry {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // ---- streaming ingest semantics as a batch replay (EP3):
+    //      add/edit/remove events applied to a current table via
+    //      Ingest.applyEvents — edit-on-missing-key is a no-op
+    //      (kafka_consumer.py:153–155), removes anti-join out ----
+    "q_ingest_replay" -> ((s, d) => {
+      val orders = t("orders")(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val current = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      val events = orders.select(
+        when(pmod(col("o_orderkey"), lit(3)) === 0, "add")
+          .when(pmod(col("o_orderkey"), lit(3)) === 1, "edit")
+          .otherwise("remove").as("kind"),
+        col("o_orderkey").as("seq"),
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 2, 2).as("o_totalprice"))
+      graft.streaming.Ingest.applyEvents(current, events, "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
     // ================= LLM-data-pipeline extensions =================
 
     // ---- exact dedup by content fingerprint ----
@@ -469,6 +487,33 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // single event per key (o_orderkey unique), so the replay reduces
+    // to: add upserts; edit upserts only keys present in current;
+    // remove deletes
+    "q_ingest_replay" ->
+      """WITH cur AS (SELECT o_orderkey, o_custkey, o_totalprice
+                      FROM orders WHERE o_orderkey % 7 <> 0),
+         ev AS (SELECT o_orderkey, o_custkey,
+                  round(o_totalprice * 2, 2) AS o_totalprice,
+                  CASE WHEN o_orderkey % 3 = 0 THEN 'add'
+                       WHEN o_orderkey % 3 = 1 THEN 'edit'
+                       ELSE 'remove' END AS kind
+                FROM orders),
+         ups AS (SELECT o_orderkey, o_custkey, o_totalprice FROM ev
+                 WHERE kind = 'add'
+                 UNION ALL
+                 SELECT e.o_orderkey, e.o_custkey, e.o_totalprice FROM ev e
+                 WHERE e.kind = 'edit' AND EXISTS
+                   (SELECT 1 FROM cur c WHERE c.o_orderkey = e.o_orderkey)),
+         rem AS (SELECT o_orderkey FROM ev WHERE kind = 'remove')
+         SELECT * FROM (
+           SELECT * FROM ups
+           UNION ALL
+           SELECT c.* FROM cur c WHERE NOT EXISTS
+             (SELECT 1 FROM ups u WHERE u.o_orderkey = c.o_orderkey)) t
+         WHERE NOT EXISTS
+           (SELECT 1 FROM rem r WHERE r.o_orderkey = t.o_orderkey)""",
 
     // ================= LLM-data-pipeline extensions =================
 

@@ -60,38 +60,111 @@ object Ingest {
     StructField("customer_name", StringType),
     StructField("customer_location", StringType)))
 
-  /** Parse the raw (topic, value) stream into one entity's typed rows,
-    * keeping the event kind (`add`/`sale`, `edit`, `remove`).
+  /** Parse the raw (topic, value, seq) stream into one entity's typed
+    * rows, keeping the event kind (`add`/`sale`, `edit`, `remove`) and
+    * the replay order `seq`.
     */
   def parseEntity(raw: DataFrame, topics: Seq[String], schema: StructType): DataFrame =
     raw.filter(col("topic").isin(topics: _*))
       .select(
         element_at(split(col("topic"), "_"), -1).as("kind"),
+        col("seq"),
         from_json(col("value"), schema).as("row"))
-      .select(col("kind"), col("row.*"))
+      .select(col("kind"), col("seq"), col("row.*"))
+
+  /** Ensure the raw event frame carries a `seq` replay-order column:
+    * Kafka batches use the per-partition `offset`; frames without
+    * either get a partition-stable synthetic id (tests / ad-hoc
+    * batches).
+    */
+  def withSeq(raw: DataFrame): DataFrame =
+    if (raw.columns.contains("seq")) raw
+    else if (raw.columns.contains("offset")) raw.withColumn("seq", col("offset"))
+    else raw.withColumn("seq", monotonically_increasing_id())
 
   /** Monotonic sale-id assignment for a micro-batch (SURVEY §7.4.1):
-    * `max(existing) + row_number()` over the batch, ordered by a
-    * deterministic key. Replaces the reference's single-writer counter
-    * file; ids are unique and increase per batch epoch (cross-partition
-    * total order within a batch is defined by the ordering key).
+    * ids are `maxExisting + 1 .. maxExisting + n`, dense and unique,
+    * increasing in `orderBy` order. Two-pass, fully distributed:
+    * range-repartition on the ordering key, `row_number` within each
+    * partition, then add per-partition offsets (cumulative counts, one
+    * tiny driver-side array of #partitions longs).
+    *
+    * Round 1 used `Window.orderBy` with no partitioning, which funnels
+    * the whole batch through ONE partition — the classic streaming-path
+    * scale-killer. `orderBy` should be (near-)unique: rows tied on the
+    * full key may receive either of their ids across runs.
     */
   def assignSaleIds(batch: DataFrame, maxExisting: Long, orderBy: Seq[String]): DataFrame = {
-    val w = Window.orderBy(orderBy.map(col): _*)
-    batch.withColumn("sale_id", lit(maxExisting) + row_number().over(w))
+    val orderCols = orderBy.map(col)
+    val parts = math.max(1,
+      batch.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = batch.repartitionByRange(parts, orderCols: _*)
+    val withRn = ranged
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(orderCols: _*)))
+    // per-partition counts: #partitions rows — a scalar-sized collect
+    val counts = withRn.groupBy(col("_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L) {
+      case (acc, pid) => acc + counts.getOrElse(pid, 0L)
+    }
+    val offsetExpr = (0 until parts).foldLeft(lit(0L)) {
+      case (e, pid) => when(col("_pid") === pid, lit(offsets(pid))).otherwise(e)
+    }
+    withRn
+      .withColumn("sale_id", lit(maxExisting) + offsetExpr + col("_rn"))
+      .drop("_pid", "_rn")
   }
 
-  /** Apply one micro-batch of entity events to the current table state:
-    * inserts+edits upsert (updates win), removes anti-join out. Pure
-    * relational — returns the new table value.
+  /** Apply one micro-batch of entity events to the current table state.
+    *
+    * Events carry a `kind` ("add"/"sale" = insert, "edit", "remove")
+    * and a `seq` long (Kafka offset / arrival order) defining the
+    * replay order per key. Semantics = sequential replay, made
+    * set-oriented:
+    *
+    *  - the LAST effective event per key wins, deterministically by
+    *    (seq, kind) — round 1's `dropDuplicates` kept an arbitrary row;
+    *  - an edit applies only if the key exists at that point — present
+    *    in `current`, or created/removed by the latest preceding
+    *    existence event (add/remove) within the batch. Edit on a
+    *    missing key is a silent no-op, exactly the reference
+    *    (`kafka_consumer.py:153–155` masks on an absent key and writes
+    *    nothing);
+    *  - remove of a missing key is naturally a no-op; an add for an
+    *    existing key replaces the row (documented deviation: the
+    *    reference's producer-side duplicate gate makes this unreachable
+    *    there).
+    *
+    * One window pass over the batch partitioned by key + one key-level
+    * join against `current` — no driver work, scales with executors.
     */
   def applyEvents(current: DataFrame, events: DataFrame, key: String): DataFrame = {
     val dataCols = current.columns
-    val upserts = events.filter(col("kind") =!= "remove")
+    val wSeq = Window.partitionBy(col(key)).orderBy(col("seq"), col("kind"))
+    val curKeys = current.select(col(key)).distinct()
+      .withColumn("_in_current", lit(true))
+    val annotated = events
+      // 1 = key exists after this event, 0 = gone; null for edits
+      .withColumn("_exist_change",
+        when(col("kind") === "remove", lit(0))
+          .when(col("kind") =!= "edit", lit(1)))
+      .withColumn("_prev_exist",
+        last(col("_exist_change"), ignoreNulls = true)
+          .over(wSeq.rowsBetween(Window.unboundedPreceding, -1)))
+      .join(curKeys, Seq(key), "left")
+      .withColumn("_exists_before",
+        coalesce(col("_prev_exist") === 1, col("_in_current"), lit(false)))
+    val effective = annotated
+      .filter(col("kind") =!= "edit" || col("_exists_before"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key))
+          .orderBy(col("seq").desc, col("kind").desc)))
+      .filter(col("_rn") === 1)
+    val upserts = effective.filter(col("kind") =!= "remove")
       .select(dataCols.map(col).toIndexedSeq: _*)
-      // last event per key in the batch wins (arrival order = kind-agnostic)
-      .dropDuplicates(key)
-    val removes = events.filter(col("kind") === "remove")
+    val removes = effective.filter(col("kind") === "remove")
       .select(col(key))
     PosOps.upsert(current, upserts, key)
       .join(removes, Seq(key), "left_anti")
@@ -117,7 +190,8 @@ object Ingest {
   }
 
   /** Batch application shared by the streaming query and tests. */
-  def applyMicroBatch(spark: SparkSession, batch: DataFrame, store: TableStore): Unit = {
+  def applyMicroBatch(spark: SparkSession, rawBatch: DataFrame, store: TableStore): Unit = {
+    val batch = withSeq(rawBatch)
     batch.persist()
     try {
       // --- sales: assign ids to inserts, then upsert/remove ---
@@ -126,10 +200,12 @@ object Ingest {
         val current = store.read(spark, "sales", saleSchema)
         val maxId = current.agg(coalesce(max(col("sale_id")), lit(0L)))
           .head().getLong(0)
+        // ids in arrival order (seq), the reference's consumption-order
+        // counter semantics (kafka_consumer.py:74–109)
         val inserts = assignSaleIds(
           saleEvents.filter(col("kind") === "sale").drop("sale_id"),
-          maxId, Seq("sale_date", "customer_id", "product_id"))
-          .select((Seq("kind") ++ saleSchema.fieldNames).map(col): _*)
+          maxId, Seq("seq"))
+          .select((Seq("kind", "seq") ++ saleSchema.fieldNames).map(col): _*)
         val edits = saleEvents.filter(col("kind") =!= "sale")
         val next = applyEvents(current,
           inserts.unionByName(edits), "sale_id")

@@ -48,16 +48,23 @@ class TableStore(root: String) {
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(name),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // retire old versions (keep previous for in-flight readers)
+    // retire old versions (keep previous for in-flight readers);
+    // directory streams are closed explicitly — round 1 leaked one fd
+    // per GC pass
     currentVersion(name).foreach { cur =>
       val dir = tableDir(name)
       if (Files.exists(dir)) {
-        Files.list(dir).filter(p => p.getFileName.toString.startsWith("v="))
-          .filter(p => p.getFileName.toString.drop(2).toLong < cur - 1)
-          .forEach { p =>
-            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-              .forEach(f => Files.deleteIfExists(f))
-          }
+        val listing = Files.list(dir)
+        try {
+          listing.filter(p => p.getFileName.toString.startsWith("v="))
+            .filter(p => p.getFileName.toString.drop(2).toLong < cur - 1)
+            .forEach { p =>
+              val walk = Files.walk(p)
+              try walk.sorted(Comparator.reverseOrder[Path]())
+                .forEach(f => Files.deleteIfExists(f))
+              finally walk.close()
+            }
+        } finally listing.close()
       }
     }
   }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{Ingest, TableStore}
+
+/** Streaming-ingest semantics (EP3), tested in batch form: the event
+  * sequences of FIXTURES.md §A4 — insert→edit→remove, same-key
+  * collisions, edit-on-missing-key — plus the distributed sale-id
+  * assignment and the full micro-batch → TableStore path.
+  */
+class IngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def table(rows: (Int, String)*) = rows.toDF("id", "val")
+  private def events(rows: (String, Long, Int, String)*) =
+    rows.toDF("kind", "seq", "id", "val")
+
+  test("applyEvents replays add/edit/remove sequences per key in seq order") {
+    val current = table(1 -> "a", 2 -> "b")
+    val evs = events(
+      ("edit", 1L, 1, "a2"),    // valid: key in current
+      ("edit", 2L, 99, "x"),    // no-op: key never existed (ref kafka_consumer.py:153–155)
+      ("remove", 3L, 2, ""),    // delete
+      ("edit", 4L, 2, "b2"),    // no-op: key removed earlier in batch
+      ("add", 5L, 3, "c"),
+      ("edit", 6L, 3, "c2"),    // valid: created by the earlier add
+      ("add", 7L, 4, "d"),
+      ("remove", 8L, 4, ""),
+      ("add", 9L, 4, "d2"))     // re-add after remove wins
+    val got = Ingest.applyEvents(current, evs, "id")
+      .as[(Int, String)].collect().toSet
+    assert(got == Set(1 -> "a2", 3 -> "c2", 4 -> "d2"))
+  }
+
+  test("applyEvents same-key collision: highest seq wins deterministically") {
+    val current = table(1 -> "a")
+    val evs = events(
+      ("edit", 10L, 1, "v10"),
+      ("edit", 30L, 1, "v30"),
+      ("edit", 20L, 1, "v20"))
+    val got = Ingest.applyEvents(current, evs, "id")
+      .as[(Int, String)].collect().toSet
+    assert(got == Set(1 -> "v30"))
+  }
+
+  test("applyEvents remove of a missing key is a no-op") {
+    val current = table(1 -> "a")
+    val got = Ingest.applyEvents(current, events(("remove", 1L, 9, "")), "id")
+      .as[(Int, String)].collect().toSet
+    assert(got == Set(1 -> "a"))
+  }
+
+  test("assignSaleIds: dense unique ids in key order across partitions") {
+    val n = 1000
+    val batch = spark.range(n)
+      .select((col("id") * 37 % n).as("k"), lit("x").as("payload"))
+      .repartition(8)
+    val got = Ingest.assignSaleIds(batch, 500L, Seq("k"))
+      .select("k", "sale_id").as[(Long, Long)].collect()
+    val ids = got.map(_._2).sorted
+    assert(ids.toSeq == (501L to 500L + n), "ids must be dense and unique")
+    // id order must follow key order
+    assert(got.sortBy(_._1).map(_._2).toSeq == got.map(_._2).sorted.toSeq)
+  }
+
+  test("applyMicroBatch end-to-end: sales ids, edits, removes land in the store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val store = new TableStore(dir)
+
+    def sale(date: String, cust: Int, prod: Int, qty: Int, price: Double) =
+      s"""{"sale_date":"$date","customer_id":$cust,"product_id":$prod,""" +
+        s""""quantity":$qty,"price":$price,"total_price":${qty * price},""" +
+        s""""payment_method":"Cash"}"""
+
+    // batch 1: three sales, arrival order = seq → ids 1, 2, 3
+    val b1 = Seq(
+      ("transactions_sale", sale("2025-01-01 10:00:00", 1, 101, 2, 5.0), 0L),
+      ("transactions_sale", sale("2025-01-01 10:01:00", 2, 102, 1, 3.0), 1L),
+      ("transactions_sale", sale("2025-01-01 10:02:00", 3, 103, 4, 2.5), 2L))
+      .toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b1, store)
+    val s1 = store.read(spark, "sales", Ingest.saleSchema)
+      .select("sale_id", "customer_id").as[(Long, Int)].collect().toSet
+    assert(s1 == Set(1L -> 1, 2L -> 2, 3L -> 3))
+
+    // batch 2: edit sale 2, remove sale 3, one new sale → id 4
+    val b2 = Seq(
+      ("transactions_edit",
+        """{"sale_id":2,"sale_date":"2025-01-01 10:01:00","customer_id":2,""" +
+          """"product_id":102,"quantity":9,"price":3.0,"total_price":27.0,""" +
+          """"payment_method":"PayPal"}""", 0L),
+      ("transactions_remove", """{"sale_id":3}""", 1L),
+      ("transactions_sale", sale("2025-01-01 11:00:00", 4, 104, 1, 9.0), 2L))
+      .toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b2, store)
+    val s2 = store.read(spark, "sales", Ingest.saleSchema)
+      .select("sale_id", "quantity", "payment_method")
+      .as[(Long, Int, String)].collect().toSet
+    assert(s2 == Set((1L, 2, "Cash"), (2L, 9, "PayPal"), (4L, 1, "Cash")))
+
+    // products: add then edit-on-missing (no-op) then remove
+    val b3 = Seq(
+      ("products_add",
+        """{"product_id":11,"product_name":"Milk","product_description":"d",""" +
+          """"product_category":"Daily","product_price":2.0,"stock_level":10}""", 0L),
+      ("products_edit",
+        """{"product_id":99,"product_name":"Ghost","product_description":"d",""" +
+          """"product_category":"Daily","product_price":1.0,"stock_level":1}""", 1L))
+      .toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b3, store)
+    val p1 = store.read(spark, "products", Ingest.productSchema)
+      .select("product_id", "product_name").as[(Int, String)].collect().toSet
+    assert(p1 == Set(11 -> "Milk"), "edit on a missing product key must be a no-op")
+  }
+}
