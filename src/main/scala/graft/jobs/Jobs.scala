@@ -1,0 +1,78 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.ops.PosOps
+import graft.sinks.{JdbcUpsertSink, PostgresUpsertDialect, UpsertDialect}
+import graft.sources.JdbcSource
+
+/** EP1 — the daily append-only load (`airflow/dags/POS_spark_dag.py:
+  * 85–120`): read the day's extract, dropna + full-row dedup (the
+  * explicit-schema read replaces the reference's cast chain), append
+  * into the warehouse. One Spark write action, executor-parallel, no
+  * driver detours. Returns false on an empty extract (the reference's
+  * `df.rdd.isEmpty()` guard, POS_spark_dag.py:91).
+  */
+object DailyLoadJob {
+  def run(
+      extract: DataFrame,
+      url: String,
+      table: String,
+      props: Map[String, String] = Map.empty): Boolean = {
+    val cleaned = PosOps.cleanLoad(extract)
+    if (cleaned.isEmpty) false
+    else { JdbcSource.append(cleaned, url, table, props); true }
+  }
+}
+
+/** EP2 — the hourly incremental sync (`POS_spark_dag.py:124–201`):
+  * snapshot the warehouse table over JDBC, left-anti join against the
+  * fresh extract to find deletions, then DELETE + UPSERT — both
+  * executor-parallel through [[JdbcUpsertSink]], where the reference
+  * `collect()`s the delete keys AND every fresh row to one Python
+  * process (POS_spark_dag.py:164, :172).
+  */
+class HourlySyncJob(
+    url: String,
+    connProps: java.util.Properties = new java.util.Properties,
+    dialect: UpsertDialect = PostgresUpsertDialect,
+    readProps: Map[String, String] = Map.empty) extends Serializable {
+
+  /** Warehouse ← fresh, for one table: delete stale keys, upsert all
+    * fresh rows (M3 full-sync semantics).
+    */
+  def syncTable(
+      spark: SparkSession,
+      table: String,
+      key: String,
+      fresh: DataFrame): Unit = {
+    val snapshot = JdbcSource.read(spark, url, table, readProps)
+      .select(fresh.columns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    new JdbcUpsertSink(url, table, Seq(key), connProps, dialect = dialect)
+      .sync(snapshot, fresh)
+  }
+
+  /** The customers variant (`POS_spark_dag.py:281–362`): fresh customer
+    * rows are first enriched with membership tier and purchase
+    * frequency from the sales fact — ONE pass computing sum+count fused
+    * (the reference scans sales twice over JDBC, :366 and :396) — then
+    * synced like any other table.
+    */
+  def syncEnrichedCustomers(
+      spark: SparkSession,
+      table: String,
+      custKey: String,
+      freshCustomers: DataFrame,
+      sales: DataFrame,
+      amount: Column,
+      countCol: String,
+      bronzeBelow: Double,
+      silverBelow: Double,
+      goldBelow: Double): Unit = {
+    val enriched = PosOps.enrichCustomers(
+      freshCustomers, sales, custKey, amount, countCol,
+      bronzeBelow, silverBelow, goldBelow)
+    syncTable(spark, table, custKey, enriched)
+  }
+}
