@@ -170,6 +170,65 @@ object Ingest {
       .join(removes, Seq(key), "left_anti")
   }
 
+  /** S5 — the real Kafka source: ONE stream subscribed to all 9 topics
+    * (the reference runs 9 daemon threads each polling its own
+    * `KafkaConsumer`, kafka_consumer.py:379–409), normalized to the
+    * (topic, value, seq) shape the rest of the pipeline consumes. The
+    * per-partition Kafka offset is the replay order. Kafka-specific
+    * wiring is isolated here; everything downstream is testable
+    * brokerless via MemoryStream.
+    */
+  def kafkaSource(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topics: Seq[String] = saleTopics ++ productTopics ++ customerTopics,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(
+        col("topic"),
+        col("value").cast("string").as("value"),
+        col("offset").as("seq"))
+
+  /** S6 — rows → Kafka payload: every column JSON-encoded into `value`
+    * with the destination `topic` attached, the producer's
+    * `json.dumps(...).encode` serialization (kafka_producer.py:23–26).
+    */
+  def toKafkaPayload(df: DataFrame, topic: String): DataFrame =
+    df.select(
+      lit(topic).as("topic"),
+      to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+
+  /** S6 — batch Kafka sink (`producer.send` + flush,
+    * kafka_producer.py:138–139). Executors publish partition-parallel.
+    */
+  def writeToKafka(df: DataFrame, bootstrapServers: String, topic: String): Unit =
+    toKafkaPayload(df, topic).write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .save()
+
+  /** Streaming variant of the Kafka sink (`writeStream` + checkpoint). */
+  def streamToKafka(
+      df: DataFrame,
+      bootstrapServers: String,
+      topic: String,
+      checkpoint: String): StreamingQuery =
+    toKafkaPayload(df, topic).writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** End-to-end EP3: Kafka → parse/route → table store. */
+  def startIngestFromKafka(
+      spark: SparkSession,
+      bootstrapServers: String,
+      store: TableStore,
+      checkpoint: String): StreamingQuery =
+    startIngest(spark, kafkaSource(spark, bootstrapServers), store, checkpoint)
+
   /** One streaming query materializing all three entity streams into
     * the table store, `foreachBatch` + `Trigger.AvailableNow` giving
     * the reference's hourly-batch semantics with checkpointed

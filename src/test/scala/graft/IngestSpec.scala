@@ -63,6 +63,67 @@ class IngestSpec extends SparkTestBase {
     assert(got.sortBy(_._1).map(_._2).toSeq == got.map(_._2).sorted.toSeq)
   }
 
+  test("toKafkaPayload roundtrips through parseEntity (producer↔consumer wire format)") {
+    val products = Seq((11, "Milk", "desc", "Daily", 2.5, 7))
+      .toDF("product_id", "product_name", "product_description",
+        "product_category", "product_price", "stock_level")
+    val payload = Ingest.toKafkaPayload(products, "products_add")
+      .withColumn("seq", lit(0L))
+    val parsed = Ingest.parseEntity(payload, Ingest.productTopics, Ingest.productSchema)
+    val got = parsed
+      .select("kind", "product_id", "product_name", "product_price", "stock_level")
+      .as[(String, Int, String, Double, Int)].collect().toSeq
+    assert(got == Seq(("add", 11, "Milk", 2.5, 7)))
+  }
+
+  test("startIngest drives micro-batches from a brokerless stream into the store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val store = new TableStore(s"$dir/store")
+
+    val ms = MemoryStream[(String, String, Long)]
+    ms.addData(
+      ("customers_add", """{"customer_id":1,"customer_name":"Ann","customer_location":"BKK"}""", 0L),
+      ("customers_add", """{"customer_id":2,"customer_name":"Bob","customer_location":"CNX"}""", 1L),
+      ("customers_edit", """{"customer_id":2,"customer_name":"Bobby","customer_location":"CNX"}""", 2L),
+      ("customers_remove", """{"customer_id":1}""", 3L))
+    val raw = ms.toDF().toDF("topic", "value", "seq")
+    val q = Ingest.startIngest(spark, raw, store, s"$dir/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    val got = store.read(spark, "customers", Ingest.customerSchema)
+      .select("customer_id", "customer_name").as[(Int, String)].collect().toSet
+    assert(got == Set(2 -> "Bobby"))
+  }
+
+  test("windowedCounts: closed windows emit once, late data beyond watermark is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = Ingest.windowedCounts(
+      ms.toDF().toDF("ts", "event_type", "value"), "1 hour", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    try {
+      ms.addData((ts("2025-01-01 10:10:00"), "a", 1.0),
+                 (ts("2025-01-01 10:20:00"), "a", 2.0))
+      q.processAllAvailable() // watermark 09:20 — window [10,11) still open
+      ms.addData((ts("2025-01-01 13:00:00"), "a", 5.0))
+      q.processAllAvailable() // advances watermark to 12:00
+      ms.addData((ts("2025-01-01 10:30:00"), "a", 99.0))
+      q.processAllAvailable() // closes [10,11); the 10:30 event is late → dropped
+      val got = spark.table("wc")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(got == Set((ts("2025-01-01 10:00:00"), "a", 2L, 3.0)),
+        "exactly the closed window, without the late event")
+    } finally q.stop()
+  }
+
   test("applyMicroBatch end-to-end: sales ids, edits, removes land in the store") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val store = new TableStore(dir)
