@@ -209,6 +209,36 @@ object SparkEntry {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // ---- S1/S8 CSV scan with explicit schema over a multi-file dir:
+    //      the query exports nation to CSV part-files once, then reads
+    //      them back typed — proving the reference's ingest format is
+    //      readable without inferSchema ----
+    "q_csv_scan" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${math.abs(d.hashCode)}/nation"
+      val cols = Seq("n_nationkey", "n_name", "n_regionkey")
+      t("nation")(s, d).select(cols.map(col): _*)
+        .repartition(2) // ≥2 part files ⇒ the read is a real union scan
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      Tables.loadCsv(s, out, schema)
+    }),
+
+    // ---- P3 timestamp parse: to_timestamp(str, fmt), the one scalar
+    //      expression from §2.2 with no round-1 usage
+    //      (POS_spark_dag.py:99) ----
+    "q_timestamp_parse" -> ((s, d) => {
+      t("orders")(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .select(
+          col("o_orderkey"), col("ts_str"),
+          to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss").as("ts_parsed"))
+    }),
+
     // ---- streaming ingest semantics as a batch replay (EP3):
     //      add/edit/remove events applied to a current table via
     //      Ingest.applyEvents — edit-on-missing-key is a no-op
@@ -487,6 +517,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // the CSV round trip is lossless for int/string columns, so the
+    // oracle is simply the source table
+    "q_csv_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_timestamp_parse" ->
+      """SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+         strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                  '%Y-%m-%d %H:%M:%S') AS ts_parsed
+         FROM orders""",
 
     // single event per key (o_orderkey unique), so the replay reduces
     // to: add upserts; edit upserts only keys present in current;

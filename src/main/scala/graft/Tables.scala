@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Loaders for the driver testdata tables (TESTDATA.md).
   *
@@ -17,6 +18,23 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** S1/S8 — CSV scan with an EXPLICIT schema (the engine never uses
+    * `inferSchema`, which costs an extra full pass per file —
+    * `POS_spark_dag.py:143–146` does; the daily job's all-string read +
+    * cast chain at :90–104 is subsumed by the typed schema). A
+    * directory or glob path unions all matching files natively (the
+    * reference's per-file read + concat loop,
+    * kafka_producer.py:273–282).
+    */
+  def loadCsv(
+      spark: SparkSession,
+      pathOrGlob: String,
+      schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .csv(pathOrGlob)
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
