@@ -215,11 +215,19 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    // the shingle table feeds sizes + both self-join sides — persist so
+    // tokenization/shingling runs once
     val sh = docs.select(
       col(idCol).as("doc_id"),
       shingles(col(textCol), shingleLen).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val expl = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // join on the 8-byte shingle hash, not the string: ~3× less shuffle
+    // payload; a cross-doc 64-bit collision (P ≈ n²·2⁻⁶⁴) is the same
+    // tolerance every hash-join engine accepts
+    val expl = sh.select(
+      col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
     val common = expl.as("x").join(expl.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
