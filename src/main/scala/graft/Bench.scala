@@ -28,14 +28,21 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
+    // untimed warmup: session/codegen/shuffle-machinery startup must
+    // not be billed to whichever query runs first
+    spark.range(1000).selectExpr("sum(id)").count()
+    SparkEntry.entry(spark).count()
+    spark.catalog.clearCache()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       // queries persist intermediate signature tables; drop them so
-      // timings stay independent
+      // timings stay independent, and nudge GC so one query's garbage
+      // is not billed to the next
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

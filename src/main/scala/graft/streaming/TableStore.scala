@@ -39,11 +39,21 @@ class TableStore(root: String) {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
-  /** Write a new version and atomically flip the pointer. */
-  def overwrite(name: String, df: DataFrame): Unit = {
+  /** Write a new version and atomically flip the pointer.
+    *
+    * `sortBy` (O2): the reference keeps its CSV files key-ordered on
+    * every rewrite (`kafka_consumer.py:103, 221, 313`). A global sort
+    * is dead weight at scale, so the engine's equivalent is opt-in and
+    * per-partition (`sortWithinPartitions` — no extra shuffle, files
+    * are internally ordered for locality/compression).
+    */
+  def overwrite(name: String, df: DataFrame, sortBy: Seq[String] = Nil): Unit = {
     val next = currentVersion(name).getOrElse(0L) + 1
     val dest = tableDir(name).resolve(s"v=$next")
-    df.write.mode("overwrite").parquet(dest.toString)
+    val toWrite =
+      if (sortBy.isEmpty) df
+      else df.sortWithinPartitions(sortBy.map(df.col): _*)
+    toWrite.write.mode("overwrite").parquet(dest.toString)
     val tmp = tableDir(name).resolve("_latest.tmp")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(name),

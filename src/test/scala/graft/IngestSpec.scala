@@ -124,6 +124,50 @@ class IngestSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("StockState: checkpointed per-product levels carry across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StockState
+    import graft.streaming.StockState.{Sale, Stock}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ms = MemoryStream[Sale]
+    val levels = StockState.stockLevels(spark, ms.toDS(), Map(1 -> 100, 2 -> 50))
+    val q = levels.writeStream.format("memory").queryName("stock")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData(Sale(1, 10), Sale(1, 5), Sale(2, 20))
+      q.processAllAvailable()
+      val afterB1 = spark.table("stock").as[Stock].collect()
+        .groupBy(_.product_id).map { case (k, v) => k -> v.last.stock_level }
+      assert(afterB1 == Map(1 -> 85, 2 -> 30))
+      ms.addData(Sale(1, 1), Sale(3, 7)) // unseeded key starts at 0 → negative ok
+      q.processAllAvailable()
+      val all = spark.table("stock").as[Stock].collect()
+      assert(all.filter(_.product_id == 1).map(_.stock_level).min == 84,
+        "state must carry 85 across batches, not reset to initial")
+      assert(all.filter(_.product_id == 3).map(_.stock_level).toSet == Set(-7))
+    } finally q.stop()
+  }
+
+  test("TableStore: versioned overwrite flips atomically; sortBy orders within files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val store = new TableStore(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    assert(store.read(spark, "t", schema).isEmpty, "missing table reads empty")
+    store.overwrite("t", Seq(3 -> "c", 1 -> "a", 2 -> "b").toDF("id", "v"),
+      sortBy = Seq("id"))
+    assert(store.currentVersion("t").contains(1L))
+    val got = store.read(spark, "t", schema).as[(Int, String)].collect()
+    assert(got.toSet == Set(1 -> "a", 2 -> "b", 3 -> "c"))
+    store.overwrite("t", Seq(9 -> "z").toDF("id", "v"))
+    assert(store.currentVersion("t").contains(2L))
+    assert(store.read(spark, "t", schema).as[(Int, String)].collect().toSeq
+      == Seq(9 -> "z"))
+  }
+
   test("applyMicroBatch end-to-end: sales ids, edits, removes land in the store") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val store = new TableStore(dir)
