@@ -209,6 +209,37 @@ object SparkEntry {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // ---- §2.5 extensions: rollup hierarchy totals, distinct-agg ----
+    "q_rollup" -> ((s, d) => {
+      t("lineitem")(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_rows"))
+    }),
+
+    "q_count_distinct" -> ((s, d) => {
+      t("lineitem")(s, d).agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+    }),
+
+    // ---- §2.3 extensions: intersect / except set ops ----
+    "q_intersect" -> ((s, d) => {
+      val o = t("orders")(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_totalprice") > 300000.0).select("o_custkey"))
+    }),
+
+    "q_except" -> ((s, d) => {
+      val o = t("orders")(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.filter(col("o_totalprice") > 300000.0).select("o_custkey"))
+    }),
+
     // ---- S1/S8 CSV scan with explicit schema over a multi-file dir:
     //      the query exports nation to CSV part-files once, then reads
     //      them back typed — proving the reference's ingest format is
@@ -302,6 +333,15 @@ object SparkEntry {
         col("doc_id"),
         fingerprint(col("text")).as("fp"),
         substring(fingerprint(col("text")), 1, 4).as("fp_bucket"))
+    }),
+
+    // ---- BPE-ish pre-token counting (training-data budget proxy) ----
+    "q_doc_bpe_tokens" -> ((s, d) => {
+      import graft.text.TextOps._
+      t("documents")(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_ws_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"))
     }),
 
     // ---- exact n-gram Jaccard near-dup pairs (oracle for MinHash) ----
@@ -517,6 +557,34 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls,
+         round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT l_partkey) AS n_part FROM lineitem""",
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0""",
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0""",
+
+    "q_doc_bpe_tokens" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+         len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+           AS n_bpe_tokens
+         FROM documents""",
 
     // the CSV round trip is lossless for int/string columns, so the
     // oracle is simply the source table

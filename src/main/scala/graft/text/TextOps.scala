@@ -37,6 +37,16 @@ object TextOps {
   def digitCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
 
+  /** BPE-style token-count estimate: the GPT-2 pre-tokenizer pattern
+    * (letter runs / digit runs / punctuation runs, each with an
+    * optional leading space) restricted to the Java-regex ∩ RE2 common
+    * subset — no lookahead, no unicode classes. Counts pre-tokens, the
+    * standard cheap proxy for subword token counts at corpus scale.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(
+      text, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"), lit(0)))
+
   /** Count of hits from a word list (quality scoring / language ID). */
   def wordHits(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(
