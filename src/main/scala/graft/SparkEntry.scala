@@ -387,6 +387,17 @@ object SparkEntry {
         64, 10)
     }),
 
+    // ---- IVF ANN: trained coarse quantizer + nprobe cell search
+    //      (rows-only; planted-dup determinism + recall in KnnSpec) ----
+    "q_knn_ivf" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      graft.similarity.Ivf.ivfKnn(
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("vector")),
+        emb.select(col("vec_id"), col("embedding").as("vector")),
+        64, 10, nlist = 16, nprobe = 4)
+    }),
+
     // ---- embedding-cosine near-dup pairs (scoped all-pairs) ----
     "q_embedding_neardup" -> ((s, d) => {
       graft.dedup.Dedup.embeddingNearDup(

@@ -1,0 +1,166 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the FAISS
+  * IVF-Flat shape, Spark-first: a coarse spherical k-means quantizer
+  * splits the corpus into `nlist` cells; each query probes its
+  * `nprobe` closest cells and exact-reranks only those candidates.
+  *
+  * Scale design (100 TB corpus, 1000 executors):
+  *  - training touches the corpus `iters` times with map-side argmax
+  *    against BROADCAST centroids (k×dim doubles — literals in the
+  *    plan), one tiny (cell, pos) aggregate per iteration;
+  *  - cell assignment is a pure projection — the corpus shuffles ONCE
+  *    on cell_id for the probe join, the recall/cost dial is
+  *    nprobe/nlist;
+  *  - everything is Column expressions over the native
+  *    [[graft.functions.VectorDot]]; no UDFs, no driver-side vectors
+  *    beyond the k centroids.
+  *
+  * Determinism: initialization takes the `nlist` lowest-id vectors and
+  * Lloyd's iterations are fixed-count, so the index is identical across
+  * runs — recall is measured, not flaky.
+  */
+object Ivf {
+
+  private def unitize(a: Array[Double]): Array[Double] = {
+    val n = math.sqrt(a.map(x => x * x).sum)
+    if (n == 0d) a else a.map(_ / n)
+  }
+
+  /** (dot, index) argmax over the UNIT centroid set as one expression:
+    * structs compare lexicographically, so array_max picks the best
+    * dot, ties to the larger index — deterministic. The input vector
+    * needs NO normalization: argmax_c v·c is invariant under positive
+    * scaling of v, so raw vectors assign to the same cell as their
+    * unit form.
+    */
+  private def bestCell(v: Column, centroids: Seq[Array[Double]]): Column =
+    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        Knn.dot(v, typedlit(c.toSeq)).as("d"),
+        lit(i).as("i"))
+    }: _*)).getField("i")
+
+  /** Train the coarse quantizer: spherical k-means on the unit sphere
+    * (assign by max dot, re-center by per-dimension mean, re-normalize).
+    * Returns `nlist` unit centroids.
+    *
+    * Each Lloyd's iteration is ONE shuffle-free `treeAggregate` job
+    * accumulating (per-cell sum, count) partials — the MLlib KMeans
+    * shape, and one of the rare places where dropping to the RDD layer
+    * is the right call: the update is a tight per-partition fold into
+    * nlist×dim accumulators, with driver traffic that is
+    * centroid-sized, never corpus-sized. Init is the `nlist` lowest-id
+    * vectors, so the index is reproducible (up to float reduction
+    * order in the partial sums).
+    */
+  def train(
+      corpus: DataFrame, // (vec_id, vector)
+      dim: Int,
+      nlist: Int,
+      iters: Int = 5): Seq[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val raw = corpus
+      .select(col("vec_id"), col("vector").cast("array<double>").as("v"))
+    var centroids: Array[Array[Double]] = raw
+      .orderBy(col("vec_id")).limit(nlist)
+      .select(col("v")).collect()
+      .map(r => unitize(r.getSeq[Double](0).toArray))
+    val vecs = raw.select(col("v")).as[Seq[Double]].rdd
+      .map(s => unitize(s.toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until iters).foreach { _ =>
+        val bc = vecs.context.broadcast(centroids)
+        val zero = (Array.fill(nlist)(new Array[Double](dim)),
+          new Array[Long](nlist))
+        val (sums, counts) = vecs.treeAggregate(zero)(
+          seqOp = { case ((s, n), v) =>
+            val cen = bc.value
+            var best = 0
+            var bestD = Double.NegativeInfinity
+            var i = 0
+            while (i < nlist) {
+              var d = 0.0; var j = 0
+              while (j < dim) { d += v(j) * cen(i)(j); j += 1 }
+              // >= ties to the larger index, matching bestCell's
+              // array_max tie rule
+              if (d >= bestD) { bestD = d; best = i }
+              i += 1
+            }
+            var j = 0
+            while (j < dim) { s(best)(j) += v(j); j += 1 }
+            n(best) += 1
+            (s, n)
+          },
+          combOp = { case ((s1, n1), (s2, n2)) =>
+            var i = 0
+            while (i < nlist) {
+              var j = 0
+              while (j < dim) { s1(i)(j) += s2(i)(j); j += 1 }
+              n1(i) += n2(i)
+              i += 1
+            }
+            (s1, n1)
+          })
+        bc.destroy()
+        centroids = centroids.zipWithIndex.map { case (old, i) =>
+          if (counts(i) == 0L) old // empty cell keeps its centroid
+          else {
+            val mean = sums(i).map(_ / counts(i))
+            val n = math.sqrt(mean.map(x => x * x).sum)
+            if (n == 0d) old else mean.map(_ / n)
+          }
+        }
+      }
+    } finally vecs.unpersist()
+    centroids.toSeq
+  }
+
+  /** IVF top-k: corpus shuffles once on its cell, each query joins only
+    * its `nprobe` best cells, exact cosine reranks, windowed top-k (no
+    * global sort). Output shape matches [[Knn.bruteForceKnn]].
+    */
+  def ivfKnn(
+      queries: DataFrame, // (query_id, vector)
+      corpus: DataFrame,  // (vec_id, vector)
+      dim: Int,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val centroids = train(corpus, dim, nlist, iters)
+    val c = corpus.select(
+      col("vec_id"), col("vector").cast("array<double>").as("cv"))
+      .withColumn("cn", Knn.norm(col("cv")))
+      .withColumn("cell", bestCell(col("cv"), centroids))
+    // nprobe best cells per query: sorted (dot, idx) structs, top
+    // slice; dot ranking against unit centroids is scale-invariant in
+    // the query too, so raw qv works
+    val probeCells = slice(
+      sort_array(array(centroids.zipWithIndex.map { case (cen, i) =>
+        struct(
+          Knn.dot(col("qv"), typedlit(cen.toSeq)).as("d"),
+          lit(i).as("i"))
+      }: _*), asc = false), 1, nprobe)
+    val q = broadcast(queries
+      .select(col("query_id"), col("vector").cast("array<double>").as("qv"))
+      .withColumn("qn", Knn.norm(col("qv")))
+      .withColumn("cell", explode(transform(probeCells, s => s.getField("i")))))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(Knn.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "score", "rank")
+  }
+}

@@ -73,7 +73,7 @@ object Knn {
     val planes: Seq[Seq[Double]] =
       Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(lit): _*)
+      val pl = typedlit(p)
       when(dot(vec, pl) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
