@@ -29,4 +29,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.StubCodec.decodeImage(p) ==
       Multimodal.StubCodec.decodeImage(p.clone()))
   }
+
+  test("sampleFrames: one row per interval, deterministic bytes, 1→N shape") {
+    val docs = Seq((1L, "x" * 300), (2L, "y")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      spark, Multimodal.assetsFromDocuments(docs), everyMs = 1000L)
+    val got = frames.collect().groupBy(_.asset_id)
+    // duration stub = 10 ms per byte → 300 bytes = 3000 ms = 3 frames
+    assert(got(1L).length == 3)
+    assert(got(1L).map(_.ts_ms).sorted.toSeq == Seq(0L, 1000L, 2000L))
+    assert(got(2L).length == 1, "short asset still yields one frame")
+    // rerun is byte-identical (stub is a pure function)
+    val again = Multimodal.sampleFrames(
+      spark, Multimodal.assetsFromDocuments(docs), everyMs = 1000L)
+      .collect().groupBy(_.asset_id)
+    assert(got(1L).sortBy(_.frame_idx).map(_.frame_bytes.toSeq).toSeq ==
+      again(1L).sortBy(_.frame_idx).map(_.frame_bytes.toSeq).toSeq)
+  }
+
+  test("resizeAssets preserves schema and ids; payload is deterministic") {
+    val docs = Seq((1L, "abc"), (2L, "def")).toDF("doc_id", "text")
+    val resized = Multimodal.resizeAssets(
+      spark, Multimodal.assetsFromDocuments(docs), 256, 256)
+    assert(resized.toDF().columns.toSeq == Seq("asset_id", "mime", "payload"))
+    val a = resized.collect().sortBy(_.asset_id)
+    val b = Multimodal.resizeAssets(
+      spark, Multimodal.assetsFromDocuments(docs), 256, 256)
+      .collect().sortBy(_.asset_id)
+    assert(a.map(_.payload.toSeq).toSeq == b.map(_.payload.toSeq).toSeq)
+    assert(a.map(_.asset_id).toSeq == Seq(1L, 2L))
+  }
 }

@@ -94,4 +94,17 @@ class PosOpsSpec extends SparkTestBase {
       .as[(Int, Double)].collect().toSeq
     assert(got == Seq((2, 9.0), (4, 9.0)))
   }
+
+  test("saltedJoin equals the plain inner join under a hot key") {
+    // 1000 rows of one hot key + a long tail
+    val fact = (1 to 1000).map(i => (7, i)) ++ (1 to 50).map(i => (i % 5, -i))
+    val factDf = fact.toDF("k", "v")
+    val dim = Seq((7, "hot"), (1, "a"), (2, "b"), (3, "c"), (4, "d"), (0, "z"))
+      .toDF("k", "name")
+    val plain = factDf.join(dim, Seq("k"))
+      .select("k", "v", "name").as[(Int, Int, String)].collect().sorted.toSeq
+    val salted = PosOps.saltedJoin(factDf, dim, "k", salts = 8)
+      .select("k", "v", "name").as[(Int, Int, String)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
 }
