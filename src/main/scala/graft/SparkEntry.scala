@@ -344,6 +344,15 @@ object SparkEntry {
         bpeTokenCount(col("text")).as("n_bpe_tokens"))
     }),
 
+    // ---- winnowing fingerprint sets (rows-only; the shared-substring
+    //      guarantee and determinism are proven in TextOpsSpec) ----
+    "q_doc_winnow" -> ((s, d) => {
+      import graft.text.TextOps._
+      t("documents")(s, d).select(
+        col("doc_id"),
+        size(winnowFingerprints(col("text"))).as("n_fingerprints"))
+    }),
+
     // ---- exact n-gram Jaccard near-dup pairs (oracle for MinHash) ----
     "q_ngram_jaccard_pairs" -> ((s, d) =>
       graft.dedup.Dedup.ngramJaccardPairs(

@@ -115,6 +115,105 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03): hash every k-byte gram with a multiplicative rolling
+  * hash, slide a w-gram window, keep each window's minimum; the
+  * DISTINCT minima (sorted) are the fingerprint set. Guarantee: any
+  * shared run of ≥ w+k−1 bytes between two documents contributes at
+  * least one shared fingerprint — the standard plagiarism/near-dup
+  * selection sketch.
+  *
+  * One O(n) pass (monotone deque for the sliding min) over the UTF-8
+  * bytes as a native expression; map-side, no shuffle.
+  */
+case class Winnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0, "k and w must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow requires string, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val hashes = Winnow.gramHashes(bytes, k)
+    val mins = Winnow.windowMins(hashes, w)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
+object Winnow {
+  private val B = 1000000007L // rolling base (odd ⇒ invertible mod 2^64)
+
+  /** Multiplicative rolling hash of every k-gram: h_{i+1} derived from
+    * h_i in O(1) by subtracting the outgoing byte's B^(k−1) term.
+    * Wrapping 64-bit arithmetic — deterministic everywhere.
+    */
+  def gramHashes(bytes: Array[Byte], k: Int): Array[Long] = {
+    val n = bytes.length
+    if (n == 0) return Array(0L)
+    if (n <= k) { // short doc: one gram = the whole byte string
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * B + (bytes(i) & 0xFF); i += 1 }
+      return Array(h)
+    }
+    var bk = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { bk *= B; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xFF); i += 1 }
+    out(0) = h
+    i = k
+    while (i < n) {
+      h = (h - (bytes(i - k) & 0xFF) * bk) * B + (bytes(i) & 0xFF)
+      out(i - k + 1) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Sorted distinct minima of every w-length window (monotone deque,
+    * O(n)); windows shorter than w collapse to the global min.
+    */
+  def windowMins(hashes: Array[Long], w: Int): Array[Long] = {
+    val m = hashes.length
+    if (m <= w) return Array(hashes.min)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0 // [head, tail) holds candidate indices, hashes ascending
+    var i = 0
+    while (i < m) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) sel.add(hashes(deque(head)))
+      i += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+}
+
 /** Dot product of two `array<double>` columns in one tight JVM loop —
   * replaces the interpreted `aggregate(zip_with(...))` fold in the
   * similarity hot path (scored once per candidate pair).
@@ -196,6 +295,9 @@ object GraftFunctions {
 
   def vectorDot(a: Column, b: Column): Column =
     toColumn(VectorDot(exprOf(a), exprOf(b)))
+
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
+    toColumn(Winnow(exprOf(text), k, w))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

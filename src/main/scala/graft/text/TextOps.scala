@@ -91,6 +91,16 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 
+  /** Winnowing fingerprint SET (rolling k-gram hash → sliding-window
+    * minima, SIGMOD'03) via the native [[graft.functions.Winnow]]
+    * expression: any shared byte run of length ≥ w+k−1 between two
+    * documents yields a shared fingerprint — the selection sketch for
+    * partial-overlap / plagiarism-style near-dup detection, where the
+    * whole-document [[fingerprint]] only catches exact copies.
+    */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.functions.GraftFunctions.winnow(text, k, w)
+
   /** 64-bit rolling-hash-style fingerprint via xxhash64 (engine-local;
     * no cross-engine oracle — used by SimHash/MinHash pipelines).
     */

@@ -50,4 +50,40 @@ class TextOpsSpec extends SparkTestBase {
       .as[(Long, Boolean)].collect().toMap
     assert(got == Map(1L -> true, 2L -> false, 3L -> false))
   }
+
+  test("winnow: matches a direct reimplementation and is order-stable") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val df = Seq((1L, text)).toDF("id", "text")
+    val got = df.select(TextOps.winnowFingerprints(col("text"), 5, 4).as("fp"))
+      .as[Seq[Long]].head()
+    val bytes = text.getBytes("UTF-8")
+    val want = graft.functions.Winnow.windowMins(
+      graft.functions.Winnow.gramHashes(bytes, 5), 4).toSeq
+    assert(got == want)
+    assert(got == got.sorted && got.distinct == got, "sorted distinct set")
+  }
+
+  test("winnow guarantee: docs sharing a ≥ w+k−1 byte run share a fingerprint") {
+    val shared = "0123456789abcdefghij" // 20 bytes ≥ 5+4−1
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different start $shared and end"),
+      (3L, "no overlap at all here")).toDF("id", "text")
+    val fps = df.select(col("id"),
+      TextOps.winnowFingerprints(col("text"), 5, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet & fps(2L).toSet).nonEmpty,
+      "shared substring must yield a shared fingerprint")
+    assert((fps(1L).toSet & fps(3L).toSet).isEmpty,
+      "disjoint content should share nothing at this scale")
+  }
+
+  test("winnow short/empty documents degrade to a single fingerprint") {
+    val df = Seq((1L, "ab"), (2L, "")).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextOps.winnowFingerprints(col("text"), 5, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L).length == 1)
+    assert(got(2L).length == 1)
+  }
 }
