@@ -299,12 +299,28 @@ object GraftFunctions {
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     toColumn(Winnow(exprOf(text), k, w))
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature",
-      exprs => MinHashSignature(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
-  }
+  private def intArg(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected integer literal, got $other")
+    }
+
+  /** (name, builder) for every native expression — shared by the
+    * session-local [[register]] and the [[GraftExtensions]] injection.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "minhash_signature" -> (exprs =>
+      MinHashSignature(exprs.head, intArg(exprs(1)))),
+    "vector_dot" -> (exprs => VectorDot(exprs.head, exprs(1))),
+    "winnow" -> (exprs =>
+      Winnow(exprs.head, intArg(exprs(1)), intArg(exprs(2)))))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
 }

@@ -40,15 +40,25 @@ class HourlySyncJob(
 
   /** Warehouse ← fresh, for one table: delete stale keys, upsert all
     * fresh rows (M3 full-sync semantics).
+    *
+    * `snapshotScope` is the SURVEY §7.4.3 decision made explicit. The
+    * reference anti-joins its FULL warehouse snapshot against only the
+    * recently-modified files (`POS_spark_dag.py:155` vs :125–146), so
+    * rows living in unmodified files get deleted — bug-compatible
+    * parity is `None`. Passing a predicate (e.g. the date/category
+    * partitions actually being synced) scopes the deletion to rows the
+    * fresh extract can speak for — the corrected mode.
     */
   def syncTable(
       spark: SparkSession,
       table: String,
       key: String,
-      fresh: DataFrame): Unit = {
-    val snapshot = JdbcSource.read(spark, url, table, readProps)
+      fresh: DataFrame,
+      snapshotScope: Option[Column] = None): Unit = {
+    val full = JdbcSource.read(spark, url, table, readProps)
       .select(fresh.columns.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
+    val snapshot = snapshotScope.fold(full)(full.filter)
     new JdbcUpsertSink(url, table, Seq(key), connProps, dialect = dialect)
       .sync(snapshot, fresh)
   }

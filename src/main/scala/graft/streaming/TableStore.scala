@@ -47,13 +47,25 @@ class TableStore(root: String) {
     * per-partition (`sortWithinPartitions` — no extra shuffle, files
     * are internally ordered for locality/compression).
     */
-  def overwrite(name: String, df: DataFrame, sortBy: Seq[String] = Nil): Unit = {
+  /** `partitionBy` (§1 data model): hive-style directory partitioning
+    * — the engine's form of the reference's per-day sales files and
+    * per-category product files (kafka_consumer.py:82–83, 41–49).
+    * Readers filtering on the partition column scan only matching
+    * directories (partition pruning; asserted in IngestSpec).
+    */
+  def overwrite(
+      name: String,
+      df: DataFrame,
+      sortBy: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Unit = {
     val next = currentVersion(name).getOrElse(0L) + 1
     val dest = tableDir(name).resolve(s"v=$next")
     val toWrite =
       if (sortBy.isEmpty) df
       else df.sortWithinPartitions(sortBy.map(df.col): _*)
-    toWrite.write.mode("overwrite").parquet(dest.toString)
+    toWrite.write.mode("overwrite")
+      .partitionBy(partitionBy: _*)
+      .parquet(dest.toString)
     val tmp = tableDir(name).resolve("_latest.tmp")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(name),

@@ -1,0 +1,37 @@
+package graft
+
+/** The native expressions exposed through spark.sql, registered by the
+  * GraftExtensions SparkSessionExtensions installer configured on the
+  * test session (spark.sql.extensions) — no register() call here.
+  */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("simhash64 available via spark.sql.extensions") {
+    assert(spark.sql("SELECT simhash64(array(3L, 1L, 1L)) v").as[Long].head() == 1L)
+  }
+
+  test("minhash_signature via SQL matches the column API") {
+    val viaSql = spark.sql(
+      "SELECT minhash_signature(array(1L, 2L, 3L), 8) v").as[Seq[Long]].head()
+    val viaCol = Seq(Tuple1(Seq(1L, 2L, 3L))).toDF("a")
+      .select(graft.functions.GraftFunctions
+        .minhashSignature(org.apache.spark.sql.functions.col("a"), 8).as("v"))
+      .as[Seq[Long]].head()
+    assert(viaSql == viaCol && viaSql.length == 8)
+  }
+
+  test("vector_dot via SQL computes the left fold") {
+    val got = spark.sql(
+      "SELECT vector_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) v")
+      .as[Double].head()
+    assert(got == 32.0)
+  }
+
+  test("winnow via SQL matches the direct implementation") {
+    val got = spark.sql("SELECT winnow('abcdefghij', 3, 2) v").as[Seq[Long]].head()
+    val want = graft.functions.Winnow.windowMins(
+      graft.functions.Winnow.gramHashes("abcdefghij".getBytes("UTF-8"), 3), 2).toSeq
+    assert(got == want)
+  }
+}

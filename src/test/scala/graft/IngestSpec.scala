@@ -168,6 +168,25 @@ class IngestSpec extends SparkTestBase {
       == Seq(9 -> "z"))
   }
 
+  test("TableStore partitioned write: filters prune to matching partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val store = new TableStore(dir)
+    val df = Seq((1, "Daily", 2.0), (2, "Meat", 3.0), (3, "Daily", 4.0))
+      .toDF("product_id", "product_category", "price")
+    store.overwrite("products", df, partitionBy = Seq("product_category"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("product_id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("product_category", org.apache.spark.sql.types.StringType)))
+    val q = store.read(spark, "products", schema)
+      .filter(col("product_category") === "Daily")
+    assert(q.select("product_id").as[Int].collect().sorted.toSeq == Seq(1, 3))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("product_category"),
+      s"partition filter must reach the scan:\n$plan")
+  }
+
   test("applyMicroBatch end-to-end: sales ids, edits, removes land in the store") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val store = new TableStore(dir)

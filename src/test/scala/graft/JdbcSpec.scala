@@ -60,6 +60,23 @@ class JdbcSpec extends SparkTestBase {
     assert(got == Set((1, "a", 10.0), (2, "b2", 25.0), (4, "d", 40.0)))
   }
 
+  test("syncTable snapshotScope: rows outside the synced scope survive (SURVEY §7.4.3)") {
+    val url = freshDb("scope")
+    exec(url,
+      "CREATE TABLE sales (sale_id INT PRIMARY KEY, name VARCHAR(32), amt DOUBLE)",
+      // 1–2 belong to the 'a*' scope being synced; 3 is another scope's
+      // row that the fresh extract cannot speak for
+      "INSERT INTO sales VALUES (1, 'a1', 10.0), (2, 'a2', 20.0), (3, 'b1', 30.0)")
+    val fresh = Seq((1, "a1", 11.0)).toDF("sale_id", "name", "amt")
+    new HourlySyncJob(url, dialect = DeleteInsertUpsertDialect)
+      .syncTable(spark, "sales", "sale_id", fresh,
+        snapshotScope = Some(col("name").startsWith("a")))
+    val got = queryPairs(url, "SELECT sale_id, name, amt FROM sales")
+    // parity mode would have deleted row 3; scoped mode keeps it,
+    // deletes only the in-scope stale row 2, updates row 1
+    assert(got == Set((1, "a1", 11.0), (3, "b1", 30.0)))
+  }
+
   test("JdbcUpsertSink.upsert is idempotent (retry-safe)") {
     val url = freshDb("idem")
     exec(url,

@@ -12,6 +12,9 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the deployment registration path — specs call the functions via
+    // spark.sql without a register() step
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 
   def sfDir: String = "/root/testdata/sf0.001"
