@@ -209,6 +209,22 @@ object SparkEntry {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // ---- session windows (streaming construct, batch-checkable):
+    //      events merge while gaps stay under 30 min; the oracle is the
+    //      classic gaps-and-islands SQL ----
+    "q_events_sessions" -> ((s, d) => {
+      t("events")(s, d)
+        .na.drop(Seq("user_id"))
+        .groupBy(
+          session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          col("sw.start").as("session_start"),
+          col("user_id"), col("n_events"), col("sum_value"))
+    }),
+
     // ---- §2.5 extensions: rollup hierarchy totals, distinct-agg ----
     "q_rollup" -> ((s, d) => {
       t("lineitem")(s, d)
@@ -577,6 +593,24 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // session start = min ts of each island; islands break where the
+    // gap to the previous event reaches 30 min (Spark merges windows
+    // that OVERLAP, i.e. gap strictly under the duration)
+    "q_events_sessions" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events
+                    WHERE user_id IS NOT NULL),
+         m AS (SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS ns
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM m)
+         SELECT min(ts) AS session_start, user_id,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sid""",
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
