@@ -168,6 +168,28 @@ class IngestSpec extends SparkTestBase {
       == Seq(9 -> "z"))
   }
 
+  test("StreamDedup.firstSeen: duplicates suppressed within and across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ms = MemoryStream[(String, Int)]
+    val deduped = StreamDedup.firstSeen[String, (String, Int)](
+      spark, ms.toDS(), _._1)
+    val q = deduped.writeStream.format("memory").queryName("sd")
+      .outputMode("append").start()
+    try {
+      ms.addData(("a", 1), ("a", 2), ("b", 3)) // in-batch dup of a
+      q.processAllAvailable()
+      ms.addData(("a", 4), ("c", 5))           // cross-batch dup of a
+      q.processAllAvailable()
+      val got = spark.table("sd").as[(String, Int)].collect().toSet
+      assert(got.map(_._1) == Set("a", "b", "c"), "each key exactly once")
+      assert(got.contains(("b", 3)) && got.contains(("c", 5)))
+      assert(got.count(_._1 == "a") == 1, "later duplicates of 'a' suppressed")
+    } finally q.stop()
+  }
+
   test("TableStore partitioned write: filters prune to matching partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val store = new TableStore(dir)
