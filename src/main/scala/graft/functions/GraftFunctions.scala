@@ -69,9 +69,13 @@ case class SimHash64(child: Expression)
   * Parameters derive from a fixed seed, so signatures are deterministic
   * across runs and executors; aᵢ < 2³¹ and x < 2³² keep aᵢ·x + bᵢ
   * under 2⁶³ (no silent long overflow).
+  *
+  * Generates real Java (doGenCode) — the parameter arrays ride along
+  * as referenced objects — so the signature projection stays inside
+  * WholeStageCodegen.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -110,6 +114,36 @@ case class MinHashSignature(child: Expression, k: Int)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val paRef = ctx.addReferenceObj("minhashA", pa, "long[]")
+      val pbRef = ctx.addReferenceObj("minhashB", pb, "long[]")
+      val mins = ctx.freshName("mins")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $x = $arr.getLong($i) & 0xFFFFFFFFL;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ($paRef[$j] * $x + $pbRef[$j]) % ${MinHashSignature.P}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -221,9 +255,12 @@ object Winnow {
   * Accumulation is left-to-right from element 0 with a 0.0 init,
   * bit-identical to the HOF fold it replaces (and to a left-fold SQL
   * oracle), so existing hash-compared results are unchanged.
+  *
+  * Generates real Java (doGenCode), so scoring projections stay inside
+  * WholeStageCodegen instead of falling back to interpreted eval.
   */
 case class VectorDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "vector_dot"
@@ -253,6 +290,24 @@ case class VectorDot(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(s)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDot =
