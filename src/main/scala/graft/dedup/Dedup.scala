@@ -25,6 +25,9 @@ object Dedup {
 
   /** Word n-gram shingles (distinct). Documents shorter than n tokens
     * contribute their whole token sequence as a single shingle.
+    * This is the string form (readable, oracle-matching); the hot
+    * pipelines use [[shingleHashes]], which produces xxhash64 of
+    * exactly these strings without materializing them.
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextOps.tokens(text)
@@ -35,6 +38,14 @@ object Dedup {
           i => array_join(slice(toks, i + 1, lit(n)), " ")))
         .otherwise(array(array_join(toks, " "))))
   }
+
+  /** Sorted distinct xxhash64 values of the word n-gram shingles, via
+    * the native one-pass [[graft.functions.ShingleHashes]] — value-
+    * identical to `transform(shingles(text, n), xxhash64)` (proven in
+    * DedupSpec), ~none of its intermediate string churn.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.shingleHashes(text, n)
 
   /** Exact dedup by content fingerprint: one row per distinct text,
     * keeping the smallest doc_id (deterministic winner).
@@ -134,8 +145,8 @@ object Dedup {
     // to storage anyway.
     val signed = docs.select(
       col(idCol).as("doc_id"),
-      minhashSignature(shingles(col(textCol), shingleLen), numHashes)
-        .as("sig"))
+      graft.functions.GraftFunctions.minhashSignature(
+        shingleHashes(col(textCol), shingleLen), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     minhashCandidates(signed, bands, r, maxBucket)
@@ -176,14 +187,18 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
-    // (doc_id, shingle set) feeds both signature and verification;
-    // persist so the text is shingled once.
+    // (doc_id, shingle-hash set) feeds both signature and verification;
+    // persist so the text is shingled once. Verification intersects
+    // hash sets — equal to the string-set intersection up to 64-bit
+    // collisions (P ≈ n²·2⁻⁶⁴).
     val sh = docs.select(
       col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleLen).as("sh"))
+      shingleHashes(col(textCol), shingleLen).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val signed = sh.select(
-      col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      col("doc_id"),
+      graft.functions.GraftFunctions.minhashSignature(col("sh"), numHashes)
+        .as("sig"))
 
     minhashCandidates(signed, bands, r, maxBucket)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -215,19 +230,17 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    // the shingle table feeds sizes + both self-join sides — persist so
-    // tokenization/shingling runs once
+    // the shingle-hash table feeds sizes + both self-join sides —
+    // persist so tokenization/shingling runs once. Joining on the
+    // 8-byte hash instead of the string is ~3× less shuffle payload; a
+    // cross-doc 64-bit collision (P ≈ n²·2⁻⁶⁴) is the same tolerance
+    // every hash-join engine accepts
     val sh = docs.select(
       col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleLen).as("sh"))
+      shingleHashes(col(textCol), shingleLen).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    // join on the 8-byte shingle hash, not the string: ~3× less shuffle
-    // payload; a cross-doc 64-bit collision (P ≈ n²·2⁻⁶⁴) is the same
-    // tolerance every hash-join engine accepts
-    val expl = sh.select(
-      col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val expl = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val common = expl.as("x").join(expl.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -258,7 +271,7 @@ object Dedup {
     */
   def simhash(text: Column, shingleLen: Int = 3): Column =
     graft.functions.GraftFunctions.simhash64(
-      transform(shingles(text, shingleLen), t => xxhash64(t)))
+      shingleHashes(text, shingleLen))
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ maxDist.
     * Candidate generation by banding the 64-bit hash into 8 × 8-bit

@@ -149,6 +149,96 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingle HASHES in one pass over the UTF-8
+  * bytes: tokenize on ASCII whitespace, hash every n-token window
+  * joined with single spaces, return the sorted distinct 64-bit
+  * hashes. Bit-compatible with the composed-HOF pipeline it replaces —
+  * each value equals `xxhash64(array_join(slice(tokens,i,n), ' '))`
+  * (Spark's XXH64, seed 42) — so MinHash signatures, LSH candidates
+  * and Jaccard counts are unchanged; only the ~|text|·n intermediate
+  * string materializations disappear.
+  *
+  * Documents with fewer than n tokens fall back to one whole-text
+  * shingle (tokens joined by single spaces), matching the HOF form.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "shingle length must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes requires string, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleHashes.eval(bytes, n))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val Seed = 42L // Spark's xxhash64 default seed
+
+  // Java-regex \s (ASCII): space, \t, \n, \x0B, \f, \r — the token
+  // boundary class of TextOps.tokens' "\\S+"
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def eval(bytes: Array[Byte], n: Int): Array[Long] = {
+    // tokenize: maximal non-whitespace runs as (start, end) offsets
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < bytes.length) {
+      if (!isSpace(bytes(i))) {
+        val s = i
+        while (i < bytes.length && !isSpace(bytes(i))) i += 1
+        starts.add(s); ends.add(i)
+      } else i += 1
+    }
+    val m = starts.size()
+    val scratch = new Array[Byte](bytes.length + 1)
+
+    def hashWindow(from: Int, count: Int): Long = {
+      var len = 0
+      var t = from
+      val until = from + count
+      while (t < until) {
+        if (t > from) { scratch(len) = ' '; len += 1 }
+        val s = starts.get(t); val e = ends.get(t)
+        System.arraycopy(bytes, s, scratch, len, e - s)
+        len += e - s
+        t += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed)
+    }
+
+    if (m < n) return Array(hashWindow(0, m)) // incl. empty text → hash("")
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var w = 0
+    while (w <= m - n) { set.add(hashWindow(w, n)); w += 1 }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+}
+
 /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
   * SIGMOD'03): hash every k-byte gram with a multiplicative rolling
   * hash, slide a w-gram window, keep each window's minimum; the
@@ -354,6 +444,9 @@ object GraftFunctions {
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     toColumn(Winnow(exprOf(text), k, w))
 
+  def shingleHashes(text: Column, n: Int): Column =
+    toColumn(ShingleHashes(exprOf(text), n))
+
   private def intArg(e: Expression): Int =
     e.eval(null) match {
       case i: Int  => i
@@ -367,6 +460,7 @@ object GraftFunctions {
     */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "shingle_hashes" -> (exprs => ShingleHashes(exprs.head, intArg(exprs(1)))),
     "minhash_signature" -> (exprs =>
       MinHashSignature(exprs.head, intArg(exprs(1)))),
     "vector_dot" -> (exprs => VectorDot(exprs.head, exprs(1))),

@@ -38,6 +38,30 @@ class DedupSpec extends SparkTestBase {
     assert(precision >= 0.8, s"minhash precision $precision < 0.8")
   }
 
+  test("ShingleHashes equals xxhash64 over the string shingles, doc by doc") {
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two"),        // shorter than n → whole-text shingle
+      (3L, ""),               // empty → hash of empty string
+      (4L, "  spaced\t\nout   tokens  here ")) // messy whitespace
+      .toDF("doc_id", "text")
+    val viaStrings = fixture.select(col("doc_id"),
+      sort_array(transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)))
+        .as("h")).as[(Long, Seq[Long])].collect().toMap
+    val native = fixture.select(col("doc_id"),
+      Dedup.shingleHashes(col("text"), 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == viaStrings)
+    // and on real corpus data
+    val a = docs.limit(50).select(col("doc_id"),
+      sort_array(transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)))
+        .as("h")).as[(Long, Seq[Long])].collect().toMap
+    val b = docs.limit(50).select(col("doc_id"),
+      Dedup.shingleHashes(col("text"), 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(a == b)
+  }
+
   test("MinHashSignature native expr matches the universal-hash math") {
     val hashes = Seq(12345L, -987654321L, 42L)
     val df = Seq(Tuple1(hashes)).toDF("hs")
