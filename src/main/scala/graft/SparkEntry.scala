@@ -437,6 +437,16 @@ object SparkEntry {
         t("embeddings")(s, d), "vec_id", "embedding", 64, 0.4)
     }),
 
+    // ---- multimodal frame sampling: 1 asset → N timestamped frames
+    //      (rows-only; cadence/determinism proven in MultimodalSpec) ----
+    "q_multimodal_frames" -> ((s, d) => {
+      graft.multimodal.Multimodal.sampleFrames(s,
+        graft.multimodal.Multimodal.assetsFromDocuments(
+          t("documents")(s, d).filter(col("doc_id") < 50)))
+        .toDF()
+        .select("asset_id", "frame_idx", "ts_ms")
+    }),
+
     // ---- multimodal: binary payload + partition-parallel features ----
     "q_multimodal_features" -> ((s, d) => {
       graft.multimodal.Multimodal.extractFeatures(s,
@@ -806,6 +816,18 @@ object SparkEntry {
                   (acc, x) -> acc + x))) AS cos
            FROM e a, e b WHERE a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(cos, 4) AS cos FROM s WHERE cos >= 0.4""",
+
+    // stub codec cadence is deterministic: duration = 10 ms/byte,
+    // frames every 1000 ms, min 1 → n_frames = max(1, bytes // 100)
+    "q_multimodal_frames" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+                      octet_length(CAST(text AS BLOB)) AS nb
+                    FROM documents WHERE doc_id < 50),
+         n AS (SELECT asset_id, greatest(1, nb // 100) AS nf FROM a),
+         f AS (SELECT asset_id, CAST(unnest(range(nf)) AS INT) AS frame_idx
+               FROM n)
+         SELECT asset_id, frame_idx,
+           frame_idx * CAST(1000 AS BIGINT) AS ts_ms FROM f""",
 
     "q_multimodal_features" ->
       """SELECT doc_id AS asset_id,

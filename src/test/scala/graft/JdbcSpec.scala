@@ -46,6 +46,19 @@ class JdbcSpec extends SparkTestBase {
     assert(got == Set((1, "a", 10.0), (2, "b", 20.0)))
   }
 
+  test("JdbcSource.read with range partitioning splits into parallel reads (S3 scale path)") {
+    val url = freshDb("part")
+    exec(url,
+      "CREATE TABLE t (id INT PRIMARY KEY, name VARCHAR(32), amt DOUBLE)",
+      "INSERT INTO t VALUES " +
+        (1 to 40).map(i => s"($i, 'n$i', $i.0)").mkString(", "))
+    val df = JdbcSource.read(spark, url, "t",
+      partitioning = Some(JdbcSource.RangePartitioning("id", 1L, 41L, 4)))
+    assert(df.rdd.getNumPartitions == 4, "4 range-predicated JDBC partitions")
+    assert(df.count() == 40, "partition predicates must not drop or duplicate rows")
+    assert(df.select("ID").as[Int].collect().sorted.toSeq == (1 to 40))
+  }
+
   test("HourlySyncJob.syncTable: warehouse becomes exactly the fresh extract (M1+M2+M3)") {
     val url = freshDb("sync")
     exec(url,
