@@ -360,6 +360,18 @@ object SparkEntry {
         bpeTokenCount(col("text")).as("n_bpe_tokens"))
     }),
 
+    // ---- corpus frequency analysis: top-k word trigrams (boilerplate
+    //      detection); aggregate shrinks before the top-k, which plans
+    //      as TakeOrderedAndProject ----
+    "q_top_ngrams" -> ((s, d) => {
+      t("documents")(s, d)
+        .select(explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("ngram").asc)
+        .limit(20)
+    }),
+
     // ---- winnowing fingerprint sets (rows-only; the shared-substring
     //      guarantee and determinism are proven in TextOpsSpec) ----
     "q_doc_winnow" -> ((s, d) => {
@@ -642,6 +654,19 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          EXCEPT
          SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0""",
+
+    // distinct-per-doc trigrams (matching shingles()' array_distinct),
+    // counted across docs
+    "q_top_ngrams" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]
+             ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) AS ngram FROM g)
+         SELECT ngram, count(*) AS n_docs FROM e
+         GROUP BY ngram ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
 
     "q_doc_bpe_tokens" ->
       """SELECT doc_id,
