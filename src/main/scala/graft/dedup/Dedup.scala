@@ -374,10 +374,13 @@ object Dedup {
     // skew guard BEFORE the join, sized on corpus-side buckets
     val big = b.groupBy(col("bucket")).count()
       .filter(col("count") > maxBucket).select(col("bucket"))
+    // no pair-level dedup needed: the b side occupies exactly ONE
+    // bucket and the a side's probe buckets are pairwise distinct, so
+    // each (id_a, id_b) pair joins at most once — unlike the
+    // multi-band MinHash candidates, which do require dropDuplicates
     a.join(broadcast(big), Seq("bucket"), "left_anti")
       .join(b.join(broadcast(big), Seq("bucket"), "left_anti"), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cos",
         Knn.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
