@@ -400,6 +400,15 @@ object SparkEntry {
       graft.dedup.Dedup.minhashLsh(t("documents")(s, d), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"))),
 
+    // ---- near-dup clustering: connected components over the verified
+    //      ≥0.8-Jaccard pairs; cluster_id = min reachable doc_id, the
+    //      canonical representative for corpus collapsing ----
+    "q_doc_neardup_clusters" -> ((s, d) => {
+      graft.dedup.Dedup.nearDupClusters(
+        graft.dedup.Dedup.minhashLshVerified(
+          t("documents")(s, d), "doc_id", "text").select("doc_a", "doc_b"))
+    }),
+
     // ---- SimHash near-dup pairs (rows-only; custom Catalyst expr) ----
     "q_simhash_pairs" -> ((s, d) =>
       graft.dedup.Dedup.simhashPairs(t("documents")(s, d), "doc_id", "text", 7)),
@@ -805,6 +814,33 @@ object SparkEntry {
          JOIN sz lb ON lb.doc_id = p.doc_b
          WHERE CAST(p.common AS DOUBLE)
              / CAST(la.n_sh + lb.n_sh - p.common AS DOUBLE) >= 0.8""",
+
+    // transitive closure over the same ≥0.8 exact-Jaccard pair
+    // derivation; cluster_id = min reachable doc_id
+    "q_doc_neardup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]
+             ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) s FROM g),
+         p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(sh) n_sh FROM g),
+         pp AS (SELECT p.doc_a, p.doc_b FROM p
+                JOIN sz la ON la.doc_id = p.doc_a
+                JOIN sz lb ON lb.doc_id = p.doc_b
+                WHERE CAST(p.common AS DOUBLE)
+                  / CAST(la.n_sh + lb.n_sh - p.common AS DOUBLE) >= 0.8),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pp
+                   UNION SELECT doc_b, doc_a FROM pp),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION SELECT a, a FROM edges
+           UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+         SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""",
 
     "q_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id,

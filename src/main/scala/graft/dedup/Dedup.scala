@@ -257,6 +257,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components by
+    * iterative min-label propagation — each document ends up labeled
+    * with the smallest doc id reachable through near-dup pairs, which
+    * is the canonical representative to keep when collapsing a corpus.
+    *
+    * Scale: the GraphFrames/Pregel shape without the dependency — per
+    * iteration one edge-label join + min-aggregate (all hash-partitioned
+    * on doc id), converging in O(component diameter) iterations;
+    * near-dup clusters are shallow (diameter ≲ 5) so the loop is short.
+    * `localCheckpoint` truncates the growing lineage each iteration
+    * (a durable `checkpoint` on a real cluster).
+    */
+  def nearDupClusters(
+      pairs: DataFrame, // (doc_a, doc_b), doc_a < doc_b
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("nmin") < col("cluster_id")).as("ch"))
+      val nextCp = next.localCheckpoint()
+      changed = nextCp.filter(col("ch")).count()
+      labels = nextCp.drop("ch")
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ---------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------

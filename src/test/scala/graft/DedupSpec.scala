@@ -85,6 +85,17 @@ class DedupSpec extends SparkTestBase {
     assert(got == truth)
   }
 
+  test("nearDupClusters: multi-hop chains collapse to the min id") {
+    // components: {1,2,3,4} as a chain (needs >1 propagation round),
+    // {10,11}, and 20–21–22 as a triangle-ish fan
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("simhashPairs catches most ground-truth near-dups") {
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
