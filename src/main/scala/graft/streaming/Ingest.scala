@@ -98,11 +98,13 @@ object Ingest {
     val orderCols = orderBy.map(col)
     val parts = math.max(1,
       batch.sparkSession.sessionState.conf.numShufflePartitions)
-    val ranged = batch.repartitionByRange(parts, orderCols: _*)
-    val withRn = ranged
+    // persisted: the count pass and the output pass must see the SAME
+    // range boundaries (repartitionByRange samples its input)
+    val withRn = batch.repartitionByRange(parts, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("_pid")).orderBy(orderCols: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition counts: #partitions rows — a scalar-sized collect
     val counts = withRn.groupBy(col("_pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

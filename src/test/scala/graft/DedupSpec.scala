@@ -85,6 +85,19 @@ class DedupSpec extends SparkTestBase {
     assert(got == truth)
   }
 
+  test("maxBucket skew guard drops degenerate buckets, keeps normal ones") {
+    // 6 identical docs → every band bucket has 6 members
+    val clones = (1L to 6L).map(i => (i, "the same boilerplate text repeated " +
+      "across many documents to form one degenerate lsh bucket"))
+    val df = clones.toDF("doc_id", "text")
+    val guarded = Dedup.minhashLsh(df, "doc_id", "text", maxBucket = 5)
+      .collect()
+    assert(guarded.isEmpty, "oversized buckets must be skipped entirely")
+    val unguarded = Dedup.minhashLsh(df, "doc_id", "text", maxBucket = 10000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(unguarded.size == 15, "all C(6,2) clone pairs emerge when the cap allows")
+  }
+
   test("nearDupClusters: multi-hop chains collapse to the min id") {
     // components: {1,2,3,4} as a chain (needs >1 propagation round),
     // {10,11}, and 20–21–22 as a triangle-ish fan
