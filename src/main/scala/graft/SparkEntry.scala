@@ -360,6 +360,10 @@ object SparkEntry {
         bpeTokenCount(col("text")).as("n_bpe_tokens"))
     }),
 
+    // ---- TF-IDF corpus weighting (two hash-aggs + broadcast scalar) ----
+    "q_doc_tfidf" -> ((s, d) =>
+      graft.text.TextOps.tfidf(t("documents")(s, d), "doc_id", "text")),
+
     // ---- corpus frequency analysis: top-k word trigrams (boilerplate
     //      detection); aggregate shrinks before the top-k, which plans
     //      as TakeOrderedAndProject ----
@@ -663,6 +667,17 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          EXCEPT
          SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0""",
+
+    "q_doc_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+         FROM tf JOIN df USING (term) CROSS JOIN n""",
 
     // distinct-per-doc trigrams (matching shingles()' array_distinct),
     // counted across docs

@@ -37,6 +37,27 @@ object TextOps {
   def digitCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
 
+  /** TF-IDF per (document, term): raw term frequency × ln(N/df), no
+    * smoothing. Classic corpus weighting for retrieval/quality
+    * pipelines; two hash aggregations (term-per-doc, doc-freq) plus a
+    * broadcast of the scalar corpus size — no driver-side collection.
+    */
+  def tfidf(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .select("doc_id", "term", "tf", "df", "tfidf")
+  }
+
   /** BPE-style token-count estimate: the GPT-2 pre-tokenizer pattern
     * (letter runs / digit runs / punctuation runs, each with an
     * optional leading space) restricted to the Java-regex ∩ RE2 common
