@@ -62,7 +62,11 @@ object Ingest {
 
   /** Parse the raw (topic, value, seq) stream into one entity's typed
     * rows, keeping the event kind (`add`/`sale`, `edit`, `remove`) and
-    * the replay order `seq`.
+    * the replay order `seq`. Corrupt payloads (PERMISSIVE `from_json`
+    * → every field null) are dropped rather than becoming null-keyed
+    * rows — the reference's consumer thread would crash on them
+    * (`json.loads`, kafka_consumer.py:16). The key alone can't be the
+    * filter: sale inserts legitimately arrive without a sale_id.
     */
   def parseEntity(raw: DataFrame, topics: Seq[String], schema: StructType): DataFrame =
     raw.filter(col("topic").isin(topics: _*))
@@ -70,6 +74,8 @@ object Ingest {
         element_at(split(col("topic"), "_"), -1).as("kind"),
         col("seq"),
         from_json(col("value"), schema).as("row"))
+      .filter(schema.fieldNames
+        .map(f => col(s"row.$f").isNotNull).reduce(_ || _))
       .select(col("kind"), col("seq"), col("row.*"))
 
   /** Ensure the raw event frame carries a `seq` replay-order column:

@@ -63,6 +63,17 @@ class IngestSpec extends SparkTestBase {
     assert(got.sortBy(_._1).map(_._2).toSeq == got.map(_._2).sorted.toSeq)
   }
 
+  test("parseEntity drops corrupt JSON instead of emitting null-keyed rows") {
+    val raw = Seq(
+      ("customers_add", """{"customer_id":1,"customer_name":"Ann","customer_location":"X"}""", 0L),
+      ("customers_add", """not json at all {{{""", 1L),
+      ("customers_add", "", 2L))
+      .toDF("topic", "value", "seq")
+    val got = Ingest.parseEntity(raw, Ingest.customerTopics, Ingest.customerSchema)
+      .select("customer_id").as[Int].collect().toSeq
+    assert(got == Seq(1), "only the well-formed event survives")
+  }
+
   test("toKafkaPayload roundtrips through parseEntity (producer↔consumer wire format)") {
     val products = Seq((11, "Milk", "desc", "Daily", 2.5, 7))
       .toDF("product_id", "product_name", "product_description",
