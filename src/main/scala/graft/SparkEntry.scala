@@ -225,6 +225,16 @@ object SparkEntry {
           col("user_id"), col("n_events"), col("sum_value"))
     }),
 
+    // ---- exact percentiles per group (distribution profiling) ----
+    "q_value_percentiles" -> ((s, d) => {
+      t("events")(s, d).na.drop(Seq("value"))
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9D)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99D)"), 6).as("p99"))
+    }),
+
     // ---- §2.5 extensions: rollup hierarchy totals, distinct-agg ----
     "q_rollup" -> ((s, d) => {
       t("lineitem")(s, d)
@@ -412,6 +422,12 @@ object SparkEntry {
         graft.dedup.Dedup.minhashLshVerified(
           t("documents")(s, d), "doc_id", "text").select("doc_a", "doc_b"))
     }),
+
+    // ---- the end-to-end dedup semantic: corpus minus every non-
+    //      canonical member of a ≥0.8-Jaccard near-dup cluster ----
+    "q_dedup_corpus" -> ((s, d) =>
+      graft.dedup.Dedup.dedupCorpus(t("documents")(s, d), "doc_id", "text")
+        .select("doc_id")),
 
     // ---- SimHash near-dup pairs (rows-only; custom Catalyst expr) ----
     "q_simhash_pairs" -> ((s, d) =>
@@ -647,6 +663,13 @@ object SparkEntry {
            count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sid""",
 
+    "q_value_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90,
+         round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events WHERE value IS NOT NULL GROUP BY event_type""",
+
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
          coalesce(l_linestatus, 'ALL') AS ls,
@@ -829,6 +852,36 @@ object SparkEntry {
          JOIN sz lb ON lb.doc_id = p.doc_b
          WHERE CAST(p.common AS DOUBLE)
              / CAST(la.n_sh + lb.n_sh - p.common AS DOUBLE) >= 0.8""",
+
+    // corpus minus non-canonical cluster members, over the same
+    // recursive transitive closure as q_doc_neardup_clusters
+    "q_dedup_corpus" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]
+             ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) s FROM g),
+         p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(sh) n_sh FROM g),
+         pp AS (SELECT p.doc_a, p.doc_b FROM p
+                JOIN sz la ON la.doc_id = p.doc_a
+                JOIN sz lb ON lb.doc_id = p.doc_b
+                WHERE CAST(p.common AS DOUBLE)
+                  / CAST(la.n_sh + lb.n_sh - p.common AS DOUBLE) >= 0.8),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pp
+                   UNION SELECT doc_b, doc_a FROM pp),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION SELECT a, a FROM edges
+           UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         SELECT d.doc_id FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM cl
+           WHERE cl.doc_id = d.doc_id AND cl.cluster_id <> cl.doc_id)""",
 
     // transitive closure over the same ≥0.8 exact-Jaccard pair
     // derivation; cluster_id = min reachable doc_id

@@ -299,6 +299,23 @@ object Dedup {
     labels
   }
 
+  /** Collapse a corpus to one canonical document per near-dup cluster:
+    * every cluster member except its minimum-id representative is
+    * dropped. The end-to-end dedup semantic — candidates from LSH,
+    * exact verification, clustering, then an anti-join that scales as
+    * a broadcast of the (small) removal set.
+    */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val clusters = nearDupClusters(
+      minhashLshVerified(docs, idCol, textCol).select("doc_a", "doc_b"))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------
