@@ -85,6 +85,19 @@ class DedupSpec extends SparkTestBase {
     assert(got == truth)
   }
 
+  test("dedupCorpus keeps one canonical doc per clone family") {
+    val family = "a fully duplicated document body long enough to shingle " +
+      "with plenty of overlapping trigrams in every copy of it"
+    val df = Seq(
+      (1L, family), (5L, family), (9L, family), // clone family → keep 1
+      (2L, "an unrelated document about completely different things entirely"),
+      (3L, "yet another distinct text with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
   test("maxBucket skew guard drops degenerate buckets, keeps normal ones") {
     // 6 identical docs → every band bucket has 6 members
     val clones = (1L to 6L).map(i => (i, "the same boilerplate text repeated " +
