@@ -2,18 +2,17 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
 
 /** 64-bit SimHash: majority vote per bit position over an array of
   * 64-bit token hashes. Native Catalyst expression — evaluated on
-  * `ArrayData` without deserializing to JVM collections, so it runs
-  * inside the executor's unsafe-row pipeline (CodegenFallback for the
-  * call itself; the surrounding projection still codegens).
+  * `ArrayData` without deserializing to JVM collections; doGenCode
+  * emits a call into the static evaluator so the surrounding
+  * projection stays one WholeStageCodegen span.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
@@ -27,8 +26,22 @@ case class SimHash64(child: Expression)
     }
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.eval(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.SimHash64$$.MODULE$$.eval($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def eval(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -49,11 +62,8 @@ case class SimHash64(child: Expression)
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
 }
 
 /** k-element MinHash signature over an `array<bigint>` of shingle
@@ -162,7 +172,7 @@ case class MinHashSignature(child: Expression, k: Int)
   * shingle (tokens joined by single spaces), matching the HOF form.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n > 0, "shingle length must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -184,6 +194,15 @@ case class ShingleHashes(child: Expression, n: Int)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       ShingleHashes.eval(bytes, n))
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ShingleHashes$$.MODULE$$.eval($s.getBytes(), $n));
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -251,7 +270,7 @@ object ShingleHashes {
   * bytes as a native expression; map-side, no shuffle.
   */
 case class Winnow(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0 && w > 0, "k and w must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -274,6 +293,16 @@ case class Winnow(child: Expression, k: Int, w: Int)
     val mins = Winnow.windowMins(hashes, w)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.Winnow$$.MODULE$$.windowMins(
+         |    graft.functions.Winnow$$.MODULE$$.gramHashes($s.getBytes(), $k), $w));
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Winnow =
     copy(child = newChild)
