@@ -21,7 +21,8 @@ object PlanAudit {
       if (args.nonEmpty) args.toSeq
       else Seq("q_membership_level", "q_point_lookup", "q_top5_sales",
         "q_derived_columns", "q_knn_bruteforce", "q_daily_load",
-        "q_sync_delete_antijoin", "q_doc_token_stats")
+        "q_sync_delete_antijoin", "q_doc_token_stats", "q_rollup",
+        "q_doc_tfidf", "q_events_sessions", "q_minhash_lsh")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

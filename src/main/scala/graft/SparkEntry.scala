@@ -374,6 +374,10 @@ object SparkEntry {
     "q_doc_tfidf" -> ((s, d) =>
       graft.text.TextOps.tfidf(t("documents")(s, d), "doc_id", "text")),
 
+    // ---- BM25 document-term scores (Lucene idf form) ----
+    "q_doc_bm25" -> ((s, d) =>
+      graft.text.TextOps.bm25(t("documents")(s, d), "doc_id", "text")),
+
     // ---- corpus frequency analysis: top-k word trigrams (boilerplate
     //      detection); aggregate shrinks before the top-k, which plans
     //      as TakeOrderedAndProject ----
@@ -701,6 +705,27 @@ object SparkEntry {
          SELECT tf.doc_id, tf.term, tf.tf, df.df,
            round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
+
+    "q_doc_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs,
+                   avg(coalesce(dl.dl, 0)) AS avgdl
+                 FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id)
+         SELECT tf.doc_id, tf.term, tf.tf,
+           round(
+             ln((tot.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / tot.avgdl))),
+             6) AS bm25
+         FROM tf
+         JOIN dl ON dl.doc_id = tf.doc_id
+         JOIN df ON df.term = tf.term
+         CROSS JOIN tot""",
 
     // distinct-per-doc trigrams (matching shingles()' array_distinct),
     // counted across docs

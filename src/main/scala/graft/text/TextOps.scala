@@ -58,6 +58,38 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "tfidf")
   }
 
+  /** BM25 per (document, term): the Robertson/Sparck-Jones ranking
+    * function — `idf⁺ · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf⁺ = ln((N−df+0.5)/(df+0.5) + 1)` (the Lucene non-negative
+    * form). Same two hash aggregations as [[tfidf]] plus a broadcast
+    * of the two corpus scalars (N, avgdl).
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = docs.select(col(idCol).as("doc_id"))
+      .join(dl, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        avg(coalesce(col("dl"), lit(0L))).as("avgdl"))
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") / col("avgdl")))
+    tf.join(dl, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("bm25", round(idf * norm, 6))
+      .select("doc_id", "term", "tf", "bm25")
+  }
+
   /** BPE-style token-count estimate: the GPT-2 pre-tokenizer pattern
     * (letter runs / digit runs / punctuation runs, each with an
     * optional leading space) restricted to the Java-regex ∩ RE2 common
