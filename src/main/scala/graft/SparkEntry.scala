@@ -390,6 +390,12 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- winnowing partial-overlap pairs (rows-only; the shared-
+    //      passage guarantee is proven in DedupSpec) ----
+    "q_doc_winnow_overlap" -> ((s, d) =>
+      graft.dedup.Dedup.winnowOverlapPairs(
+        t("documents")(s, d), "doc_id", "text")),
+
     // ---- winnowing fingerprint sets (rows-only; the shared-substring
     //      guarantee and determinism are proven in TextOpsSpec) ----
     "q_doc_winnow" -> ((s, d) => {

@@ -369,6 +369,44 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // Winnowing partial-overlap detection
+  // ---------------------------------------------------------------
+
+  /** Partial-overlap candidate pairs via winnowing fingerprints
+    * ([[graft.functions.Winnow]]): documents sharing ≥ `minShared`
+    * selected fingerprints. Where n-gram Jaccard measures whole-
+    * document similarity, this catches documents EMBEDDING a common
+    * passage (quotes, boilerplate, plagiarism): any shared byte run of
+    * length ≥ w+k−1 is guaranteed to contribute a shared fingerprint.
+    *
+    * Scale: fingerprints sample ~2/(w+1) of gram positions, so the
+    * exploded self-join is over a set sub-linear in document length;
+    * the same groupBy-count + broadcast skew guard as LSH banding
+    * caps ubiquitous-fingerprint buckets.
+    */
+  def winnowOverlapPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucket: Int = 10000): DataFrame = {
+    val fp = docs.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.GraftFunctions.winnow(col(textCol), k, w))
+        .as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = dropOversizedBuckets(fp, "fp", maxBucket)
+    ok.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(ok.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
+
+  // ---------------------------------------------------------------
   // Embedding near-dup
   // ---------------------------------------------------------------
 

@@ -85,6 +85,21 @@ class DedupSpec extends SparkTestBase {
     assert(got == truth)
   }
 
+  test("winnowOverlapPairs finds docs embedding a common passage") {
+    val passage = "this exact quoted passage appears verbatim inside two " +
+      "otherwise unrelated documents and is long enough to winnow"
+    val df = Seq(
+      (1L, s"first document preamble text. $passage then a unique ending one"),
+      (2L, s"a wholly different opening here. $passage and another close two"),
+      (3L, "no shared passage in this one at all, fully distinct content"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowOverlapPairs(df, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), "docs sharing the passage must pair")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      "the distinct doc must not pair with anything")
+  }
+
   test("dedupCorpus keeps one canonical doc per clone family") {
     val family = "a fully duplicated document body long enough to shingle " +
       "with plenty of overlapping trigrams in every copy of it"
