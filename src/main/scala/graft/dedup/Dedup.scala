@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.text.TextOps
 
-/** Document deduplication operators: exact, MinHash+LSH, SimHash, and
-  * exact n-gram Jaccard.
+/** Document deduplication operators: exact, MinHash+LSH (estimate and
+  * exactly-verified forms), SimHash, exact n-gram Jaccard, winnowing
+  * partial-overlap, embedding-cosine near-dup (exact + LSH-bucketed),
+  * near-dup clustering, and whole-corpus collapse.
   *
   * Scale design (100 TB corpus):
   *  - exact dedup: one hash-shuffle on the 16-byte fingerprint, never
@@ -379,18 +381,22 @@ object Dedup {
     * passage (quotes, boilerplate, plagiarism): any shared byte run of
     * length ≥ w+k−1 is guaranteed to contribute a shared fingerprint.
     *
-    * Scale: fingerprints sample ~2/(w+1) of gram positions, so the
-    * exploded self-join is over a set sub-linear in document length;
-    * the same groupBy-count + broadcast skew guard as LSH banding
-    * caps ubiquitous-fingerprint buckets.
+    * Scale: fingerprints sample ~2/(w+1) of gram positions — with the
+    * default k=25/w=50 that is ~4% of a document's bytes (the
+    * SIGMOD'03 deployment range), so the exploded self-join is over a
+    * small sketch, not the text; the same groupBy-count + broadcast
+    * skew guard as LSH banding caps ubiquitous-fingerprint buckets.
+    * The guarantee makes `minShared = 1` sound: any shared run of
+    * ≥ w+k−1 (=74) bytes selects at least one identical fingerprint
+    * in both documents (both see the same window, pick the same min).
     */
   def winnowOverlapPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8,
-      w: Int = 4,
-      minShared: Int = 2,
+      k: Int = 25,
+      w: Int = 50,
+      minShared: Int = 1,
       maxBucket: Int = 10000): DataFrame = {
     val fp = docs.select(
       col(idCol).as("doc_id"),
