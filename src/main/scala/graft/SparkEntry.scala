@@ -405,7 +405,10 @@ object SparkEntry {
         size(winnowFingerprints(col("text"))).as("n_fingerprints"))
     }),
 
-    // ---- exact n-gram Jaccard near-dup pairs (oracle for MinHash) ----
+    // ---- exact n-gram Jaccard near-dup pairs (oracle for MinHash).
+    //      ngramJaccardPairsPrefix is the proven-identical PPJoin form
+    //      for corpora with hot boilerplate shingles; on this corpus
+    //      the direct join is faster, so it benches here ----
     "q_ngram_jaccard_pairs" -> ((s, d) =>
       graft.dedup.Dedup.ngramJaccardPairs(
         t("documents")(s, d), "doc_id", "text", 3, 0.8)),

@@ -223,8 +223,9 @@ object Dedup {
     * j = common / (|A|+|B|−common). Integer counts divide to bitwise-
     * identical doubles on any engine, so this is the cross-engine-
     * checkable ground truth for the MinHash path. All-pairs on shared
-    * shingles — quadratic in bucket size, so at scale this runs only
-    * on LSH candidates.
+    * shingles — quadratic in hot-shingle bucket size; at corpus scale
+    * use [[ngramJaccardPairsPrefix]] (identical output, prefix-
+    * filtered) or run this only on LSH candidates.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -368,6 +369,61 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin,
+    * Bayardo WWW'07): provably the same output as [[ngramJaccardPairs]]
+    * without the all-pairs shared-token join.
+    *
+    * With shingles canonically ordered rarest-first (global document
+    * frequency, then hash), a pair at Jaccard ≥ t must share a shingle
+    * within the first |x| − ⌈t·|x|⌉ + 1 elements of BOTH sides — so
+    * only the short prefixes are exploded and self-joined, and hot
+    * boilerplate shingles (the quadratic blowup in the naive join)
+    * sit at the end of the ordering where they are never joined on.
+    * Candidates then verify with one exact set intersection.
+    *
+    * The ⌈t·n⌉ uses an epsilon guard: double rounding may only ever
+    * LENGTHEN the prefix (more candidates), never shorten it (missed
+    * pairs).
+    */
+  def ngramJaccardPairsPrefix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), shingleLen).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expl = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val freq = expl.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // canonical rarest-first order; (df, s) sorts deterministically
+    val ordered = expl.join(freq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("fs"))
+      .select(col("doc_id"),
+        transform(col("fs"), f => f.getField("s")).as("osh"))
+    val prefLen = greatest(lit(1),
+      size(col("osh")) -
+        ceil(size(col("osh")) * lit(threshold) - lit(1e-9)).cast("int") + 1)
+    val pref = ordered.select(col("doc_id"),
+      explode(slice(col("osh"), lit(1), prefLen)).as("s"))
+    val cand = pref.select(col("s"), col("doc_id").as("doc_a"))
+      .join(pref.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ---------------------------------------------------------------

@@ -85,6 +85,21 @@ class DedupSpec extends SparkTestBase {
     assert(got == truth)
   }
 
+  test("prefix-filtered Jaccard equals the naive all-pairs result exactly") {
+    val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(naive.nonEmpty)
+    assert(prefix == naive)
+    // and at a lower threshold, where prefixes are longer
+    val naive5 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix5 = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefix5 == naive5)
+  }
+
   test("winnowOverlapPairs finds docs embedding a common passage") {
     val passage = "this exact quoted passage appears verbatim inside two " +
       "otherwise unrelated documents and is long enough to winnow"
