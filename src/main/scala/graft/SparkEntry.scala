@@ -188,6 +188,29 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- deep multi-way join (TPC-H Q5 shape): region → nation →
+    //      customer → orders → lineitem → supplier with the local-
+    //      supplier condition; dimensions broadcast, facts shuffle
+    //      once on their join keys. Per-row decimal rounding keeps the
+    //      revenue sum bit-stable across engines ----
+    "q5_local_supplier_volume" -> ((s, d) => {
+      val rev = round(
+        col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")),
+        2)
+      t("region")(s, d).filter(col("r_name") === "ASIA")
+        .join(t("nation")(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(t("customer")(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(t("orders")(s, d), col("o_custkey") === col("c_custkey"))
+        .join(t("lineitem")(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(t("supplier")(s, d),
+          col("s_suppkey") === col("l_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(rev), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // ---- window functions (§2.8 extension): rank within customer ----
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -644,6 +667,20 @@ object SparkEntry {
     "q_order_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 490000.0 ORDER BY o_orderkey""",
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+         round(sum(round(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)), 2) AS revenue,
+         count(*) AS n_items
+         FROM region
+         JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
 
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
