@@ -207,7 +207,7 @@ object SparkEntry {
           col("s_suppkey") === col("l_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(rev), 2).as("revenue"),
+        .agg(round(sum(rev), 2).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -670,8 +670,8 @@ object SparkEntry {
 
     "q5_local_supplier_volume" ->
       """SELECT n_name,
-         round(sum(round(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)), 2) AS revenue,
+         CAST(round(sum(round(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)), 2) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM region
          JOIN nation ON n_regionkey = r_regionkey
