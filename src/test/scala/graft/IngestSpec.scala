@@ -269,4 +269,139 @@ class IngestSpec extends SparkTestBase {
       .select("product_id", "product_name").as[(Int, String)].collect().toSet
     assert(p1 == Set(11 -> "Milk"), "edit on a missing product key must be a no-op")
   }
+
+  private def sale(date: String, cust: Int, prod: Int, qty: Int, price: Double) =
+    s"""{"sale_date":"$date","customer_id":$cust,"product_id":$prod,""" +
+      s""""quantity":$qty,"price":$price,"total_price":${qty * price},""" +
+      s""""payment_method":"Cash"}"""
+
+  /** (relative path, size, md5) of every data file under a dir tree. */
+  private def fileSignatures(root: java.nio.file.Path): Map[String, (Long, String)] = {
+    import scala.jdk.CollectionConverters._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        root.relativize(p).toString ->
+          (bytes.length.toLong, md.digest(bytes).map("%02x".format(_)).mkString)
+      }.toMap
+    finally walk.close()
+  }
+
+  test("partition-scoped ingest: untouched day partitions are carried by " +
+    "reference — files byte-identical, write volume O(|batch|)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-partscope")
+    val store = new TableStore(s"$dir/store")
+
+    // batch 1: 40 sales across two days
+    val b1 = (0 until 40).map { i =>
+      val day = if (i % 2 == 0) "2025-01-01" else "2025-01-02"
+      ("transactions_sale", sale(s"$day 10:00:0${i % 10}", i, 100 + i, 1, 2.0), i.toLong)
+    }.toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b1, store)
+    assert(store.currentVersion("sales").contains(1L))
+    val v1 = java.nio.file.Paths.get(s"$dir/store/sales/v=1")
+    val before = fileSignatures(v1)
+    assert(before.keys.exists(_.startsWith("sale_day=2025-01-01")) &&
+      before.keys.exists(_.startsWith("sale_day=2025-01-02")))
+
+    // batch 2 touches ONLY 2025-01-02 (one new sale + one edit there)
+    val b2 = Seq(
+      ("transactions_sale", sale("2025-01-02 12:00:00", 99, 199, 3, 4.0), 0L),
+      ("transactions_edit",
+        """{"sale_id":2,"sale_date":"2025-01-02 10:00:01","customer_id":1,""" +
+          """"product_id":101,"quantity":7,"price":2.0,"total_price":14.0,""" +
+          """"payment_method":"Card"}""", 1L))
+      .toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b2, store)
+
+    // v=1 files (incl. the untouched 2025-01-01 partition) are untouched
+    assert(fileSignatures(v1) == before,
+      "no file under the previous version may be rewritten")
+    // the new version physically contains ONLY the touched partition
+    val v2 = java.nio.file.Paths.get(s"$dir/store/sales/v=2")
+    val written = fileSignatures(v2)
+    assert(written.nonEmpty && written.keys.forall(_.startsWith("sale_day=2025-01-02")),
+      s"batch 2 must write only sale_day=2025-01-02, got: ${written.keys}")
+    // O(|batch|): day-01 bytes were NOT rewritten into v=2
+    val day1Bytes = before.collect {
+      case (p, (sz, _)) if p.startsWith("sale_day=2025-01-01") => sz
+    }.sum
+    assert(day1Bytes > 0 && written.values.map(_._1).sum < before.values.map(_._1).sum + day1Bytes)
+
+    // and the snapshot still reads correctly across both versions
+    val got = store.read(spark, "sales", Ingest.saleStoreSchema)
+    assert(got.count() == 41)
+    assert(got.filter(col("sale_id") === 2).select("quantity", "payment_method")
+      .as[(Int, String)].head() == ((7, "Card")))
+    // day-01 rows come from v=1 by reference
+    assert(got.filter(col("sale_day") === "2025-01-01").count() == 20)
+  }
+
+  test("partition-scoped ingest: an edit moving a product across categories " +
+    "rewrites exactly the two affected partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-catmove")
+    val store = new TableStore(s"$dir/store")
+    def prod(id: Int, name: String, cat: String) =
+      s"""{"product_id":$id,"product_name":"$name","product_description":"d",""" +
+        s""""product_category":"$cat","product_price":1.0,"stock_level":5}"""
+    val b1 = Seq(
+      ("products_add", prod(11, "Milk", "Daily"), 0L),
+      ("products_add", prod(21, "Beef", "Meat"), 1L),
+      ("products_add", prod(41, "Kale", "Vegetable & Fruit"), 2L))
+      .toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b1, store)
+    val v1 = java.nio.file.Paths.get(s"$dir/store/products/v=1")
+    val before = fileSignatures(v1)
+
+    // move Beef: Meat → Daily; Vegetable & Fruit untouched
+    val b2 = Seq(("products_edit", prod(21, "Beef", "Daily"), 0L))
+      .toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b2, store)
+    assert(fileSignatures(v1) == before)
+    val v2 = java.nio.file.Paths.get(s"$dir/store/products/v=2")
+    val cats = fileSignatures(v2).keys.map(_.split('/').head).toSet
+    assert(cats == Set("product_category=Daily"),
+      s"only Daily is rewritten (Meat empties out of the snapshot): $cats")
+    val got = store.read(spark, "products", Ingest.productSchema)
+      .select("product_id", "product_category").as[(Int, String)].collect().toSet
+    assert(got == Set(11 -> "Daily", 21 -> "Daily", 41 -> "Vegetable & Fruit"))
+    // the emptied Meat partition is gone from the snapshot
+    assert(store.read(spark, "products", Ingest.productSchema)
+      .filter(col("product_category") === "Meat").isEmpty)
+  }
+
+  test("TableStore.compact consolidates a spread snapshot into one version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+    val store = new TableStore(s"$dir/store")
+    // three incremental writes → live data spread over 3 versions
+    for ((day, i) <- Seq("2025-01-01", "2025-01-02", "2025-01-03").zipWithIndex) {
+      val b = Seq(("transactions_sale", sale(s"$day 09:00:00", i, 100 + i, 1, 2.0), 0L))
+        .toDF("topic", "value", "seq")
+      Ingest.applyMicroBatch(spark, b, store)
+    }
+    assert(store.liveVersionCount("sales") == 3)
+    store.compact(spark, "sales", Ingest.saleStoreSchema, Seq(Ingest.saleDayCol))
+    assert(store.liveVersionCount("sales") == 1)
+    val got = store.read(spark, "sales", Ingest.saleStoreSchema)
+    assert(got.count() == 3 &&
+      got.select("sale_day").distinct().count() == 3)
+  }
+
+  test("assignSaleIds stays flat at production partition counts (2000)") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2000")
+    try {
+      val batch = spark.range(500)
+        .select(col("id").as("k"), lit("x").as("payload"))
+      val (got, release) = Ingest.assignSaleIdsManaged(batch, 0L, Seq("k"))
+      try {
+        val ids = got.select("sale_id").as[Long].collect().sorted
+        assert(ids.toSeq == (1L to 500L))
+      } finally release()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
