@@ -391,6 +391,81 @@ class IngestSpec extends SparkTestBase {
       got.select("sale_day").distinct().count() == 3)
   }
 
+  test("RocksDB state store: first-seen dedup state survives a checkpointed restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-rocks").toString
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StreamDedup.useRocksDBStateStore(spark)
+    try {
+      val ms = MemoryStream[(String, Int)]
+      val emitted = collection.mutable.ArrayBuffer.empty[(String, Int)]
+      def start() = StreamDedup.firstSeen[String, (String, Int)](
+        spark, ms.toDS(), _._1)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Int)], _: Long) =>
+          val rows = b.collect()
+          emitted.synchronized { emitted ++= rows }
+          ()
+        }
+        .start()
+
+      val q1 = start()
+      ms.addData(("a", 1), ("b", 2))
+      q1.processAllAvailable()
+      val p1 = q1.lastProgress.stateOperators.apply(0)
+      assert(p1.customMetrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"state must run on the RocksDB provider: ${p1.customMetrics.keySet}")
+      q1.stop()
+
+      // restart from the SAME checkpoint: "a" must still be known
+      ms.addData(("a", 3), ("c", 4))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = emitted.synchronized(emitted.toSet)
+      assert(got == Set("a" -> 1, "b" -> 2, "c" -> 4),
+        s"duplicate of 'a' after restart must be suppressed by restored state: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("firstSeenExpiring: keys re-emit after their event-time TTL passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = StreamDedup.firstSeenExpiring[String, (String, java.sql.Timestamp)](
+      spark, ms.toDS().toDF("k", "ts").as[(String, java.sql.Timestamp)],
+      _._1, _._2, "ts", "0 seconds", java.time.Duration.ofHours(1))
+    val q = deduped.writeStream.format("memory").queryName("fse")
+      .outputMode("append").start()
+    try {
+      ms.addData(("a", ts("2025-01-01 10:00:00")))
+      q.processAllAvailable() // a expires at 11:00
+      ms.addData(("a", ts("2025-01-01 10:30:00"))) // dup within horizon
+      q.processAllAvailable() // sighting slides a's expiry to 11:30
+      ms.addData(("x", ts("2025-01-01 13:00:00")))
+      q.processAllAvailable() // watermark → 13:00, past a's 11:30 expiry
+      ms.addData(("y", ts("2025-01-01 13:05:00")))
+      q.processAllAvailable() // a silent this batch → its timeout fires
+      ms.addData(("a", ts("2025-01-01 13:10:00"))) // beyond TTL → re-emits
+      q.processAllAvailable()
+      val got = spark.table("fse").as[(String, java.sql.Timestamp)].collect().toSeq
+      assert(got.count(_._1 == "a") == 2,
+        s"'a' emits once per horizon: first sighting + post-expiry re-sighting: $got")
+      assert(got.count(_._1 == "x") == 1 && got.count(_._1 == "y") == 1)
+    } finally q.stop()
+  }
+
   test("assignSaleIds stays flat at production partition counts (2000)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2000")
