@@ -63,6 +63,40 @@ class HourlySyncJob(
       .sync(snapshot, fresh)
   }
 
+  /** The whole hourly run — the reference's `all_update_data`
+    * (`POS_spark_dag.py:417–421`) composed behind one entry point:
+    * transactions, then products, then enriched customers, in that
+    * order. Ordering is semantic, not incidental: the customer
+    * enrichment reads the **warehouse** sales table
+    * (`POS_spark_dag.py:365`, `:396`), so it must observe the
+    * transactions sync that just ran. Tier thresholds and aggregation
+    * columns default to the reference's (`POS_spark_dag.py:374–383`:
+    * sum of total_price, buckets at 100/500/2000; frequency counts
+    * sale_id, `:405–406`).
+    */
+  def runAll(
+      spark: SparkSession,
+      freshSales: DataFrame,
+      freshProducts: DataFrame,
+      freshCustomers: DataFrame,
+      salesTable: String = "sales",
+      productsTable: String = "products",
+      customersTable: String = "customers",
+      saleKey: String = "sale_id",
+      productKey: String = "product_id",
+      custKey: String = "customer_id",
+      amount: Column = org.apache.spark.sql.functions.col("total_price"),
+      countCol: String = "sale_id",
+      bronzeBelow: Double = 100,
+      silverBelow: Double = 500,
+      goldBelow: Double = 2000): Unit = {
+    syncTable(spark, salesTable, saleKey, freshSales)
+    syncTable(spark, productsTable, productKey, freshProducts)
+    val warehouseSales = JdbcSource.read(spark, url, salesTable, readProps)
+    syncEnrichedCustomers(spark, customersTable, custKey, freshCustomers,
+      warehouseSales, amount, countCol, bronzeBelow, silverBelow, goldBelow)
+  }
+
   /** The customers variant (`POS_spark_dag.py:281–362`): fresh customer
     * rows are first enriched with membership tier and purchase
     * frequency from the sales fact — ONE pass computing sum+count fused

@@ -90,6 +90,57 @@ class JdbcSpec extends SparkTestBase {
     assert(got == Set((1, "a1", 11.0), (3, "b1", 30.0)))
   }
 
+  test("HourlySyncJob.runAll: one entry point drives all three syncs in " +
+    "order (all_update_data, POS_spark_dag.py:417-421)") {
+    val url = freshDb("runall")
+    exec(url,
+      "CREATE TABLE sales (sale_id INT PRIMARY KEY, customer_id INT, total_price DOUBLE)",
+      "INSERT INTO sales VALUES (1, 10, 50.0), (9, 11, 999.0)", // 9 is stale
+      "CREATE TABLE products (product_id INT PRIMARY KEY, product_name VARCHAR(32))",
+      "INSERT INTO products VALUES (21, 'Old')",
+      "CREATE TABLE customers (customer_id INT PRIMARY KEY, customer_name VARCHAR(32), " +
+        "sum_purchase DOUBLE, purchase_frequency BIGINT, membership_level VARCHAR(16))")
+    val freshSales = Seq((1, 10, 50.0), (2, 10, 120.0), (3, 12, 600.0))
+      .toDF("sale_id", "customer_id", "total_price")
+    val freshProducts = Seq((21, "Milk"), (22, "Beef"))
+      .toDF("product_id", "product_name")
+    val freshCustomers = Seq((10, "Ann"), (12, "Cee"), (13, "Didi"))
+      .toDF("customer_id", "customer_name")
+
+    new HourlySyncJob(url, dialect = DeleteInsertUpsertDialect)
+      .runAll(spark, freshSales, freshProducts, freshCustomers)
+
+    // sales: stale 9 deleted, 2 and 3 added
+    assert(queryPairs(url, "SELECT sale_id, 'x', total_price FROM sales")
+      .map(r => (r._1, r._3)) == Set(1 -> 50.0, 2 -> 120.0, 3 -> 600.0))
+    // products: 21 updated, 22 added
+    val prods = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("SELECT product_id, product_name FROM products")
+        val buf = scala.collection.mutable.Set[(Int, String)]()
+        while (rs.next()) buf += ((rs.getInt(1), rs.getString(2)))
+        buf.toSet
+      } finally c.close()
+    }
+    assert(prods == Set(21 -> "Milk", 22 -> "Beef"))
+    // customers: enrichment must see the sales state AFTER the
+    // transactions sync — Ann 170 (Silver, 2 buys), Cee 600 (Gold, 1),
+    // Didi never purchased (Bronze, 0)
+    val custs = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT customer_id, membership_level, purchase_frequency FROM customers")
+        val buf = scala.collection.mutable.Set[(Int, String, Long)]()
+        while (rs.next()) buf += ((rs.getInt(1), rs.getString(2), rs.getLong(3)))
+        buf.toSet
+      } finally c.close()
+    }
+    assert(custs == Set((10, "Silver", 2L), (12, "Gold", 1L), (13, "Bronze", 0L)))
+  }
+
   test("JdbcUpsertSink.upsert is idempotent (retry-safe)") {
     val url = freshDb("idem")
     exec(url,
