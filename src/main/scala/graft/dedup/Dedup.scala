@@ -22,6 +22,15 @@ import graft.text.TextOps
   *  - exact Jaccard is reserved for candidate verification, never run
   *    all-pairs at scale (the all-pairs form exists for small inputs
   *    and as the correctness oracle for the approximate paths).
+  *
+  * ==Cache lifecycle contract==
+  * The pair/signature pipelines persist small intermediate frames
+  * (signature tables, fingerprint sets) that the RETURNED plan
+  * references more than once — unpersisting inside the builder would
+  * recompute them per reference. The entries release when the caller
+  * drops the result, or eagerly via `spark.catalog.clearCache()`
+  * between unrelated pipelines (what Verify/Bench do between queries).
+  * Long-lived sessions embedding these operators should do the same.
   */
 object Dedup {
 

@@ -470,7 +470,14 @@ object GraftFunctions {
   def vectorDot(a: Column, b: Column): Column =
     toColumn(VectorDot(exprOf(a), exprOf(b)))
 
-  def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
+  /** Defaults are the SIGMOD'03 deployment range (k=25 noise
+    * threshold, w=50 guarantee window ⇒ any shared run of ≥74 chars is
+    * caught at ~4% sketch density) — the same parameters
+    * [[graft.dedup.Dedup.winnowOverlapPairs]] standardizes on. Smaller
+    * toy values (k=5/w=4) are for unit-testing the algorithm, not for
+    * corpus work: they fingerprint ~33% of positions.
+    */
+  def winnow(text: Column, k: Int = 25, w: Int = 50): Column =
     toColumn(Winnow(exprOf(text), k, w))
 
   def shingleHashes(text: Column, n: Int): Column =

@@ -151,7 +151,7 @@ object TextOps {
     * partial-overlap / plagiarism-style near-dup detection, where the
     * whole-document [[fingerprint]] only catches exact copies.
     */
-  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+  def winnowFingerprints(text: Column, k: Int = 25, w: Int = 50): Column =
     graft.functions.GraftFunctions.winnow(text, k, w)
 
   /** 64-bit rolling-hash-style fingerprint via xxhash64 (engine-local;
