@@ -290,21 +290,17 @@ object SparkEntry {
     }),
 
     // ---- S1/S8 CSV scan with explicit schema over a multi-file dir:
-    //      the query exports nation to CSV part-files once, then reads
-    //      them back typed — proving the reference's ingest format is
-    //      readable without inferSchema ----
+    //      nation exported once as a CSV fixture (Tables.csvFixture —
+    //      never re-written inside the query body), read back typed —
+    //      proving the reference's ingest format is readable without
+    //      inferSchema ----
     "q_csv_scan" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${math.abs(d.hashCode)}/nation"
-      val cols = Seq("n_nationkey", "n_name", "n_regionkey")
-      t("nation")(s, d).select(cols.map(col): _*)
-        .repartition(2) // ≥2 part files ⇒ the read is a real union scan
-        .write.mode("overwrite").option("header", "true").csv(out)
       val schema = StructType(Seq(
         StructField("n_nationkey", IntegerType),
         StructField("n_name", StringType),
         StructField("n_regionkey", IntegerType)))
-      Tables.loadCsv(s, out, schema)
+      Tables.loadCsv(s, Tables.csvFixture(s, d), schema)
     }),
 
     // ---- P3 timestamp parse: to_timestamp(str, fmt), the one scalar
