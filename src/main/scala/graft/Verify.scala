@@ -24,6 +24,13 @@ object Verify {
       // some queries persist signature tables; keep runs independent
       spark.catalog.clearCache()
     }
+    // hard signal for the approximate queries: recall/precision vs
+    // exact ground truth with asserted floors (see graft.Recall)
+    try Recall.write(spark, sfDir, s"$outDir/recall.json")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] recall failed: ${e.getMessage}")
+    }
+    spark.catalog.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

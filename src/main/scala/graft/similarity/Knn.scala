@@ -79,34 +79,50 @@ object Knn {
     bitCols.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN with Hamming-1 multiprobe: each query probes its
-    * own bucket plus every bucket one signature-bit away (bits+1 probes
-    * covering ~(bits+1)/2^bits of the corpus), then exact-reranks the
-    * candidates. Recall < 1 by construction — the recall/cost dial is
-    * (bits, probe radius); measured against [[bruteForceKnn]] in tests.
+  /** LSH-bucketed ANN, OR-amplified: `tables` independent hyperplane
+    * signatures (distinct seeds), each probed at its own bucket plus
+    * every bucket one signature-bit away (Hamming-1 multiprobe), then
+    * exact-reranking of the unioned candidates. A neighbor is found if
+    * ANY table collides — recall ≈ 1−(1−p)^L for per-table collision
+    * probability p — which is what makes moderate-similarity neighbors
+    * reachable; a single table's p^bits is hopeless for them (recall
+    * 0.2 measured on sf0.01 ground truth before amplification).
+    * Candidate fraction is ~tables·(bits+1)/2^bits of the corpus — the
+    * recall/cost dials. Measured against [[bruteForceKnn]] in KnnSpec
+    * and in the RECALL.json artifact.
     */
   def lshKnn(
       queries: DataFrame,
       corpus: DataFrame,
       dim: Int,
       k: Int,
-      bits: Int = 6): DataFrame = {
-    val qSig = queries.select(
+      bits: Int = 6,
+      tables: Int = 8): DataFrame = {
+    def tableSig(v: Column, t: Int): Column =
+      hyperplaneSignature(v, dim, bits, seed = 7L + t)
+    // bucket key = table id in the high bits, signature in the low
+    def tagged(sig: Column, t: Int): Column = sig + lit(t.toLong << bits)
+    val qBase = queries.select(
       col("query_id"),
       col("vector").cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("sig", hyperplaneSignature(col("qv"), dim, bits))
-    // multiprobe: the signature itself plus each 1-bit flip
-    val probes = array(col("sig") +:
-      (0 until bits).map(i => col("sig").bitwiseXOR(lit(1L << i))): _*)
-    val q = broadcast(qSig.select(
-      col("query_id"), col("qv"), col("qn"), explode(probes).as("sig")))
+    val qProbes = array((0 until tables).flatMap { t =>
+      val sig = tableSig(col("qv"), t)
+      tagged(sig, t) +:
+        (0 until bits).map(i => tagged(sig.bitwiseXOR(lit(1L << i)), t))
+    }: _*)
+    val q = broadcast(qBase.select(
+      col("query_id"), col("qv"), col("qn"), explode(qProbes).as("bucket")))
+    val cBuckets = array((0 until tables).map(t =>
+      tagged(tableSig(col("cv"), t), t)): _*)
     val c = corpus.select(
       col("vec_id"), col("vector").cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .withColumn("sig", hyperplaneSignature(col("cv"), dim, bits))
-    val scored = c.join(q, Seq("sig"))
+      .withColumn("bucket", explode(cBuckets))
+    val scored = c.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
+      // a pair can collide in several tables — score each once
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("score",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("query_id"))
