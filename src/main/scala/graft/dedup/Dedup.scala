@@ -552,37 +552,54 @@ object Dedup {
       tables: Int = 8,
       maxBucket: Int = 100000): DataFrame = {
     import graft.similarity.Knn
-    def tagged(sig: Column, t: Int): Column = sig + lit(t.toLong << bits)
     val e = embeddings.select(
       col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Knn.norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = (0 until tables).map(t =>
-      Knn.hyperplaneSignature(col("v"), dim, bits, seed = 7L + t))
-    // a-side probes, per table, its own bucket plus each Hamming-1
-    // neighbor; b-side occupies one bucket per table
-    val aProbes = array(sigs.zipWithIndex.flatMap { case (sig, t) =>
-      tagged(sig, t) +:
-        (0 until bits).map(i => tagged(sig.bitwiseXOR(lit(1L << i)), t))
-    }: _*)
-    val bBuckets = array(sigs.zipWithIndex.map {
-      case (sig, t) => tagged(sig, t) }: _*)
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"),
-        col("nrm").as("n_a"), explode(aProbes).as("bucket"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"),
-        col("nrm").as("n_b"), explode(bBuckets).as("bucket"))
+    // All tables' signatures in ONE native-expression pass
+    // ([[graft.functions.HyperplaneSignatures]]), materialized once per
+    // row by the generator and persisted as a tiny table-tagged
+    // (id, bucket) frame — the hyperplane dot products run exactly once
+    // per vector inside codegen, and the bucket join works on bare
+    // 16-byte rows, never shipping vectors.
+    val sigArr = graft.functions.GraftFunctions
+      .hyperplaneSignatures(col("v"), dim, bits, tables)
+    val buckets = e
+      .select(col("vec_id"), posexplode(sigArr).as(Seq("tbl", "sig")))
+      .select(col("vec_id"),
+        (col("sig") + col("tbl").cast("long") * lit(1L << bits)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a-side probes = the tagged bucket plus each low-bit flip (the
+    // table tag lives above `bits`, so XOR stays inside the table);
+    // b-side occupies its own bucket per table
+    val probeArr = array(col("bucket") +:
+      (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
+    val aIds = buckets.select(col("vec_id").as("id_a"),
+      explode(probeArr).as("bucket"))
+    val bIds = buckets.select(col("vec_id").as("id_b"), col("bucket"))
     // skew guard BEFORE the join, sized on corpus-side buckets
-    val big = b.groupBy(col("bucket")).count()
+    val big = bIds.groupBy(col("bucket")).count()
       .filter(col("count") > maxBucket).select(col("bucket"))
-    a.join(broadcast(big), Seq("bucket"), "left_anti")
-      .join(b.join(broadcast(big), Seq("bucket"), "left_anti"), Seq("bucket"))
+    // Verify MAP-SIDE on the joined candidates (the vector attach joins
+    // broadcast/hash on id) and deduplicate multi-table collisions only
+    // AFTER the threshold filter: re-verifying a duplicate candidate is
+    // a few hundred codegen'd flops, while deduplicating the full
+    // candidate set first is a candidate-volume shuffle — the wrong
+    // side of the trade at every scale.
+    aIds.join(broadcast(big), Seq("bucket"), "left_anti")
+      .join(bIds.join(broadcast(big), Seq("bucket"), "left_anti"),
+        Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      // a pair can collide in several tables — verify each once
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")), Seq("id_b"))
       .withColumn("cos",
         Knn.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

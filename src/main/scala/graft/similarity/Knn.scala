@@ -98,31 +98,42 @@ object Knn {
       k: Int,
       bits: Int = 6,
       tables: Int = 8): DataFrame = {
-    def tableSig(v: Column, t: Int): Column =
-      hyperplaneSignature(v, dim, bits, seed = 7L + t)
-    // bucket key = table id in the high bits, signature in the low
-    def tagged(sig: Column, t: Int): Column = sig + lit(t.toLong << bits)
-    val qBase = queries.select(
+    // bucket key = table id in the high bits, signature in the low.
+    // All tables' signatures come from ONE native-expression pass
+    // ([[graft.functions.HyperplaneSignatures]]), materialized once per
+    // row by the generator; probes derive from the exploded long with
+    // bit ops — composing per-plane Column expressions instead
+    // overflows codegen into interpreted evaluation (10× slower
+    // measured, see embeddingNearDupLsh).
+    def sigArr(v: Column): Column = graft.functions.GraftFunctions
+      .hyperplaneSignatures(v, dim, bits, tables)
+    def tag: Column = col("tbl").cast("long") * lit(1L << bits)
+    val qBase = broadcast(queries.select(
       col("query_id"),
       col("vector").cast("array<double>").as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val qProbes = array((0 until tables).flatMap { t =>
-      val sig = tableSig(col("qv"), t)
-      tagged(sig, t) +:
-        (0 until bits).map(i => tagged(sig.bitwiseXOR(lit(1L << i)), t))
-    }: _*)
-    val q = broadcast(qBase.select(
-      col("query_id"), col("qv"), col("qn"), explode(qProbes).as("bucket")))
-    val cBuckets = array((0 until tables).map(t =>
-      tagged(tableSig(col("cv"), t), t)): _*)
-    val c = corpus.select(
+      .withColumn("qn", norm(col("qv"))))
+    val qProbes = array(col("sig") +:
+      (0 until bits).map(i => col("sig").bitwiseXOR(lit(1L << i))): _*)
+    val q = broadcast(qBase
+      .select(col("query_id"), posexplode(sigArr(col("qv"))).as(Seq("tbl", "sig")))
+      .select(col("query_id"), tag.as("tag"), explode(qProbes).as("psig"))
+      .select(col("query_id"), (col("psig") + col("tag")).as("bucket")))
+    // candidate generation over bare (id, bucket) rows — the corpus's
+    // vectors never ride through the explode/join (512B/row vs 16B)
+    val cBase = corpus.select(
       col("vec_id"), col("vector").cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .withColumn("bucket", explode(cBuckets))
-    val scored = c.join(q, Seq("bucket"))
+    val cIds = cBase
+      .select(col("vec_id"), posexplode(sigArr(col("cv"))).as(Seq("tbl", "sig")))
+      .select(col("vec_id"), (col("sig") + tag).as("bucket"))
+    val cand = cIds.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
       // a pair can collide in several tables — score each once
       .dropDuplicates("query_id", "vec_id")
+    val scored = cand
+      .join(cBase, Seq("vec_id"))
+      .join(qBase, Seq("query_id"))
       .withColumn("score",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("query_id"))

@@ -28,6 +28,25 @@ class FunctionsSpec extends SparkTestBase {
     assert(got == 32.0)
   }
 
+  test("hyperplane_signatures: native batch expr is bit-identical to the " +
+    "Column-composed single-table form") {
+    import org.apache.spark.sql.functions.col
+    val dim = 16; val bits = 6; val tables = 4
+    val vecs = Seq.tabulate(20)(i =>
+      Tuple1(Seq.tabulate(dim)(j => math.sin(i * 31 + j).toDouble)))
+    val df = vecs.toDF("v")
+    val batch = df.select(graft.functions.GraftFunctions
+      .hyperplaneSignatures(col("v"), dim, bits, tables).as("s"))
+      .as[Seq[Long]].collect()
+    (0 until tables).foreach { t =>
+      val single = df.select(graft.similarity.Knn
+        .hyperplaneSignature(col("v"), dim, bits, seed = 7L + t).as("s"))
+        .as[Long].collect()
+      assert(batch.map(_(t)).toSeq == single.toSeq,
+        s"table $t diverges from the Column-composed signature")
+    }
+  }
+
   test("winnow via SQL matches the direct implementation") {
     val got = spark.sql("SELECT winnow('abcdefghij', 3, 2) v").as[Seq[Long]].head()
     val want = graft.functions.Winnow.windowMins(
