@@ -96,6 +96,10 @@ object Recall {
       pairSet(Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 64, 0.4),
         "id_a", "id_b"),
       floor = 0.6)
+    val embIvf = pairMetric("q_embedding_neardup_ivf", embTruth,
+      pairSet(Ivf.cellNearDup(emb, "vec_id", "embedding", 64, 0.4),
+        "id_a", "id_b"),
+      floor = 0.7)
 
     // -- ANN recall@10 vs brute force (neighbor sets per query id) --
     val queries = emb.filter(col("vec_id") < 5)
@@ -111,7 +115,7 @@ object Recall {
         "query_id", "vec_id"),
       floor = 0.5)
 
-    Seq(mh, sim, win, embLsh, knnLsh, knnIvf)
+    Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf)
   }
 
   def toJson(ms: Seq[Metric]): String =

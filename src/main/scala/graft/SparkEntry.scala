@@ -510,6 +510,15 @@ object SparkEntry {
         t("embeddings")(s, d), "vec_id", "embedding", 64, 0.4)
     }),
 
+    // ---- embedding near-dup, IVF cell-blocked scale path: the right
+    //      blocker for clustered embeddings — candidate volume tracks
+    //      the data's own density (rows-only; recall vs exact ground
+    //      truth asserted in RECALL.json) ----
+    "q_embedding_neardup_ivf" -> ((s, d) => {
+      graft.similarity.Ivf.cellNearDup(
+        t("embeddings")(s, d), "vec_id", "embedding", 64, 0.4)
+    }),
+
     // ---- multimodal frame sampling: 1 asset → N timestamped frames
     //      (rows-only; cadence/determinism proven in MultimodalSpec) ----
     "q_multimodal_frames" -> ((s, d) => {

@@ -122,6 +122,63 @@ object Ivf {
     centroids.toSeq
   }
 
+  /** Embedding near-dup pairs via IVF cell BLOCKING: train the coarse
+    * quantizer, assign every vector to its `nprobe` best cells
+    * (multi-assignment, so near pairs straddling a cell boundary still
+    * co-occur somewhere), generate candidate pairs within cells over
+    * bare (id, cell) rows, verify each candidate with one exact cosine.
+    *
+    * This is the right near-dup blocker when embeddings are CLUSTERED
+    * (real corpora are): cells align with the data's own density, so
+    * candidate volume ≈ Σ cell² tracks true-pair volume, where
+    * random-hyperplane LSH at moderate thresholds degenerates — on the
+    * sf0.1 testdata it probes 26% of all pairs for 0.75 recall, while
+    * cell blocking reaches comparable recall probing a few percent.
+    * Recall is measured against [[graft.dedup.Dedup.embeddingNearDup]]
+    * in RECALL.json; (nlist, nprobe) is the recall/cost dial, with
+    * FAISS-style nlist ≈ √n sizing.
+    */
+  def cellNearDup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      nlist: Int = 64,
+      nprobe: Int = 3,
+      iters: Int = 5): DataFrame = {
+    val corpus = embeddings.select(
+      col(idCol).as("vec_id"), col(vecCol).as("vector"))
+    val centroids = train(corpus, dim, nlist, iters)
+    val e = corpus.select(
+      col("vec_id"), col("vector").cast("array<double>").as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probeCells = slice(
+      sort_array(array(centroids.zipWithIndex.map { case (cen, i) =>
+        struct(
+          Knn.dot(col("v"), typedlit(cen.toSeq)).as("d"),
+          lit(i).as("i"))
+      }: _*), asc = false), 1, nprobe)
+    // bare (cell, id) rows — vectors never ride the candidate join
+    val assigned = e.select(col("vec_id"),
+      explode(transform(probeCells, s => s.getField("i"))).as("cell"))
+    assigned.select(col("cell"), col("vec_id").as("id_a"))
+      .join(assigned.select(col("cell"), col("vec_id").as("id_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cos",
+        Knn.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      // a pair can co-occur in up to nprobe² cells — emit it once
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** IVF top-k: corpus shuffles once on its cell, each query joins only
     * its `nprobe` best cells, exact cosine reranks, windowed top-k (no
     * global sort). Output shape matches [[Knn.bruteForceKnn]].
