@@ -398,8 +398,13 @@ object SparkEntry {
       graft.text.TextOps.bm25(t("documents")(s, d), "doc_id", "text")),
 
     // ---- corpus frequency analysis: top-k word trigrams (boilerplate
-    //      detection); aggregate shrinks before the top-k, which plans
-    //      as TakeOrderedAndProject ----
+    //      detection); the map-side partial agg dedups per partition
+    //      before the shuffle and the top-k plans as
+    //      TakeOrderedAndProject. (A two-pass hash-agg variant — count
+    //      on xxhash64, join the winners' strings back — was measured
+    //      1.3× SLOWER at sf0.1: re-shingling the corpus costs more
+    //      than the string shuffle it saves; revisit only where the
+    //      exchange, not the scan, is the measured bottleneck.) ----
     "q_top_ngrams" -> ((s, d) => {
       t("documents")(s, d)
         .select(explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("ngram"))
