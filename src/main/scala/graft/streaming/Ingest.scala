@@ -132,7 +132,19 @@ object Ingest {
     */
   def assignSaleIdsManaged(
       batch: DataFrame, maxExisting: Long,
-      orderBy: Seq[String]): (DataFrame, () => Unit) = {
+      orderBy: Seq[String]): (DataFrame, () => Unit) =
+    assignSaleIdsCounted(batch, maxExisting, orderBy) match {
+      case (df, _, release) => (df, release)
+    }
+
+  /** [[assignSaleIdsManaged]] plus the number of ids assigned — free
+    * (the per-partition counts are already collected), and what lets
+    * the ingest maintain the id counter as snapshot metadata instead
+    * of re-scanning the id column every batch.
+    */
+  def assignSaleIdsCounted(
+      batch: DataFrame, maxExisting: Long,
+      orderBy: Seq[String]): (DataFrame, Long, () => Unit) = {
     val orderCols = orderBy.map(col)
     val parts = math.max(1,
       batch.sparkSession.sessionState.conf.numShufflePartitions)
@@ -156,7 +168,7 @@ object Ingest {
     val out = withRn
       .withColumn("sale_id", lit(maxExisting) + offsetExpr + col("_rn"))
       .drop("_pid", "_rn")
-    (out, () => { withRn.unpersist(); () })
+    (out, counts.values.sum, () => { withRn.unpersist(); () })
   }
 
   /** Apply one micro-batch of entity events to the current table state.
@@ -308,8 +320,10 @@ object Ingest {
   def touchedPartitions(
       current: DataFrame, events: DataFrame,
       key: String, partCol: String): Seq[String] = {
+    // null partition values stay in: they route to the Hive default
+    // partition, which is a real directory that must be rewritten too
     val fromEvents = events
-      .filter(col("kind") =!= "remove" && col(partCol).isNotNull)
+      .filter(col("kind") =!= "remove")
       .select(col(partCol).cast("string").as("p"))
     val keys = events.filter(col(key).isNotNull).select(col(key)).distinct()
     val fromCurrent = current.join(keys, Seq(key), "left_semi")
@@ -325,16 +339,24 @@ object Ingest {
     * O(|table|) (VERDICT r2 "What's wrong #2"); consolidation runs
     * when the snapshot's read fan-out exceeds [[maxLiveVersions]].
     */
+  /** Snapshot-meta key for the monotonic sale-id counter — maintained
+    * by [[applyMicroBatch]] so id assignment never re-scans the id
+    * column (the reference's `sale_id_tracker.txt`, kafka_consumer.py:
+    * 56–68, reborn as atomic snapshot metadata).
+    */
+  val maxSaleIdKey = "max_sale_id"
+
   private def applyPartitioned(
       spark: SparkSession, store: TableStore, table: String,
       storeSchema: StructType, events: DataFrame,
-      key: String, partCol: String): Unit = {
+      key: String, partCol: String,
+      meta: Map[String, String] = Map.empty): Unit = {
     val full = store.read(spark, table, storeSchema)
     val touched = touchedPartitions(full, events, key, partCol)
     if (touched.nonEmpty) {
       val scoped = store.read(spark, table, storeSchema, Some(touched))
       val next = applyEvents(scoped, events, key)
-      store.overwritePartitions(table, next, partCol, touched)
+      store.overwritePartitions(table, next, partCol, touched, meta = meta)
       if (store.liveVersionCount(table) > maxLiveVersions)
         store.compact(spark, table, storeSchema, Seq(partCol))
     }
@@ -350,11 +372,15 @@ object Ingest {
       val saleEvents = parseEntity(batch, saleTopics, saleSchema)
       if (!saleEvents.isEmpty) {
         val current = store.read(spark, "sales", saleStoreSchema)
-        val maxId = current.agg(coalesce(max(col("sale_id")), lit(0L)))
-          .head().getLong(0)
+        // id counter from snapshot meta; the column scan is only the
+        // bootstrap/fallback for stores created before the counter
+        val maxId = store.readMeta("sales").get(maxSaleIdKey)
+          .map(_.toLong).getOrElse(
+            current.agg(coalesce(max(col("sale_id")), lit(0L)))
+              .head().getLong(0))
         // ids in arrival order (seq), the reference's consumption-order
         // counter semantics (kafka_consumer.py:74–109)
-        val (inserts, release) = assignSaleIdsManaged(
+        val (inserts, nAssigned, release) = assignSaleIdsCounted(
           saleEvents.filter(col("kind") === "sale").drop("sale_id"),
           maxId, Seq("seq"))
         try {
@@ -363,7 +389,8 @@ object Ingest {
             .unionByName(saleEvents.filter(col("kind") =!= "sale"))
             .withColumn(saleDayCol, substring(col("sale_date"), 1, 10))
           applyPartitioned(spark, store, "sales", saleStoreSchema,
-            events, "sale_id", saleDayCol)
+            events, "sale_id", saleDayCol,
+            meta = Map(maxSaleIdKey -> (maxId + nAssigned).toString))
         } finally release()
       }
 

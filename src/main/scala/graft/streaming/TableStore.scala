@@ -87,6 +87,30 @@ class TableStore(root: String) {
     Files.writeString(manifestPath(name, v), body)
   }
 
+  private def metaPath(name: String, v: Long): Path =
+    versionDir(name, v).resolve("_meta")
+
+  /** Snapshot-level key→value metadata (e.g. the sales id counter):
+    * written into the version directory BEFORE the pointer flip, so it
+    * is exactly as atomic as the data it describes — a reader never
+    * sees meta from a version that is not yet (or no longer) current.
+    */
+  def readMeta(name: String): Map[String, String] =
+    currentVersion(name).map { v =>
+      val p = metaPath(name, v)
+      if (!Files.exists(p)) Map.empty[String, String]
+      else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+        val Array(k, value) = l.split('\t')
+        k -> value
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def writeMeta(name: String, v: Long, meta: Map[String, String]): Unit =
+    if (meta.nonEmpty)
+      Files.writeString(metaPath(name, v),
+        meta.toSeq.sortBy(_._1).map { case (k, value) => s"$k\t$value" }
+          .mkString("\n"))
+
   /** Partition directories `partCol=...` physically present under v. */
   private def listPartitionDirs(name: String, v: Long): Seq[String] = {
     val dir = versionDir(name, v)
@@ -177,7 +201,8 @@ class TableStore(root: String) {
       name: String,
       df: DataFrame,
       sortBy: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Unit = {
     require(partitionBy.size <= 1, "at most one partition column")
     val next = currentVersion(name).getOrElse(0L) + 1
     writeVersion(name, next, df, sortBy, partitionBy)
@@ -185,6 +210,8 @@ class TableStore(root: String) {
       val dirs = listPartitionDirs(name, next)
       writeManifest(name, next, Manifest(pc, dirs.map(_ -> next).toMap))
     }
+    // meta carries forward unless the writer overrides a key
+    writeMeta(name, next, readMeta(name) ++ meta)
     flipAndRetire(name, next)
   }
 
@@ -200,7 +227,8 @@ class TableStore(root: String) {
       df: DataFrame,
       partCol: String,
       touched: Seq[String],
-      sortBy: Seq[String] = Nil): Unit = {
+      sortBy: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Unit = {
     val cur = currentVersion(name)
     val old = cur.flatMap(readManifest(name, _))
     old.foreach(m => require(m.partCol == partCol,
@@ -217,6 +245,8 @@ class TableStore(root: String) {
     val carried = old.map(_.entries).getOrElse(Map.empty) -- touchedDirs
     writeManifest(name, next,
       Manifest(partCol, carried ++ written.map(_ -> next)))
+    // meta carries forward unless the writer overrides a key
+    writeMeta(name, next, readMeta(name) ++ meta)
     flipAndRetire(name, next)
   }
 

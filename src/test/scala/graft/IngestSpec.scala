@@ -391,6 +391,52 @@ class IngestSpec extends SparkTestBase {
       got.select("sale_day").distinct().count() == 3)
   }
 
+  test("sale-id counter is snapshot meta: no id-column scan, and ids are " +
+    "never reused after removing the max row (tracker semantics, " +
+    "kafka_consumer.py:56-68)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-counter")
+    val store = new TableStore(s"$dir/store")
+    val b1 = Seq(
+      ("transactions_sale", sale("2025-01-01 10:00:00", 1, 101, 1, 2.0), 0L),
+      ("transactions_sale", sale("2025-01-01 10:01:00", 2, 102, 1, 3.0), 1L))
+      .toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b1, store)
+    assert(store.readMeta("sales").get(Ingest.maxSaleIdKey).contains("2"))
+    // remove the max-id sale, then insert: a table-scan counter would
+    // hand out id 2 again; the meta counter must advance to 3
+    val b2 = Seq(("transactions_remove", """{"sale_id":2}""", 0L))
+      .toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b2, store)
+    val b3 = Seq(
+      ("transactions_sale", sale("2025-01-01 11:00:00", 3, 103, 1, 4.0), 0L))
+      .toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b3, store)
+    val ids = store.read(spark, "sales", Ingest.saleStoreSchema)
+      .select("sale_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L), s"id 2 must not be reused: $ids")
+    assert(store.readMeta("sales").get(Ingest.maxSaleIdKey).contains("3"))
+  }
+
+  test("sale-id counter bootstrap: a pre-counter store falls back to the " +
+    "id-column scan, then starts tracking meta") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy")
+    val store = new TableStore(s"$dir/store")
+    // legacy snapshot written without meta
+    val legacy = Seq(
+      (7L, "2025-01-01 09:00:00", 1, 101, 1, 2.0, 2.0, "Cash", "2025-01-01"))
+      .toDF((Ingest.saleSchema.fieldNames :+ Ingest.saleDayCol): _*)
+    store.overwrite("sales", legacy, partitionBy = Seq(Ingest.saleDayCol))
+    assert(store.readMeta("sales").isEmpty)
+    val b = Seq(
+      ("transactions_sale", sale("2025-01-01 10:00:00", 2, 102, 1, 3.0), 0L))
+      .toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b, store)
+    val ids = store.read(spark, "sales", Ingest.saleStoreSchema)
+      .select("sale_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(7L, 8L), "fallback scan must seed the counter at 7")
+    assert(store.readMeta("sales").get(Ingest.maxSaleIdKey).contains("8"))
+  }
+
   test("RocksDB state store: first-seen dedup state survives a checkpointed restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
