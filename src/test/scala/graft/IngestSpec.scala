@@ -437,6 +437,30 @@ class IngestSpec extends SparkTestBase {
     assert(store.readMeta("sales").get(Ingest.maxSaleIdKey).contains("8"))
   }
 
+  test("30 micro-batches: read fan-out stays bounded by compaction, " +
+    "state stays correct, write volume stays O(|batch|)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manybatch")
+    val store = new TableStore(s"$dir/store")
+    // 30 single-sale batches, each to its own day → every batch spreads
+    // live data over one more version until compaction consolidates
+    (1 to 30).foreach { i =>
+      val day = f"2025-02-$i%02d"
+      val b = Seq(
+        ("transactions_sale", sale(s"$day 09:00:00", i, 100 + i, 1, 2.0), 0L))
+        .toDF("topic", "value", "seq")
+      Ingest.applyMicroBatch(spark, b, store)
+      assert(store.liveVersionCount("sales") <= Ingest.maxLiveVersions + 1,
+        s"fan-out must stay bounded at batch $i")
+    }
+    val got = store.read(spark, "sales", Ingest.saleStoreSchema)
+    assert(got.count() == 30)
+    assert(got.select("sale_id").as[Long].collect().sorted.toSeq ==
+      (1L to 30L), "ids dense across compactions")
+    assert(store.readMeta("sales").get(Ingest.maxSaleIdKey).contains("30"),
+      "counter must survive compaction")
+    assert(got.select(Ingest.saleDayCol).distinct().count() == 30)
+  }
+
   test("RocksDB state store: first-seen dedup state survives a checkpointed restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
