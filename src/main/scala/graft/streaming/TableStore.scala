@@ -171,6 +171,35 @@ class TableStore(root: String) {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Live partition values of the current snapshot (decoded from the
+    * manifest; `null` for the Hive default partition). Driver-side and
+    * manifest-sized — the basis for value-predicate path pruning.
+    */
+  def partitionValues(name: String): Seq[String] =
+    currentVersion(name).flatMap(readManifest(name, _)).map { m =>
+      m.entries.keys.toSeq.sorted.map { d =>
+        val v = d.substring(d.indexOf('=') + 1)
+        if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else ExternalCatalogUtils.unescapePathName(v)
+      }
+    }.getOrElse(Nil)
+
+  /** Read only the partitions whose value satisfies `pred` — e.g. the
+    * reference's per-day range scan over sales files
+    * (kafka_producer.py:269–277) is
+    * `readWhere(spark, "sales", schema, d => d >= from && d <= to)`
+    * (ISO dates compare lexicographically). Pruning happens at the
+    * PATH level from the driver-side manifest: out-of-range partitions
+    * are never listed, opened, or planned.
+    */
+  def readWhere(
+      spark: SparkSession,
+      name: String,
+      schema: StructType,
+      pred: String => Boolean): DataFrame =
+    read(spark, name, schema,
+      Some(partitionValues(name).filter(v => v != null && pred(v))))
+
   /** Distinct version directories the current snapshot references —
     * the read fan-out. Grows by ≤1 per incremental write; callers
     * (e.g. ingest) compact when it exceeds their budget.

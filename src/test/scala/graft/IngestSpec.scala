@@ -461,6 +461,27 @@ class IngestSpec extends SparkTestBase {
     assert(got.select(Ingest.saleDayCol).distinct().count() == 30)
   }
 
+  test("readWhere: a day-range scan opens only matching partition paths " +
+    "(producer range view, kafka_producer.py:269-277)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-range")
+    val store = new TableStore(s"$dir/store")
+    val days = Seq("2025-03-01", "2025-03-02", "2025-03-03", "2025-03-04")
+    val b = days.zipWithIndex.map { case (day, i) =>
+      ("transactions_sale", sale(s"$day 09:00:00", i, 100 + i, 1, 2.0), i.toLong)
+    }.toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b, store)
+    assert(store.partitionValues("sales") == days)
+    val ranged = store.readWhere(spark, "sales", Ingest.saleStoreSchema,
+      d => d >= "2025-03-02" && d <= "2025-03-03")
+    assert(ranged.select(Ingest.saleDayCol).distinct()
+      .as[String].collect().sorted.toSeq == Seq("2025-03-02", "2025-03-03"))
+    // path-level pruning: out-of-range partitions are never even listed
+    val files = ranged.inputFiles
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("sale_day=2025-03-02") || f.contains("sale_day=2025-03-03")),
+      s"only in-range partition files may be planned: ${files.toSeq}")
+  }
+
   test("RocksDB state store: first-seen dedup state survives a checkpointed restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
