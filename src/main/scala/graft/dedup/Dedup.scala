@@ -297,8 +297,26 @@ object Dedup {
       pairs: DataFrame, // (doc_a, doc_b), doc_a < doc_b
       maxIter: Int = 20,
       checkEvery: Int = 3,
-      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
+      driverMaxPairs: Long = 1000000L): DataFrame = {
     require(checkEvery >= 1, "checkEvery must be >= 1")
+    // Bounded small-graph fast path: near-dup PAIR volume is already
+    // the (distributed) LSH+verify output — orders of magnitude smaller
+    // than the corpus — and label propagation over a sub-million-edge
+    // graph is microseconds of union-find against 10+ scheduled jobs
+    // for the distributed loop (~4.6 s of pure overhead at sf0.1).
+    // ONE limited collect of (long, long) pairs (≤16 MB at the default
+    // bound) decides the path and feeds the fast one; only an overflow
+    // — a corpus-scale graph — re-evaluates into the distributed loop
+    // below. Set driverMaxPairs=0 to force the distributed path.
+    val probe = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .limit((driverMaxPairs + 1).min(Int.MaxValue).toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (probe.length <= driverMaxPairs) {
+      return driverClusters(probe, pairs.schema("doc_a").dataType,
+        pairs.sparkSession)
+    }
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -330,6 +348,40 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Min-label connected components by union-find on the driver —
+    * identical output contract to the distributed loop (`doc_id`,
+    * `cluster_id` = min reachable id, input column type preserved).
+    * Only reachable through [[nearDupClusters]]'s bounded fast path.
+    */
+  private def driverClusters(
+      edges: Array[(Long, Long)],
+      idType: org.apache.spark.sql.types.DataType,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(labels.toIndexedSeq, 1), schema)
+      .select(col("doc_id").cast(idType).as("doc_id"),
+        col("cluster_id").cast(idType).as("cluster_id"))
   }
 
   /** Collapse a corpus to one canonical document per near-dup cluster:

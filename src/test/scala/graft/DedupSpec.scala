@@ -146,10 +146,16 @@ class DedupSpec extends SparkTestBase {
     // {10,11}, and 20–21–22 as a triangle-ish fan
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
     val got = Dedup.nearDupClusters(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(got == want)
+    // the distributed loop (forced via driverMaxPairs=0) must produce
+    // the exact same labeling as the bounded union-find fast path
+    val distributed = Dedup.nearDupClusters(pairs, driverMaxPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == want, "driver and distributed paths must agree")
   }
 
   test("simhashPairs catches most ground-truth near-dups") {
