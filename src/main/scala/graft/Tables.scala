@@ -97,6 +97,11 @@ object Tables {
                _: java.nio.file.DirectoryNotEmptyException =>
             // another session won the race — its fixture is complete
         }
+        // drop the staging dir (and, for a lost race, its CSV copy)
+        val walk = Files.walk(stage)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
       }
       dest.toString
     })

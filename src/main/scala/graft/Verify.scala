@@ -25,8 +25,16 @@ object Verify {
       spark.catalog.clearCache()
     }
     // hard signal for the approximate queries: recall/precision vs
-    // exact ground truth with asserted floors (see graft.Recall)
+    // exact ground truth with asserted floors (see graft.Recall).
+    // Verify stays a best-effort artifact dump — floor violations are
+    // shouted, recorded in recall.json, and enforced by Recall.main /
+    // RecallSpec, but never zero out the correctness artifacts.
     try Recall.write(spark, sfDir, s"$outDir/recall.json")
+      .filter(!_.pass).foreach { m =>
+        System.err.println(
+          f"[verify] RECALL FLOOR VIOLATED: ${m.query} " +
+            f"recall=${m.recall}%.4f < ${m.recallFloor}")
+      }
     catch { case e: Throwable =>
       System.err.println(s"[verify] recall failed: ${e.getMessage}")
     }

@@ -309,13 +309,27 @@ object Dedup {
     // bound) decides the path and feeds the fast one; only an overflow
     // — a corpus-scale graph — re-evaluates into the distributed loop
     // below. Set driverMaxPairs=0 to force the distributed path.
-    val probe = pairs
-      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .limit((driverMaxPairs + 1).min(Int.MaxValue).toInt)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    if (probe.length <= driverMaxPairs) {
-      return driverClusters(probe, pairs.schema("doc_a").dataType,
-        pairs.sparkSession)
+    // Integral id types only (a lossless long cast); any other id type
+    // goes straight to the fully generic distributed loop.
+    require(driverMaxPairs < Int.MaxValue,
+      s"driverMaxPairs must fit a collectable limit, got $driverMaxPairs")
+    val integralIds = Seq("doc_a", "doc_b").forall(c =>
+      pairs.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      })
+    if (integralIds && driverMaxPairs > 0) {
+      val probe = pairs
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .limit(driverMaxPairs.toInt + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (probe.length <= driverMaxPairs) {
+        return driverClusters(probe, pairs.schema("doc_a").dataType,
+          pairs.sparkSession)
+      }
     }
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

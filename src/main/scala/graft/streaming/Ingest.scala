@@ -288,18 +288,22 @@ object Ingest {
     * the reference's hourly-batch semantics with checkpointed
     * exactly-once state.
     *
-    * Adopts the RocksDB state backend for the session: the platform's
-    * stateful companions (StockState, StreamDedup.firstSeen*) then
-    * keep their per-key state on executor disk with incremental
+    * By default adopts the RocksDB state backend for the session: the
+    * platform's stateful companions (StockState, StreamDedup.firstSeen*)
+    * then keep their per-key state on executor disk with incremental
     * checkpointing instead of the JVM heap — the 100 TB key-cardinality
-    * posture (VERDICT r2 ask #3).
+    * posture (VERDICT r2 ask #3). The flip is session-global; pass
+    * `adoptRocksDB = false` when the session already runs stateful
+    * queries whose checkpoints were created under the default provider
+    * (state formats are incompatible across providers).
     */
   def startIngest(
       spark: SparkSession,
       raw: DataFrame, // streaming (topic: string, value: string)
       store: TableStore,
-      checkpoint: String): StreamingQuery = {
-    StreamDedup.useRocksDBStateStore(spark)
+      checkpoint: String,
+      adoptRocksDB: Boolean = true): StreamingQuery = {
+    if (adoptRocksDB) StreamDedup.useRocksDBStateStore(spark)
     raw.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -371,12 +375,13 @@ object Ingest {
       //     partition-scoped by day ---
       val saleEvents = parseEntity(batch, saleTopics, saleSchema)
       if (!saleEvents.isEmpty) {
-        val current = store.read(spark, "sales", saleStoreSchema)
-        // id counter from snapshot meta; the column scan is only the
-        // bootstrap/fallback for stores created before the counter
+        // id counter from snapshot meta; the column scan (and even
+        // planning the snapshot relation) is only the bootstrap
+        // fallback for stores created before the counter
         val maxId = store.readMeta("sales").get(maxSaleIdKey)
           .map(_.toLong).getOrElse(
-            current.agg(coalesce(max(col("sale_id")), lit(0L)))
+            store.read(spark, "sales", saleStoreSchema)
+              .agg(coalesce(max(col("sale_id")), lit(0L)))
               .head().getLong(0))
         // ids in arrival order (seq), the reference's consumption-order
         // counter semantics (kafka_consumer.py:74–109)

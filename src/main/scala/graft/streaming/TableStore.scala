@@ -56,8 +56,12 @@ class TableStore(root: String) {
     * partition, `"Vegetable & Fruit"` → verbatim, `"a/b"` → `a%2Fb`).
     */
   def partitionDirName(partCol: String, value: String): String = {
+    // Spark's writer sends null AND empty-string values to the Hive
+    // default partition (getPartitionPathString) — mirror both, or
+    // manifest entries diverge from what partitionBy actually wrote
     val v =
-      if (value == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      if (value == null || value.isEmpty)
+        ExternalCatalogUtils.DEFAULT_PARTITION_NAME
       else ExternalCatalogUtils.escapePathName(value)
     s"${ExternalCatalogUtils.escapePathName(partCol)}=$v"
   }
@@ -146,6 +150,9 @@ class TableStore(root: String) {
       case None => emptyDf(spark, schema)
       case Some(v) =>
         readManifest(name, v) match {
+          // partition-scoped read of an unpartitioned table: no hive
+          // partition can match — empty, never silently the full table
+          case None if partValues.isDefined => emptyDf(spark, schema)
           case None =>
             val df = spark.read.parquet(versionDir(name, v).toString)
             df.select(schema.fieldNames.map(df.col).toIndexedSeq: _*)
