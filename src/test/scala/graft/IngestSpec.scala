@@ -482,6 +482,24 @@ class IngestSpec extends SparkTestBase {
       s"only in-range partition files may be planned: ${files.toSeq}")
   }
 
+  test("TableStore retirement grace: a reader planned before one overwrite " +
+    "still collects; only the second overwrite retires its files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-grace").toString
+    val store = new TableStore(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType)))
+    store.overwrite("t", Seq(1, 2).toDF("id"))
+    val inFlight = store.read(spark, "t", schema) // plans against v=1
+    store.overwrite("t", Seq(3).toDF("id"))       // current → v=2, v=1 kept
+    assert(inFlight.as[Int].collect().sorted.toSeq == Seq(1, 2),
+      "an in-flight reader one version behind must still resolve")
+    store.overwrite("t", Seq(4).toDF("id"))       // current → v=3, v=1 retired
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "t", "v=1")),
+      "unreferenced versions two flips back are retired")
+    assert(store.read(spark, "t", schema).as[Int].collect().toSeq == Seq(4))
+  }
+
   test("RocksDB state store: first-seen dedup state survives a checkpointed restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
