@@ -305,10 +305,12 @@ object Dedup {
     // than the corpus — and label propagation over a sub-million-edge
     // graph is microseconds of union-find against 10+ scheduled jobs
     // for the distributed loop (~4.6 s of pure overhead at sf0.1).
-    // ONE limited collect of (long, long) pairs (≤16 MB at the default
-    // bound) decides the path and feeds the fast one; only an overflow
-    // — a corpus-scale graph — re-evaluates into the distributed loop
-    // below. Set driverMaxPairs=0 to force the distributed path.
+    // ONE limited collect decides the path and feeds the fast one
+    // (transiently ~100 B/row as boxed Rows — order 100 MB at the 1M
+    // default, a deliberate driver budget; lower the bound on small
+    // drivers); only an overflow — a corpus-scale graph — re-evaluates
+    // into the distributed loop below. driverMaxPairs=0 forces the
+    // distributed path.
     // Integral id types only (a lossless long cast); any other id type
     // goes straight to the fully generic distributed loop.
     require(driverMaxPairs < Int.MaxValue,

@@ -146,7 +146,8 @@ object Ivf {
       threshold: Double,
       nlist: Int = 64,
       nprobe: Int = 3,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5,
+      maxCell: Int = 100000): DataFrame = {
     val corpus = embeddings.select(
       col(idCol).as("vec_id"), col(vecCol).as("vector"))
     val centroids = train(corpus, dim, nlist, iters)
@@ -163,8 +164,13 @@ object Ivf {
     // bare (cell, id) rows — vectors never ride the candidate join
     val assigned = e.select(col("vec_id"),
       explode(transform(probeCells, s => s.getField("i"))).as("cell"))
-    assigned.select(col("cell"), col("vec_id").as("id_a"))
-      .join(assigned.select(col("cell"), col("vec_id").as("id_b")), Seq("cell"))
+    // same skew guard as the LSH path: a degenerate hot cell (mass
+    // duplicates, undersized nlist) would otherwise go quadratic
+    val big = assigned.groupBy(col("cell")).count()
+      .filter(col("count") > maxCell).select(col("cell"))
+    val ok = assigned.join(broadcast(big), Seq("cell"), "left_anti")
+    ok.select(col("cell"), col("vec_id").as("id_a"))
+      .join(ok.select(col("cell"), col("vec_id").as("id_b")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a"),

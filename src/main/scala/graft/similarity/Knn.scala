@@ -119,10 +119,15 @@ object Knn {
       .select(col("query_id"), tag.as("tag"), explode(qProbes).as("psig"))
       .select(col("query_id"), (col("psig") + col("tag")).as("bucket")))
     // candidate generation over bare (id, bucket) rows — the corpus's
-    // vectors never ride through the explode/join (512B/row vs 16B)
+    // vectors never ride through the explode/join (512B/row vs 16B).
+    // Persisted: both the bucket pass and the vector-attach join read
+    // it, or the corpus would be scanned (and norms recomputed) twice.
+    // Cache released on Catalyst's accounting with the result / via
+    // clearCache, as with the Dedup pipelines.
     val cBase = corpus.select(
       col("vec_id"), col("vector").cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cIds = cBase
       .select(col("vec_id"), posexplode(sigArr(col("cv"))).as(Seq("tbl", "sig")))
       .select(col("vec_id"), (col("sig") + tag).as("bucket"))

@@ -329,9 +329,19 @@ object Ingest {
     val fromEvents = events
       .filter(col("kind") =!= "remove")
       .select(col(partCol).cast("string").as("p"))
-    val keys = events.filter(col(key).isNotNull).select(col(key)).distinct()
-    val fromCurrent = current.join(keys, Seq(key), "left_semi")
-      .select(col(partCol).cast("string").as("p"))
+    // only edits/removes can touch a row's CURRENT partition; inserts
+    // carry fresh keys. Append-only batches (the ingest common case)
+    // therefore skip the snapshot key-lookup entirely — zero table
+    // reads — and keyed batches pay one (key, partCol) two-column
+    // pruned scan. (A key→partition secondary index would bound even
+    // that by |batch|; manifest-level future work.)
+    val keyed = events
+      .filter(col("kind").isin("edit", "remove") && col(key).isNotNull)
+      .select(col(key)).distinct()
+    val fromCurrent =
+      if (keyed.isEmpty) fromEvents.limit(0)
+      else current.join(keyed, Seq(key), "left_semi")
+        .select(col(partCol).cast("string").as("p"))
     fromEvents.unionByName(fromCurrent).distinct()
       .collect().map(_.getString(0)).toSeq
   }
@@ -349,6 +359,24 @@ object Ingest {
     * 56–68, reborn as atomic snapshot metadata).
     */
   val maxSaleIdKey = "max_sale_id"
+
+  /** One-time upgrade of a store written before partition-scoped
+    * ingest: an existing table without a manifest is rewritten once
+    * into the hive-partitioned layout (deriving columns the new layout
+    * adds, e.g. `sale_day`). No-op for fresh or already-migrated
+    * stores.
+    */
+  private def migrateLegacy(
+      spark: SparkSession, store: TableStore, table: String,
+      legacySchema: StructType, storeSchema: StructType,
+      derive: DataFrame => DataFrame, partCol: String): Unit =
+    store.currentVersion(table).foreach { v =>
+      if (store.readManifest(table, v).isEmpty) {
+        val legacy = derive(store.read(spark, table, legacySchema))
+          .select(storeSchema.fieldNames.map(col).toIndexedSeq: _*)
+        store.overwrite(table, legacy, partitionBy = Seq(partCol))
+      }
+    }
 
   private def applyPartitioned(
       spark: SparkSession, store: TableStore, table: String,
@@ -375,6 +403,9 @@ object Ingest {
       //     partition-scoped by day ---
       val saleEvents = parseEntity(batch, saleTopics, saleSchema)
       if (!saleEvents.isEmpty) {
+        migrateLegacy(spark, store, "sales", saleSchema, saleStoreSchema,
+          _.withColumn(saleDayCol, substring(col("sale_date"), 1, 10)),
+          saleDayCol)
         // id counter from snapshot meta; the column scan (and even
         // planning the snapshot relation) is only the bootstrap
         // fallback for stores created before the counter
@@ -401,9 +432,12 @@ object Ingest {
 
       // --- products: partition-scoped by category ---
       val prodEvents = parseEntity(batch, productTopics, productSchema)
-      if (!prodEvents.isEmpty)
+      if (!prodEvents.isEmpty) {
+        migrateLegacy(spark, store, "products", productSchema, productSchema,
+          identity, productPartCol)
         applyPartitioned(spark, store, "products", productSchema,
           prodEvents, "product_id", productPartCol)
+      }
 
       // --- customers: single unpartitioned dimension ---
       val custEvents = parseEntity(batch, customerTopics, customerSchema)

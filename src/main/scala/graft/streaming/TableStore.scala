@@ -58,7 +58,10 @@ class TableStore(root: String) {
   def partitionDirName(partCol: String, value: String): String = {
     // Spark's writer sends null AND empty-string values to the Hive
     // default partition (getPartitionPathString) — mirror both, or
-    // manifest entries diverge from what partitionBy actually wrote
+    // manifest entries diverge from what partitionBy actually wrote.
+    // Inherited hive-layout caveat: an empty-string value therefore
+    // reads back as null after one write cycle (Spark semantics);
+    // don't partition on columns where '' and null must stay distinct
     val v =
       if (value == null || value.isEmpty)
         ExternalCatalogUtils.DEFAULT_PARTITION_NAME
@@ -103,27 +106,40 @@ class TableStore(root: String) {
     currentVersion(name).map { v =>
       val p = metaPath(name, v)
       if (!Files.exists(p)) Map.empty[String, String]
-      else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
-        val Array(k, value) = l.split('\t')
-        k -> value
+      else Files.readAllLines(p).asScala.filter(_.contains('\t')).map { l =>
+        // first tab splits key from value; value may be empty
+        val i = l.indexOf('\t')
+        l.substring(0, i) -> l.substring(i + 1)
       }.toMap
     }.getOrElse(Map.empty)
 
   private def writeMeta(name: String, v: Long, meta: Map[String, String]): Unit =
-    if (meta.nonEmpty)
+    if (meta.nonEmpty) {
+      meta.foreach { case (k, value) =>
+        require(k.nonEmpty && !k.exists(c => c == '\t' || c == '\n' || c == '\r'),
+          s"invalid meta key: ${k.take(40)}")
+        require(!value.exists(c => c == '\t' || c == '\n' || c == '\r'),
+          s"meta value for $k must not contain tabs/newlines")
+      }
       Files.writeString(metaPath(name, v),
         meta.toSeq.sortBy(_._1).map { case (k, value) => s"$k\t$value" }
           .mkString("\n"))
+    }
 
-  /** Partition directories `partCol=...` physically present under v. */
+  /** Partition directories `partCol=...` physically present under v —
+    * any DIRECTORY child with '=' (version dirs are siblings of the
+    * version dir, never children, so a partition column legitimately
+    * named `v` works; `_manifest`/`_meta`/`_SUCCESS` have no '=').
+    */
   private def listPartitionDirs(name: String, v: Long): Seq[String] = {
     val dir = versionDir(name, v)
     if (!Files.exists(dir)) Nil
     else {
       val s = Files.list(dir)
       try s.iterator().asScala
+        .filter(p => Files.isDirectory(p))
         .map(_.getFileName.toString)
-        .filter(_.contains("=")).filterNot(_.startsWith("v=")).toList
+        .filter(_.contains("=")).toList
       finally s.close()
     }
   }

@@ -482,6 +482,29 @@ class IngestSpec extends SparkTestBase {
       s"only in-range partition files may be planned: ${files.toSeq}")
   }
 
+  test("legacy unpartitioned sales store (no sale_day column) migrates to " +
+    "the partitioned layout on its first new-code batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-migrate")
+    val store = new TableStore(s"$dir/store")
+    // round-2-era layout: plain overwrite, saleSchema columns only
+    val legacy = Seq(
+      (5L, "2025-01-01 09:00:00", 1, 101, 1, 2.0, 2.0, "Cash"),
+      (6L, "2025-01-02 09:00:00", 2, 102, 1, 3.0, 3.0, "Card"))
+      .toDF(Ingest.saleSchema.fieldNames: _*)
+    store.overwrite("sales", legacy)
+    val b = Seq(
+      ("transactions_sale", sale("2025-01-02 10:00:00", 3, 103, 1, 4.0), 0L))
+      .toDF("topic", "value", "seq")
+    Ingest.applyMicroBatch(spark, b, store)
+    val got = store.read(spark, "sales", Ingest.saleStoreSchema)
+    assert(got.select("sale_id").as[Long].collect().sorted.toSeq ==
+      Seq(5L, 6L, 7L), "legacy rows survive; new id continues from max")
+    assert(got.filter(col(Ingest.saleDayCol) === "2025-01-01").count() == 1,
+      "migrated rows carry the derived day partition")
+    assert(store.partitionValues("sales").sorted ==
+      Seq("2025-01-01", "2025-01-02"))
+  }
+
   test("TableStore retirement grace: a reader planned before one overwrite " +
     "still collects; only the second overwrite retires its files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-grace").toString
