@@ -35,7 +35,7 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").count()
     SparkEntry.entry(spark).count()
     Tables.all.foreach(n => Tables.loaders(n)(spark, sfDir).count())
-    Tables.csvFixture(spark, sfDir) // one-time CSV fixture, untimed
+    SparkEntry.warmFixtures(spark, sfDir) // one-time fixtures, untimed
     spark.catalog.clearCache()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

@@ -36,6 +36,55 @@ object SparkEntry {
   private def t(name: String)(s: SparkSession, dir: String): DataFrame =
     if (name == "events") Tables.events(s, dir) else Tables.load(s, dir, name)
 
+  private val storeOrdersSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("o_orderkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("o_totalprice",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("o_month",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Store fixture for q_store_roundtrip, memoized per (JVM, sf dir):
+    * orders written into a month-partitioned TableStore snapshot, then
+    * the EARLIEST month rewritten incrementally (prices ×1.1) via
+    * `overwritePartitions` — so the read under test assembles a
+    * manifest spanning two versions, exactly the incremental-ingest
+    * machinery. Concurrent builders are safe: versions are
+    * atomic-flip and the content is deterministic.
+    */
+  private val storeFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def storeFixture(s: SparkSession, d: String): String =
+    storeFixtureCache.computeIfAbsent(d, { _ =>
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_store_${java.lang.Integer.toHexString(d.hashCode)}"
+      val store = new graft.streaming.TableStore(root)
+      if (store.currentVersion("orders").isEmpty) {
+        val o = t("orders")(s, d).select(
+          col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+        store.overwrite("orders", o, partitionBy = Seq("o_month"))
+        val month = o.agg(min(col("o_month"))).head().getString(0)
+        val updated = store
+          .read(s, "orders", storeOrdersSchema, Some(Seq(month)))
+          .withColumn("o_totalprice",
+            round(col("o_totalprice").cast("decimal(18,2)") *
+              lit(BigDecimal("1.1")), 2).cast("double"))
+        store.overwritePartitions("orders", updated, "o_month", Seq(month))
+      }
+      root
+    })
+
+  /** Build every one-time fixture (CSV export, store snapshot) for an
+    * sf dir — harnesses call this untimed so first-invocation fixture
+    * construction is never billed to a query.
+    */
+  def warmFixtures(s: SparkSession, d: String): Unit = {
+    Tables.csvFixture(s, d)
+    storeFixture(s, d)
+    ()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.5 A1/A2 aggregation + §2.2 expressions: pricing summary ----
@@ -331,6 +380,22 @@ object SparkEntry {
         round(col("o_totalprice") * 2, 2).as("o_totalprice"))
       graft.streaming.Ingest.applyEvents(current, events, "o_orderkey")
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // ---- S7 store round trip under the hash oracle: full partitioned
+    //      write → incremental single-partition rewrite (earliest
+    //      month, prices ×1.1) → manifest-union read spanning two versions →
+    //      per-day aggregate. DuckDB reproduces the update as a CASE
+    //      over the raw table, so the whole snapshot/manifest machinery
+    //      is oracle-checked end to end ----
+    "q_store_roundtrip" -> ((s, d) => {
+      val store = new graft.streaming.TableStore(storeFixture(s, d))
+      store.read(s, "orders", storeOrdersSchema)
+        .groupBy(col("o_month"))
+        .agg(
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_price"),
+          count(lit(1)).as("n_orders"))
     }),
 
     // ================= LLM-data-pipeline extensions =================
@@ -841,6 +906,22 @@ object SparkEntry {
              (SELECT 1 FROM ups u WHERE u.o_orderkey = c.o_orderkey)) t
          WHERE NOT EXISTS
            (SELECT 1 FROM rem r WHERE r.o_orderkey = t.o_orderkey)""",
+
+    // the store round trip: DuckDB reproduces the incremental
+    // earliest-month price rewrite as a CASE over the raw table
+    "q_store_roundtrip" ->
+      """WITH o AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+             CASE WHEN strftime(o_orderdate, '%Y-%m') =
+                 (SELECT min(strftime(o_orderdate, '%Y-%m')) FROM orders)
+               THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(1.1 AS DECIMAL(18,2)), 2) AS DOUBLE)
+               ELSE o_totalprice END AS p
+           FROM orders)
+         SELECT o_month,
+           CAST(round(sum(CAST(p AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+           count(*) AS n_orders
+         FROM o GROUP BY o_month""",
 
     // ================= LLM-data-pipeline extensions =================
 
