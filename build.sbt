@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through (no sbt "[info] " prefix):
+// the driver tails the log for Bench's one-line JSON and cannot parse
+// a prefixed line (BENCH parsed:null in rounds 1-3).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

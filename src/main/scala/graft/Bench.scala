@@ -34,9 +34,32 @@ object Bench {
     // 2 billed the cold sf0.1 read to q1, the alphabetical leader
     spark.range(1000).selectExpr("sum(id)").count()
     SparkEntry.entry(spark).count()
-    Tables.all.foreach(n => Tables.loaders(n)(spark, sfDir).count())
+    // noop-write, not count(): count() compiles to a metadata-only
+    // parquet scan that never touches the heavy text/embedding columns,
+    // so the first text query was still billed ~2.5 s of cold column
+    // read (round 3 billed it to q_dedup_corpus, the alphabetical
+    // leader among text queries)
+    Tables.all.foreach(n =>
+      Tables.loaders(n)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save())
     SparkEntry.warmFixtures(spark, sfDir) // one-time fixtures, untimed
+    // JMH-style JVM warmup: run every benched query once at the tiny
+    // warm dir, untimed. Spark's codegen cache keys on generated-code
+    // TEXT (paths live in scan metadata, not the generated class), so
+    // this pre-compiles ~all generated operators for the timed loop —
+    // round 3 billed ~3 s of one-time Janino+C2 compilation to
+    // whichever query first touched each pipeline family.
+    val warmDir = sys.env.getOrElse(
+      "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir != sfDir && Files.isDirectory(Paths.get(warmDir))) {
+      SparkEntry.warmFixtures(spark, warmDir)
+      names.foreach { n =>
+        SparkEntry.queries(n)(spark, warmDir).count()
+        spark.catalog.clearCache()
+      }
+    }
     spark.catalog.clearCache()
+    System.gc()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -605,7 +605,86 @@ object SparkEntry {
         graft.multimodal.Multimodal.assetsFromDocuments(t("documents")(s, d)))
         .toDF()
         .select("asset_id", "mime", "n_bytes", "content_hash")
-    })
+    }),
+
+    // ---- backward AS-OF join (operator Spark lacks natively): each
+    //      click is enriched with the user's most recent prior purchase.
+    //      One shuffle + window carry — never a per-key nested loop;
+    //      oracle is DuckDB's native ASOF LEFT JOIN, an independent
+    //      implementation of the same semantic ----
+    "q_asof_join" -> ((s, d) => {
+      val ev = t("events")(s, d)
+      val clicks = ev
+        .filter(col("event_type") === "click" && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // pre-aggregate the right side to one row per (user, ts) so ties
+      // have a defined winner (asOfJoin determinism contract)
+      val purchases = ev
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+        .groupBy(col("user_id"), col("purchase_ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.ops.TemporalJoins.asOfJoin(
+        clicks, purchases, Seq("user_id"), "ts", "purchase_ts")
+    }),
+
+    // ---- banded RANGE join: per-user event pairs within one hour,
+    //      planned as ONE equi-join on (user, time-bucket) + residual
+    //      filter instead of Spark's nested-loop plan for the raw
+    //      inequality ----
+    "q_range_join" -> ((s, d) => {
+      val ev = t("events")(s, d).filter(col("user_id").isNotNull)
+      val a = ev.select(
+        col("event_id").as("id_a"), col("user_id"), col("ts").as("ts_a"))
+      val b = ev.select(
+        col("event_id").as("id_b"), col("user_id"), col("ts").as("ts_b"))
+      graft.ops.TemporalJoins.bandJoin(
+          a, b, Seq("user_id"), "ts_a", "ts_b", 3600L)
+        .select(col("user_id"), col("id_a"), col("id_b"))
+    }),
+
+    // ---- deterministic content-hash sampling: ~1/16 of lineitem keyed
+    //      on md5(orderkey-linenumber) — reproducible on any cluster
+    //      layout and any md5-agreeing engine, unlike rand()/sample()
+    "q_sample_hash" -> ((s, d) =>
+      graft.ops.Sampling.hashSample(
+          t("lineitem")(s, d),
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")), 16)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))),
+
+    // ---- stratified hash sampling: per-stratum keep rates (the corpus
+    //      rebalancing move: downsample the common, keep the rare) ----
+    "q_sample_stratified" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedHashSample(
+          t("lineitem")(s, d),
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+          col("l_returnflag"),
+          Map("N" -> 8, "R" -> 32), defaultRate256 = 64)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))),
+
+    // ---- pivot (wide aggregation): explicit pivot values, so the plan
+    //      is a single pass with no distinct-values pre-job ----
+    "q_pivot" -> ((s, d) =>
+      t("lineitem")(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))),
+
+    // ---- semi-structured JSON extraction: typed from_json over the
+    //      events props payload (schema-on-read for event streams) ----
+    "q_json_extract" -> ((s, d) =>
+      t("events")(s, d)
+        .select(col("event_id"), col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1125,6 +1204,56 @@ object SparkEntry {
          'application/octet-stream' AS mime,
          octet_length(CAST(text AS BLOB)) AS n_bytes,
          md5(text) AS content_hash
-         FROM documents"""
+         FROM documents""",
+
+    // DuckDB's native ASOF LEFT JOIN — an independent implementation of
+    // the backward as-of semantic (inclusive: c.ts >= p.purchase_ts)
+    "q_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click' AND user_id IS NOT NULL),
+         p AS (SELECT user_id, ts AS purchase_ts,
+                 max(value) AS purchase_value
+               FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL
+               GROUP BY 1, 2)
+         SELECT c.event_id, c.user_id, c.ts, p.purchase_ts, p.purchase_value
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.purchase_ts""",
+
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events
+                    WHERE user_id IS NOT NULL)
+         SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 3600 SECOND""",
+
+    "q_sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem
+         WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                          CAST(l_linenumber AS VARCHAR)), 1, 2) < '10'""",
+
+    "q_sample_stratified" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+         FROM lineitem
+         WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                 CAST(l_linenumber AS VARCHAR)), 1, 2)) AS INTEGER) <
+           CASE l_returnflag WHEN 'N' THEN 8 WHEN 'R' THEN 32 ELSE 64 END""",
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS F,
+         round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS O
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_json_extract" ->
+      """WITH e AS (SELECT event_id, event_type,
+                      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                    FROM events)
+         SELECT event_type, count(*) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k
+         FROM e WHERE k IS NOT NULL GROUP BY event_type"""
   )
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `sample()`/`rand()` are seed-and-partitioning dependent — rerunning
+  * on a repartitioned corpus samples DIFFERENT rows, which breaks
+  * reproducible dataset builds and cross-engine checks. Content-hash
+  * sampling keys the keep/drop decision on a stable row key instead:
+  * the same row is kept in every run, on any cluster layout, in any
+  * engine that agrees on md5 (all of them), and the sample composes
+  * with incremental ingest (new rows get the same biasless rule).
+  *
+  * Rate granularity is 1/256 (first hash byte): coarse but plenty for
+  * corpus downsampling, and it keeps the predicate a pure
+  * codegen-friendly string compare that pushes into the scan.
+  */
+object Sampling {
+
+  private def keep(key: Column, rate256: Int): Column = {
+    require(rate256 >= 0 && rate256 <= 256,
+      s"rate256 must be in [0,256], got $rate256")
+    // first md5 byte as two lowercase hex chars: uniform over 0..255.
+    // 0 and 256 can't be expressed as a 2-hex-char threshold ("100"
+    // compares lexicographically, not numerically) — constant-fold them
+    if (rate256 == 0) lit(false)
+    else if (rate256 == 256) lit(true)
+    else substring(md5(key.cast("string")), 1, 2) < lit(f"$rate256%02x")
+  }
+
+  /** Keep ~`rate256`/256 of rows, decided by md5 of `key` — a stable
+    * row identifier (compose multi-column keys with `concat_ws`).
+    */
+  def hashSample(df: DataFrame, key: Column, rate256: Int): DataFrame =
+    df.filter(keep(key, rate256))
+
+  /** Per-stratum hash sampling: `rates` maps values of `stratum` to
+    * keep-rates in 1/256ths; unlisted strata use `defaultRate256`.
+    * The standard rebalancing move (e.g. downsample boilerplate-heavy
+    * sources, keep all rare-language documents) as one scan + filter.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      rates: Map[String, Int],
+      defaultRate256: Int = 256): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate256)) { case (els, (v, r)) =>
+      require(r >= 0 && r <= 256, s"rate256 must be in [0,256], got $r")
+      when(stratum === lit(v), lit(r)).otherwise(els)
+    }
+    // integer compare of the first hash byte — a 2-hex-char string
+    // threshold cannot express rate 256 (keep-all)
+    df.filter(
+      conv(substring(md5(key.cast("string")), 1, 2), 16, 10)
+        .cast("int") < rate)
+  }
+}

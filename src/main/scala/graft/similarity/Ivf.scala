@@ -62,14 +62,56 @@ object Ivf {
       corpus: DataFrame, // (vec_id, vector)
       dim: Int,
       nlist: Int,
-      iters: Int = 5): Seq[Array[Double]] = {
+      iters: Int = 5,
+      driverMaxVectors: Int = 20000): Seq[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val raw = corpus
       .select(col("vec_id"), col("vector").cast("array<double>").as("v"))
-    var centroids: Array[Array[Double]] = raw
-      .orderBy(col("vec_id")).limit(nlist)
+    // Bounded small-corpus fast path (the nearDupClusters driver-side
+    // pattern): ONE limited collect probes the size; a sub-20k-vector
+    // training set is ≤ 10 MB and Lloyd's on it is milliseconds of
+    // driver arithmetic against 1+iters scheduled jobs of pure
+    // overhead. Identical update rule (>= tie to the larger index,
+    // empty cell keeps its centroid, renormalize) — only the float
+    // summation order differs from the tree combine. An overflowing
+    // corpus falls through to the treeAggregate path, which is also
+    // how FAISS trains at scale: on a bounded sample.
+    val probe = raw.orderBy(col("vec_id")).limit(driverMaxVectors + 1)
       .select(col("v")).collect()
+    if (probe.length <= driverMaxVectors) {
+      val vecs = probe.map(r => unitize(r.getSeq[Double](0).toArray))
+      var centroids = vecs.take(nlist).map(_.clone())
+      val k = centroids.length
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        vecs.foreach { v =>
+          var best = 0
+          var bestD = Double.NegativeInfinity
+          var i = 0
+          while (i < k) {
+            var d = 0.0; var j = 0
+            while (j < dim) { d += v(j) * centroids(i)(j); j += 1 }
+            if (d >= bestD) { bestD = d; best = i }
+            i += 1
+          }
+          var j = 0
+          while (j < dim) { sums(best)(j) += v(j); j += 1 }
+          counts(best) += 1
+        }
+        centroids = centroids.zipWithIndex.map { case (old, i) =>
+          if (counts(i) == 0L) old
+          else {
+            val mean = sums(i).map(_ / counts(i))
+            val n = math.sqrt(mean.map(x => x * x).sum)
+            if (n == 0d) old else mean.map(_ / n)
+          }
+        }
+      }
+      return centroids.toSeq
+    }
+    var centroids: Array[Array[Double]] = probe.take(nlist)
       .map(r => unitize(r.getSeq[Double](0).toArray))
     val vecs = raw.select(col("v")).as[Seq[Double]].rdd
       .map(s => unitize(s.toArray))

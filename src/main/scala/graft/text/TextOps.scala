@@ -39,17 +39,21 @@ object TextOps {
 
   /** TF-IDF per (document, term): raw term frequency × ln(N/df), no
     * smoothing. Classic corpus weighting for retrieval/quality
-    * pipelines; two hash aggregations (term-per-doc, doc-freq) plus a
-    * broadcast of the scalar corpus size — no driver-side collection.
+    * pipelines. ONE tokenize+explode pass over the corpus text: the
+    * (doc,term) frequency table is unique per pair, so document
+    * frequency is just `tf.groupBy(term).count` — no second explode.
+    * The tf intermediate is persisted because two plan branches read
+    * it (caller or session owns `clearCache`, same contract as
+    * [[graft.dedup.Dedup]]); the corpus size broadcasts as a scalar.
     */
   def tfidf(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(lower(col(textCol)))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "term").distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .persist()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, Seq("term"))
       .crossJoin(broadcast(total))
@@ -67,13 +71,16 @@ object TextOps {
   def bm25(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(lower(col(textCol)))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
+    // one tokenize+explode pass; dl (doc length) and df (doc freq) both
+    // derive from the persisted (doc,term,tf) table — the round-3 form
+    // re-exploded the corpus text four times (tf, dl, df, totals)
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val df = toks.select("doc_id", "term").distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .persist()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val totals = docs.select(col(idCol).as("doc_id"))
       .join(dl, Seq("doc_id"), "left")
       .agg(count(lit(1)).as("n_docs"),

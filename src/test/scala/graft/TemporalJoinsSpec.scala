@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Sampling, TemporalJoins}
+
+/** As-of join, band join, and deterministic sampling semantics on
+  * hand-built frames, plus model checks against brute-force
+  * reimplementations on seeded random data.
+  */
+class TemporalJoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asOfJoin attaches the most recent prior right row, inclusive") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"),
+      (1L, ts("2024-01-01 09:00:00"), "early"),
+      (2L, ts("2024-01-01 10:00:00"), "other-key"),
+      (3L, ts("2024-01-01 10:00:00"), "no-right"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 2.0), // tie with left "b": inclusive
+      (1L, ts("2024-01-01 13:00:00"), 3.0), // future: never matches
+      (2L, ts("2024-01-01 08:00:00"), 4.0))
+      .toDF("k", "rt", "v")
+    val got = TemporalJoins.asOfJoin(left, right, Seq("k"), "t", "rt")
+      .select("tag", "rt", "v").as[(String, Option[Timestamp], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((Some(ts("2024-01-01 09:30:00")), Some(1.0))))
+    assert(got("b") == ((Some(ts("2024-01-01 12:00:00")), Some(2.0))))
+    assert(got("early") == ((None, None)))
+    assert(got("other-key") == ((Some(ts("2024-01-01 08:00:00")), Some(4.0))))
+    assert(got("no-right") == ((None, None)))
+  }
+
+  test("asOfJoin tolerance nulls matches older than the lookback") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "x"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 08:00:00"), 7.0))
+      .toDF("k", "rt", "v")
+    val within = TemporalJoins.asOfJoin(left, right, Seq("k"), "t", "rt",
+      tolerance = Some(expr("INTERVAL 3 HOUR")))
+      .select("v").as[Option[Double]].head()
+    val beyond = TemporalJoins.asOfJoin(left, right, Seq("k"), "t", "rt",
+      tolerance = Some(expr("INTERVAL 1 HOUR")))
+      .select("v").as[Option[Double]].head()
+    assert(within.contains(7.0))
+    assert(beyond.isEmpty)
+  }
+
+  test("asOfJoin left row count is preserved (left-join semantics)") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 500).map(i =>
+      (rnd.nextInt(10).toLong, new Timestamp(rnd.nextInt(100000).toLong * 1000), i))
+      .toDF("k", "t", "id")
+    val right = (1 to 300).map(_ =>
+      (rnd.nextInt(10).toLong, new Timestamp(rnd.nextInt(100000).toLong * 1000),
+        rnd.nextDouble()))
+      .toDF("k", "rt", "v")
+      .groupBy("k", "rt").agg(max("v").as("v")) // determinism contract
+    val out = TemporalJoins.asOfJoin(left, right, Seq("k"), "t", "rt")
+    assert(out.count() == 500)
+    // model check: expected v = max-v row at the greatest rt <= t
+    val rightRows = right.as[(Long, Timestamp, Double)].collect()
+    val expected = left.as[(Long, Timestamp, Int)].collect().map {
+      case (k, t, id) =>
+        val prior = rightRows.filter(r => r._1 == k && !r._2.after(t))
+        id -> (if (prior.isEmpty) None
+               else Some(prior.maxBy(r => (r._2.getTime, r._3))._3))
+    }.toMap
+    val got = out.select("id", "v").as[(Int, Option[Double])].collect().toMap
+    assert(got == expected)
+  }
+
+  test("bandJoin equals the naive non-equi join") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong,
+        new Timestamp(rnd.nextInt(50000).toLong * 100))) // 0.1s granularity
+    val a = rows.toDF("id_a", "k", "ta")
+    val b = rows.map { case (i, k, t) => (i, k, t) }.toDF("id_b", "k", "tb")
+    val gap = 600L
+    val got = TemporalJoins.bandJoin(a, b, Seq("k"), "ta", "tb", gap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (ia, ka, t1) <- rows; (ib, kb, t2) <- rows
+      if ka == kb && t2.getTime > t1.getTime &&
+        t2.getTime <= t1.getTime + gap * 1000
+    } yield (ia, ib)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the check must actually exercise matches
+  }
+
+  test("bandJoin includes the exact upper boundary, excludes ties") {
+    val a = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("id_a", "k", "ta")
+    val b = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")),  // tie: excluded (strict >)
+      (11L, 1L, ts("2024-01-01 10:10:00")),  // exact gap: included
+      (12L, 1L, ts("2024-01-01 10:10:01")))  // beyond: excluded
+      .toDF("id_b", "k", "tb")
+    val got = TemporalJoins.bandJoin(a, b, Seq("k"), "ta", "tb", 600L)
+      .select("id_b").as[Long].collect().toSet
+    assert(got == Set(11L))
+  }
+
+  test("hashSample is deterministic and rate-proportional") {
+    val df = (1 to 20000).toDF("id")
+    val s1 = Sampling.hashSample(df, col("id"), 16).as[Int].collect().toSet
+    val s2 = Sampling.hashSample(df.repartition(13), col("id"), 16)
+      .as[Int].collect().toSet
+    assert(s1 == s2) // layout-independent
+    assert(math.abs(s1.size - 20000 / 16) < 20000 / 16) // loose binomial bound
+    val all = Sampling.hashSample(df, col("id"), 256).count()
+    val none = Sampling.hashSample(df, col("id"), 0).count()
+    assert(all == 20000 && none == 0)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates consistently") {
+    val df = (1 to 9000).map(i => (i, Seq("a", "b", "c")(i % 3)))
+      .toDF("id", "s")
+    val got = Sampling.stratifiedHashSample(
+      df, col("id"), col("s"), Map("a" -> 0, "b" -> 256), defaultRate256 = 32)
+    val byStratum = got.groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(!byStratum.contains("a"))          // rate 0: dropped
+    assert(byStratum("b") == 3000L)           // rate 256: all kept
+    assert(byStratum("c") > 150 && byStratum("c") < 600) // ~3000/8
+    // stratum members agree with the flat sampler at the same rate
+    val flat = Sampling.hashSample(
+      df.filter(col("s") === "c"), col("id"), 32)
+      .select("id").as[Int].collect().toSet
+    val strat = got.filter(col("s") === "c")
+      .select("id").as[Int].collect().toSet
+    assert(flat == strat)
+  }
+}
