@@ -22,7 +22,9 @@ object PlanAudit {
       else Seq("q_membership_level", "q_point_lookup", "q_top5_sales",
         "q_derived_columns", "q_knn_bruteforce", "q_daily_load",
         "q_sync_delete_antijoin", "q_doc_token_stats", "q_rollup",
-        "q_doc_tfidf", "q_events_sessions", "q_minhash_lsh")
+        "q_doc_tfidf", "q_events_sessions", "q_minhash_lsh",
+        "q_asof_join", "q_range_join", "q_sample_hash", "q_pivot",
+        "q_json_extract", "q_top_ngrams")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

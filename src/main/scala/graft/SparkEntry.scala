@@ -463,16 +463,20 @@ object SparkEntry {
       graft.text.TextOps.bm25(t("documents")(s, d), "doc_id", "text")),
 
     // ---- corpus frequency analysis: top-k word trigrams (boilerplate
-    //      detection); the map-side partial agg dedups per partition
-    //      before the shuffle and the top-k plans as
-    //      TakeOrderedAndProject. (A two-pass hash-agg variant — count
-    //      on xxhash64, join the winners' strings back — was measured
-    //      1.3× SLOWER at sf0.1: re-shingling the corpus costs more
-    //      than the string shuffle it saves; revisit only where the
-    //      exchange, not the scan, is the measured bottleneck.) ----
+    //      detection); native one-pass ShingleStrings (the HOF
+    //      `shingles()` form re-ran the tokenizing regex once per
+    //      window — 3.3 s of this query's 4.0 s at sf0.1); the
+    //      map-side partial agg dedups per partition before the
+    //      shuffle and the top-k plans as TakeOrderedAndProject.
+    //      (A two-pass hash-agg variant — count on xxhash64, join the
+    //      winners' strings back — was measured 1.3× SLOWER at sf0.1:
+    //      re-shingling the corpus costs more than the string shuffle
+    //      it saves.) ----
     "q_top_ngrams" -> ((s, d) => {
       t("documents")(s, d)
-        .select(explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("ngram"))
+        .select(explode(
+          graft.functions.GraftFunctions.shingleStrings(col("text"), 3))
+          .as("ngram"))
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("ngram").asc)

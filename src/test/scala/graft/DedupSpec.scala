@@ -62,6 +62,31 @@ class DedupSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("ShingleStrings is set-equal to the HOF shingles, doc by doc") {
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two"),        // shorter than n → whole-text shingle
+      (3L, ""),               // empty → [""]
+      (4L, "  spaced\t\nout   tokens  here "), // messy whitespace
+      (5L, "héllo wörld déjà vu naïve café")) // multi-byte UTF-8
+      .toDF("doc_id", "text")
+    def sets(c: org.apache.spark.sql.Column) = fixture
+      .select(col("doc_id"), c.as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (k, v) => k -> v.toSet }
+      .toMap
+    assert(sets(graft.functions.GraftFunctions.shingleStrings(col("text"), 3))
+      == sets(Dedup.shingles(col("text"), 3)))
+    // and on real corpus data
+    val a = docs.limit(50)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleStrings(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (k, v) => k -> v.toSet }.toMap
+    val b = docs.limit(50)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (k, v) => k -> v.toSet }.toMap
+    assert(a == b)
+  }
+
   test("MinHashSignature native expr matches the universal-hash math") {
     val hashes = Seq(12345L, -987654321L, 42L)
     val df = Seq(Tuple1(hashes)).toDF("hs")
