@@ -611,6 +611,13 @@ object SparkEntry {
         .select("asset_id", "mime", "n_bytes", "content_hash")
     }),
 
+    // ---- token-window document chunking (context-window prep):
+    //      40-token chunks, 10-token overlap; one shuffle-free pass,
+    //      tokens materialized once per doc under the explode ----
+    "q_doc_chunks" -> ((s, d) =>
+      graft.text.TextOps.chunkTokens(
+        t("documents")(s, d), "doc_id", "text", 40, 10)),
+
     // ---- backward AS-OF join (operator Spark lacks natively): each
     //      click is enriched with the user's most recent prior purchase.
     //      One shuffle + window carry — never a per-key nested loop;
@@ -1209,6 +1216,18 @@ object SparkEntry {
          octet_length(CAST(text AS BLOB)) AS n_bytes,
          md5(text) AS content_hash
          FROM documents""",
+
+    "q_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                    FROM documents),
+         c AS (SELECT doc_id, toks, len(toks) AS n,
+                 unnest([x for x in range(0, greatest(len(toks), 1), 30)
+                         if x = 0 OR x + 10 < len(toks)]) AS start
+               FROM t)
+         SELECT doc_id, start // 30 AS chunk_idx,
+           array_to_string(toks[start+1 : start+40], ' ') AS chunk_text,
+           least(40, n - start) AS n_chunk_tokens
+         FROM c""",
 
     // DuckDB's native ASOF LEFT JOIN — an independent implementation of
     // the backward as-of semantic (inclusive: c.ts >= p.purchase_ts)

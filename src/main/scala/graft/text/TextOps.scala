@@ -145,6 +145,42 @@ object TextOps {
     tokenCount(text) >= minTokens &&
       punctCount(text) * 2 <= tokenCount(text) // integer arithmetic form
 
+  /** Token-window document chunking: split each document into
+    * `chunkSize`-token windows advancing by `chunkSize - overlap`
+    * tokens — the standard context-window prep for training corpora.
+    * A trailing window is emitted only if it contributes tokens beyond
+    * the previous window's coverage (`start + overlap < n`); an empty
+    * document yields one empty chunk (chunk 0 always exists).
+    *
+    * Scale: the token array is materialized ONCE per document in the
+    * projection under the explode (the per-chunk `slice` references
+    * the attribute, it does not re-tokenize), so the pass is
+    * shuffle-free and linear — output volume ≈ corpus × (1 +
+    * overlap/stride).
+    */
+  def chunkTokens(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      chunkSize: Int = 40, overlap: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && chunkSize > overlap,
+      s"need chunkSize > overlap >= 0, got size=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(stride)),
+      s => s === 0 || (s + lit(overlap) < n))
+    docs
+      .select(col(idCol), toks.as("_toks"), n.as("_n"),
+        explode(starts).as("_start"))
+      .select(col(idCol),
+        (col("_start") / stride).cast("long").as("chunk_idx"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize), col("_n") - col("_start")).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Content fingerprint: md5 of the UTF-8 bytes. For a 100 TB corpus
     * this is the exact-dedup key — group/bucket by `fingerprint` and
     * keep `min(doc_id)`.

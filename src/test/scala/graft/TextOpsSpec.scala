@@ -86,4 +86,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(1L).length == 1)
     assert(got(2L).length == 1)
   }
+
+  test("chunkTokens windows cover the doc and reconstruct the stream") {
+    val doc = (1 to 95).map(i => s"t$i").mkString(" ") // 95 tokens
+    val df = Seq((1L, doc), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(df, "doc_id", "text", 40, 10)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    // doc 1: starts 0,30,60 (start 90 contributes nothing beyond 90+10)
+    val c1 = got(1L)
+    assert(c1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(c1.map(_._4).toSeq == Seq(40L, 40L, 35L))
+    // stitching with the 10-token overlap dropped reconstructs the doc
+    val stitched = (c1.head._3 +: c1.tail.map(
+      _._3.split(' ').drop(10).mkString(" "))).mkString(" ")
+    assert(stitched == doc)
+    // every consecutive pair shares exactly the overlap
+    c1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3.split(' ').takeRight(10).toSeq ==
+        b._3.split(' ').take(10).toSeq)
+    }
+    // short doc: single whole-doc chunk; empty doc: one empty chunk
+    assert(got(2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    assert(got(3L).toSeq == Seq((3L, 0L, "", 0L)))
+  }
 }
