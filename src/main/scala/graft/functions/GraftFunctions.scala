@@ -578,6 +578,112 @@ case class HyperplaneSignatures(
     copy(child = newChild)
 }
 
+/** `nprobe` best coarse-quantizer cells for a vector by dot product —
+  * the IVF assignment step as ONE native expression. Replaces the
+  * composed form (`slice(sort_array(array(<nlist> structs of
+  * VectorDot(v, typedlit(centroid))), desc), 1, nprobe)`), which
+  * builds and fully sorts an nlist-element struct array per row and
+  * inflates the generated code with nlist inlined literal dots.
+  * Tie rule matches the struct sort exactly: (dot, index) descending —
+  * equal dots resolve to the LARGER index.
+  *
+  * Centroids ride along as a plan-reference object (like the LSH
+  * hyperplanes), flattened row-major; selection is O(nlist·nprobe)
+  * with no allocation beyond the output.
+  */
+case class ArgTopCells(
+    child: Expression,
+    centroids: Vector[Vector[Double]],
+    nprobe: Int) extends UnaryExpression {
+  require(nprobe > 0, "nprobe must be positive")
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  private val nlist = centroids.length
+  private val dim = centroids.head.length
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "arg_top_cells"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"arg_top_cells requires array<double>, got ${other.catalogString}")
+    }
+  }
+
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](nlist * dim)
+    var i = 0
+    while (i < nlist) {
+      var j = 0
+      while (j < dim) { a(i * dim + j) = centroids(i)(j); j += 1 }
+      i += 1
+    }
+    a
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ArgTopCells.eval(input.asInstanceOf[ArrayData], flat, nlist, dim,
+        math.min(nprobe, nlist)))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cRef = ctx.addReferenceObj("centroids", flat, "double[]")
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ArgTopCells$$.MODULE$$.eval(
+         |    $v, $cRef, $nlist, $dim, ${math.min(nprobe, nlist)}));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArgTopCells =
+    copy(child = newChild)
+}
+
+object ArgTopCells {
+  def eval(v: ArrayData, flat: Array[Double], nlist: Int, dim: Int,
+      nprobe: Int): Array[Int] = {
+    val n = math.min(dim, v.numElements())
+    val dots = new Array[Double](nlist)
+    var i = 0
+    while (i < nlist) {
+      var d = 0.0
+      var j = 0
+      val off = i * dim
+      while (j < n) { d += v.getDouble(j) * flat(off + j); j += 1 }
+      dots(i) = d
+      i += 1
+    }
+    val out = new Array[Int](nprobe)
+    val taken = new Array[Boolean](nlist)
+    var k = 0
+    while (k < nprobe) {
+      var best = -1
+      var bestD = Double.NegativeInfinity
+      var c = 0
+      while (c < nlist) {
+        // (dot, index) descending: >= ties to the larger index
+        if (!taken(c) && (best < 0 || dots(c) >= bestD)) {
+          best = c; bestD = dots(c)
+        }
+        c += 1
+      }
+      taken(best) = true
+      out(k) = best
+      k += 1
+    }
+    out
+  }
+}
+
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -669,6 +775,10 @@ object GraftFunctions {
 
   def vectorDot(a: Column, b: Column): Column =
     toColumn(VectorDot(exprOf(a), exprOf(b)))
+
+  def argTopCells(vec: Column, centroids: Seq[Array[Double]], nprobe: Int): Column =
+    toColumn(ArgTopCells(exprOf(vec),
+      centroids.iterator.map(_.toVector).toVector, nprobe))
 
   def hyperplaneSignatures(
       vec: Column, dim: Int, bits: Int, tables: Int, seed: Long = 7L): Column =

@@ -31,19 +31,24 @@ object Ivf {
     if (n == 0d) a else a.map(_ / n)
   }
 
-  /** (dot, index) argmax over the UNIT centroid set as one expression:
-    * structs compare lexicographically, so array_max picks the best
-    * dot, ties to the larger index — deterministic. The input vector
-    * needs NO normalization: argmax_c v·c is invariant under positive
-    * scaling of v, so raw vectors assign to the same cell as their
-    * unit form.
+  /** (dot, index) argmax over the UNIT centroid set via the native
+    * [[graft.functions.ArgTopCells]] expression (ties to the larger
+    * index — deterministic). The input vector needs NO normalization:
+    * argmax_c v·c is invariant under positive scaling of v, so raw
+    * vectors assign to the same cell as their unit form.
     */
   private def bestCell(v: Column, centroids: Seq[Array[Double]]): Column =
-    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        Knn.dot(v, typedlit(c.toSeq)).as("d"),
-        lit(i).as("i"))
-    }: _*)).getField("i")
+    element_at(
+      graft.functions.GraftFunctions.argTopCells(v, centroids, 1), 1)
+
+  /** The `nprobe` best cells, exploded to one row each — the
+    * multi-assignment used by both the near-dup blocker and the query
+    * probe. One native expression instead of nlist inlined literal
+    * dots + a struct sort per row (the round-3 form).
+    */
+  private def probeCellsExploded(
+      v: Column, centroids: Seq[Array[Double]], nprobe: Int): Column =
+    explode(graft.functions.GraftFunctions.argTopCells(v, centroids, nprobe))
 
   /** Train the coarse quantizer: spherical k-means on the unit sphere
     * (assign by max dot, re-center by per-dimension mean, re-normalize).
@@ -197,15 +202,9 @@ object Ivf {
       col("vec_id"), col("vector").cast("array<double>").as("v"))
       .withColumn("nrm", Knn.norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probeCells = slice(
-      sort_array(array(centroids.zipWithIndex.map { case (cen, i) =>
-        struct(
-          Knn.dot(col("v"), typedlit(cen.toSeq)).as("d"),
-          lit(i).as("i"))
-      }: _*), asc = false), 1, nprobe)
     // bare (cell, id) rows — vectors never ride the candidate join
     val assigned = e.select(col("vec_id"),
-      explode(transform(probeCells, s => s.getField("i"))).as("cell"))
+      probeCellsExploded(col("v"), centroids, nprobe).as("cell"))
     // same skew guard as the LSH path: a degenerate hot cell (mass
     // duplicates, undersized nlist) would otherwise go quadratic
     val big = assigned.groupBy(col("cell")).count()
@@ -244,19 +243,12 @@ object Ivf {
       col("vec_id"), col("vector").cast("array<double>").as("cv"))
       .withColumn("cn", Knn.norm(col("cv")))
       .withColumn("cell", bestCell(col("cv"), centroids))
-    // nprobe best cells per query: sorted (dot, idx) structs, top
-    // slice; dot ranking against unit centroids is scale-invariant in
-    // the query too, so raw qv works
-    val probeCells = slice(
-      sort_array(array(centroids.zipWithIndex.map { case (cen, i) =>
-        struct(
-          Knn.dot(col("qv"), typedlit(cen.toSeq)).as("d"),
-          lit(i).as("i"))
-      }: _*), asc = false), 1, nprobe)
+    // nprobe best cells per query; dot ranking against unit centroids
+    // is scale-invariant in the query too, so raw qv works
     val q = broadcast(queries
       .select(col("query_id"), col("vector").cast("array<double>").as("qv"))
       .withColumn("qn", Knn.norm(col("qv")))
-      .withColumn("cell", explode(transform(probeCells, s => s.getField("i")))))
+      .withColumn("cell", probeCellsExploded(col("qv"), centroids, nprobe)))
     val scored = c.join(q, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score",

@@ -47,6 +47,30 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("arg_top_cells equals the struct-sort composition, incl. ties") {
+    import org.apache.spark.sql.functions._
+    val dim = 8
+    val rnd = new scala.util.Random(5)
+    val centroids = Seq.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
+    // random vectors plus exact-tie cases (zero vector → all dots 0;
+    // a duplicated centroid direction)
+    val vecs = Seq.fill(30)(Seq.fill(dim)(rnd.nextGaussian())) ++
+      Seq(Seq.fill(dim)(0.0), centroids.head.toSeq)
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    val composed = df.select(
+      slice(sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          graft.similarity.Knn.dot(col("v"), typedlit(c.toSeq)).as("d"),
+          lit(i).as("i"))
+      }: _*), asc = false), 1, 3).as("s"))
+      .select(transform(col("s"), s => s.getField("i")).as("cells"))
+      .as[Seq[Int]].collect().toSeq
+    val native = df.select(graft.functions.GraftFunctions
+      .argTopCells(col("v"), centroids, 3).as("cells"))
+      .as[Seq[Int]].collect().toSeq
+    assert(native == composed)
+  }
+
   test("winnow via SQL matches the direct implementation") {
     val got = spark.sql("SELECT winnow('abcdefghij', 3, 2) v").as[Seq[Long]].head()
     val want = graft.functions.Winnow.windowMins(
