@@ -611,6 +611,29 @@ object SparkEntry {
         .select("asset_id", "mime", "n_bytes", "content_hash")
     }),
 
+    // ---- argmax-row aggregation (keep-best-per-key): ONE hash
+    //      aggregation via lexicographic max(struct) — no window, no
+    //      per-key sort; ties on price resolve to the larger orderkey,
+    //      so the result is deterministic ----
+    "q_latest_order" -> ((s, d) =>
+      t("orders")(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"),
+          col("m").getField("o_orderkey").as("top_orderkey"),
+          col("m").getField("o_totalprice").as("top_price"))),
+
+    // ---- quantile bucketing per group (partitioned ntile — never a
+    //      single global sort) ----
+    "q_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      t("events")(s, d)
+        .na.drop(Seq("value"))
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
     // ---- token-window document chunking (context-window prep):
     //      40-token chunks, 10-token overlap; one shuffle-free pass,
     //      tokens materialized once per doc under the explode ----
@@ -1216,6 +1239,24 @@ object SparkEntry {
          octet_length(CAST(text AS BLOB)) AS n_bytes,
          md5(text) AS content_hash
          FROM documents""",
+
+    // window-free in Spark (one max(struct) hash-agg); the oracle
+    // reproduces the same winner with the standard row_number form —
+    // DESC,DESC matches the lexicographic-max tie rule
+    "q_latest_order" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+         FROM orders)
+         SELECT o_custkey, o_orderkey AS top_orderkey,
+           o_totalprice AS top_price
+         FROM r WHERE rn = 1""",
+
+    "q_ntile" ->
+      """SELECT event_id, event_type,
+         ntile(4) OVER (PARTITION BY event_type
+           ORDER BY value ASC, event_id ASC) AS quartile
+         FROM events WHERE value IS NOT NULL""",
 
     "q_doc_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
