@@ -1311,9 +1311,14 @@ object SparkEntry {
          round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS O
          FROM lineitem GROUP BY l_returnflag""",
 
+    // TRY_CAST mirrors from_json's null-on-mismatch semantic (a plain
+    // CAST would hard-error on a non-integral payload instead of
+    // dropping the row). Boundary note: a string-encoded "5" would be
+    // coerced by json_extract_string but nulled by from_json's typed
+    // schema — the driver fixture's props are numeric-only
     "q_json_extract" ->
       """WITH e AS (SELECT event_id, event_type,
-                      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                      TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
                     FROM events)
          SELECT event_type, count(*) AS n_events,
            CAST(sum(k) AS BIGINT) AS sum_k,

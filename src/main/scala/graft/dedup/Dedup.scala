@@ -606,7 +606,7 @@ object Dedup {
     * makes moderate thresholds reachable: at cosine 0.4 a single
     * 8-bit table collides with p ≈ 0.12 even multiprobed (recall 0.085
     * measured on sf0.01 ground truth), while L OR-ed tables lift that
-    * to ≈ 1−(1−p)^L — measured 0.75 at L=8, 0.87 at the default L=12
+    * to ≈ 1−(1−p)^L — measured 0.75 at L=8, 0.86 at the default L=12
     * on the sf0.01 ground truth. Sub-quadratic: each row joins
     * ~tables·(bits+1)/2^bits of the corpus — (tables, bits) is the
     * recall/cost dial; recall is pinned in DedupSpec and RECALL.json.

@@ -670,8 +670,11 @@ object ArgTopCells {
       var bestD = Double.NegativeInfinity
       var c = 0
       while (c < nlist) {
-        // (dot, index) descending: >= ties to the larger index
-        if (!taken(c) && (best < 0 || dots(c) >= bestD)) {
+        // (dot, index) descending via Double.compare — ties to the
+        // larger index, and NaN ranks ABOVE every double, matching
+        // Spark's sort order (the struct-sort form this replaces)
+        if (!taken(c) &&
+            (best < 0 || java.lang.Double.compare(dots(c), bestD) >= 0)) {
           best = c; bestD = dots(c)
         }
         c += 1

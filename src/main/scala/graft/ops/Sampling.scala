@@ -47,6 +47,8 @@ object Sampling {
       stratum: Column,
       rates: Map[String, Int],
       defaultRate256: Int = 256): DataFrame = {
+    require(defaultRate256 >= 0 && defaultRate256 <= 256,
+      s"rate256 must be in [0,256], got $defaultRate256")
     val rate = rates.foldLeft(lit(defaultRate256)) { case (els, (v, r)) =>
       require(r >= 0 && r <= 256, s"rate256 must be in [0,256], got $r")
       when(stratum === lit(v), lit(r)).otherwise(els)

@@ -55,31 +55,41 @@ object TemporalJoins {
     val lOther = left.columns.filterNot(keys.contains).toSeq
     require(rVals.intersect(lOther).isEmpty,
       s"right value columns ${rVals.intersect(lOther).mkString(",")} collide with left")
+    val reserved = Seq("_t", "_side", "_rv")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"column names ${reserved.mkString("/")} are reserved by asOfJoin")
+    // the right row rides as ONE struct so the carry is all-or-nothing:
+    // carrying each value column through its own last(_, ignoreNulls)
+    // would resurrect an older row's value wherever the latest row has
+    // a null field — an output row torn across two right rows
+    val rvType = org.apache.spark.sql.types.StructType(
+      rVals.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)))
     val lPart = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("_t"), lit(1).as("_side")) ++
-        lOther.map(col) ++
-        rVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        lOther.map(col) :+
+        lit(null).cast(rvType).as("_rv"): _*)
     val rPart = right.na.drop(Seq(rightTime)).select(
       keys.map(col) ++
         Seq(col(rightTime).as("_t"), lit(0).as("_side")) ++
-        lOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rVals.map(col): _*)
+        lOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rVals.map(col): _*).as("_rv"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lPart.unionByName(rPart).select(
-      keys.map(col) ++ Seq(col("_t"), col("_side")) ++ lOther.map(col) ++
-        rVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      keys.map(col) ++ Seq(col("_t"), col("_side")) ++ lOther.map(col) :+
+        last(col("_rv"), ignoreNulls = true).over(w).as("_rv"): _*)
     val matchedOk = tolerance match {
       case None => lit(true)
-      case Some(tol) => col(rightTime) >= col("_t") - tol
+      case Some(tol) => col("_rv").getField(rightTime) >= col("_t") - tol
     }
     carried
       .filter(col("_side") === 1)
       .select(
         keys.map(col) ++ lOther.map(col) ++
-          rVals.map(c => when(matchedOk, col(c)).as(c)): _*)
+          rVals.map(c => when(matchedOk, col("_rv").getField(c)).as(c)): _*)
   }
 
   /** Banded RANGE join: pairs with equal `keys` and
@@ -106,6 +116,12 @@ object TemporalJoins {
       rightTime: String,
       maxGapSec: Long): DataFrame = {
     require(maxGapSec > 0, s"maxGapSec must be positive, got $maxGapSec")
+    require(!(left.columns ++ right.columns).contains("_bkt"),
+      "column name _bkt is reserved by bandJoin")
+    val sharedNonKey = (left.columns.toSet -- keys) & (right.columns.toSet -- keys)
+    require(sharedNonKey.isEmpty,
+      s"non-key columns ${sharedNonKey.mkString(",")} exist on both sides — " +
+        "rename one side (the residual filter would be ambiguous)")
     val lBkt = floor(col(leftTime).cast("double") / maxGapSec.toDouble)
       .cast("long")
     val rBkt = floor(col(rightTime).cast("double") / maxGapSec.toDouble)

@@ -31,6 +31,42 @@ object Ivf {
     if (n == 0d) a else a.map(_ / n)
   }
 
+  /** THE assignment rule, shared by the driver-side and treeAggregate
+    * training paths so they can never desynchronize: argmax_c v·c,
+    * `>=` ties to the larger index (matching [[ArgTopCells]]'s
+    * struct-sort tie rule).
+    */
+  private def assignBest(
+      v: Array[Double], cen: Array[Array[Double]], dim: Int): Int = {
+    var best = 0
+    var bestD = Double.NegativeInfinity
+    var i = 0
+    while (i < cen.length) {
+      var d = 0.0; var j = 0
+      while (j < dim) { d += v(j) * cen(i)(j); j += 1 }
+      if (d >= bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** THE centroid update rule, shared by both training paths: empty
+    * cell keeps its centroid, else mean then renormalize (zero-norm
+    * mean also keeps the old centroid).
+    */
+  private def recenter(
+      old: Array[Array[Double]],
+      sums: Array[Array[Double]],
+      counts: Array[Long]): Array[Array[Double]] =
+    old.zipWithIndex.map { case (o, i) =>
+      if (counts(i) == 0L) o
+      else {
+        val mean = sums(i).map(_ / counts(i))
+        val n = math.sqrt(mean.map(x => x * x).sum)
+        if (n == 0d) o else mean.map(_ / n)
+      }
+    }
+
   /** (dot, index) argmax over the UNIT centroid set via the native
     * [[graft.functions.ArgTopCells]] expression (ties to the larger
     * index — deterministic). The input vector needs NO normalization:
@@ -92,27 +128,12 @@ object Ivf {
         val sums = Array.fill(k)(new Array[Double](dim))
         val counts = new Array[Long](k)
         vecs.foreach { v =>
-          var best = 0
-          var bestD = Double.NegativeInfinity
-          var i = 0
-          while (i < k) {
-            var d = 0.0; var j = 0
-            while (j < dim) { d += v(j) * centroids(i)(j); j += 1 }
-            if (d >= bestD) { bestD = d; best = i }
-            i += 1
-          }
+          val best = assignBest(v, centroids, dim)
           var j = 0
           while (j < dim) { sums(best)(j) += v(j); j += 1 }
           counts(best) += 1
         }
-        centroids = centroids.zipWithIndex.map { case (old, i) =>
-          if (counts(i) == 0L) old
-          else {
-            val mean = sums(i).map(_ / counts(i))
-            val n = math.sqrt(mean.map(x => x * x).sum)
-            if (n == 0d) old else mean.map(_ / n)
-          }
-        }
+        centroids = recenter(centroids, sums, counts)
       }
       return centroids.toSeq
     }
@@ -128,18 +149,7 @@ object Ivf {
           new Array[Long](nlist))
         val (sums, counts) = vecs.treeAggregate(zero)(
           seqOp = { case ((s, n), v) =>
-            val cen = bc.value
-            var best = 0
-            var bestD = Double.NegativeInfinity
-            var i = 0
-            while (i < nlist) {
-              var d = 0.0; var j = 0
-              while (j < dim) { d += v(j) * cen(i)(j); j += 1 }
-              // >= ties to the larger index, matching bestCell's
-              // array_max tie rule
-              if (d >= bestD) { bestD = d; best = i }
-              i += 1
-            }
+            val best = assignBest(v, bc.value, dim)
             var j = 0
             while (j < dim) { s(best)(j) += v(j); j += 1 }
             n(best) += 1
@@ -156,14 +166,7 @@ object Ivf {
             (s1, n1)
           })
         bc.destroy()
-        centroids = centroids.zipWithIndex.map { case (old, i) =>
-          if (counts(i) == 0L) old // empty cell keeps its centroid
-          else {
-            val mean = sums(i).map(_ / counts(i))
-            val n = math.sqrt(mean.map(x => x * x).sum)
-            if (n == 0d) old else mean.map(_ / n)
-          }
-        }
+        centroids = recenter(centroids, sums, counts)
       }
     } finally vecs.unpersist()
     centroids.toSeq

@@ -53,9 +53,11 @@ class FunctionsSpec extends SparkTestBase {
     val rnd = new scala.util.Random(5)
     val centroids = Seq.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
     // random vectors plus exact-tie cases (zero vector → all dots 0;
-    // a duplicated centroid direction)
+    // a duplicated centroid direction; a NaN vector → all dots NaN,
+    // which Spark's sort ranks ABOVE every double)
     val vecs = Seq.fill(30)(Seq.fill(dim)(rnd.nextGaussian())) ++
-      Seq(Seq.fill(dim)(0.0), centroids.head.toSeq)
+      Seq(Seq.fill(dim)(0.0), centroids.head.toSeq,
+        Double.NaN +: Seq.fill(dim - 1)(1.0))
     val df = vecs.map(Tuple1(_)).toDF("v")
     val composed = df.select(
       slice(sort_array(array(centroids.zipWithIndex.map { case (c, i) =>

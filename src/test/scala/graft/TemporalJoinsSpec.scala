@@ -53,6 +53,26 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(beyond.isEmpty)
   }
 
+  test("asOfJoin carry is all-or-nothing: a null field in the latest " +
+    "right row must not resurrect an older row's value") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "x"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 11:00:00"), None)) // latest row, null value
+      .toDF("k", "rt", "v")
+    val got = TemporalJoins.asOfJoin(left, right, Seq("k"), "t", "rt")
+      .select("rt", "v").as[(Option[Timestamp], Option[Double])].head()
+    // the matched row IS (11:00, null) — not the torn pair (11:00, 5.0)
+    assert(got == ((Some(ts("2024-01-01 11:00:00")), None)))
+    // with tolerance excluding 10:00 but including 11:00, the value
+    // must stay null rather than leak the out-of-tolerance 5.0
+    val tol = TemporalJoins.asOfJoin(left, right, Seq("k"), "t", "rt",
+      tolerance = Some(expr("INTERVAL 90 MINUTE")))
+      .select("rt", "v").as[(Option[Timestamp], Option[Double])].head()
+    assert(tol == ((Some(ts("2024-01-01 11:00:00")), None)))
+  }
+
   test("asOfJoin left row count is preserved (left-join semantics)") {
     val rnd = new scala.util.Random(7)
     val left = (1 to 500).map(i =>
