@@ -65,8 +65,9 @@ object TextOps {
   /** BM25 per (document, term): the Robertson/Sparck-Jones ranking
     * function — `idf⁺ · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
     * `idf⁺ = ln((N−df+0.5)/(df+0.5) + 1)` (the Lucene non-negative
-    * form). Same two hash aggregations as [[tfidf]] plus a broadcast
-    * of the two corpus scalars (N, avgdl).
+    * form). One tokenize pass like [[tfidf]] (dl and df derive from
+    * the persisted tf table — same caller-owns-clearCache contract)
+    * plus a broadcast of the two corpus scalars (N, avgdl).
     */
   def bm25(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,

@@ -49,4 +49,21 @@ class GoldenSpec extends SparkTestBase {
   test("q_doc_winnow_overlap matches its committed sf0.01 golden output") {
     check("q_doc_winnow_overlap")
   }
+  // The ANN family is deterministic end-to-end at sf0.01: fixed
+  // hyperplane seeds, driver-side Lloyd training (sequential float
+  // order, partition-independent), and tie-broken top-k windows —
+  // so their full result sets pin as goldens on top of the RECALL.json
+  // floors (drift detection, not just quality floors).
+  test("q_knn_lsh matches its committed sf0.01 golden output") {
+    check("q_knn_lsh")
+  }
+  test("q_knn_ivf matches its committed sf0.01 golden output") {
+    check("q_knn_ivf")
+  }
+  test("q_embedding_neardup_lsh matches its committed sf0.01 golden output") {
+    check("q_embedding_neardup_lsh")
+  }
+  test("q_embedding_neardup_ivf matches its committed sf0.01 golden output") {
+    check("q_embedding_neardup_ivf")
+  }
 }
