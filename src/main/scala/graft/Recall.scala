@@ -99,7 +99,7 @@ object Recall {
     val embIvf = pairMetric("q_embedding_neardup_ivf", embTruth,
       pairSet(Ivf.cellNearDup(emb, "vec_id", "embedding", 64, 0.4),
         "id_a", "id_b"),
-      floor = 0.7)
+      floor = 0.8) // measured 0.88 at nprobe=4 (was 0.78 at nprobe=3)
 
     // -- ANN recall@10 vs brute force (neighbor sets per query id) --
     val queries = emb.filter(col("vec_id") < 5)

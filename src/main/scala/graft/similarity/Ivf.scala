@@ -195,7 +195,7 @@ object Ivf {
       dim: Int,
       threshold: Double,
       nlist: Int = 64,
-      nprobe: Int = 3,
+      nprobe: Int = 4,
       iters: Int = 5,
       maxCell: Int = 100000): DataFrame = {
     val corpus = embeddings.select(
