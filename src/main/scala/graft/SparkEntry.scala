@@ -662,6 +662,22 @@ object SparkEntry {
         clicks, purchases, Seq("user_id"), "ts", "purchase_ts")
     }),
 
+    // ---- forward AS-OF join: each click is paired with the user's
+    //      NEXT purchase at-or-after it (time-to-conversion shape) ----
+    "q_asof_forward" -> ((s, d) => {
+      val ev = t("events")(s, d)
+      val clicks = ev
+        .filter(col("event_type") === "click" && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+        .groupBy(col("user_id"), col("purchase_ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.ops.TemporalJoins.asOfJoinForward(
+        clicks, purchases, Seq("user_id"), "ts", "purchase_ts")
+    }),
+
     // ---- banded RANGE join: per-user event pairs within one hour,
     //      planned as ONE equi-join on (user, time-bucket) + residual
     //      filter instead of Spark's nested-loop plan for the raw
@@ -1283,6 +1299,20 @@ object SparkEntry {
          SELECT c.event_id, c.user_id, c.ts, p.purchase_ts, p.purchase_value
          FROM c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND c.ts >= p.purchase_ts""",
+
+    // forward direction: DuckDB ASOF picks the smallest right time
+    // satisfying c.ts <= p.purchase_ts
+    "q_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click' AND user_id IS NOT NULL),
+         p AS (SELECT user_id, ts AS purchase_ts,
+                 max(value) AS purchase_value
+               FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL
+               GROUP BY 1, 2)
+         SELECT c.event_id, c.user_id, c.ts, p.purchase_ts, p.purchase_value
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts <= p.purchase_ts""",
 
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Temporal join operators Spark lacks as built-ins: backward as-of
-  * join and banded range join. Both are implemented as compositions of
+/** Temporal join operators Spark lacks as built-ins: backward and
+  * forward as-of joins and the banded range join. All are compositions of
   * native operators (one hash shuffle + window, or one equi-join on a
   * derived bucket key) rather than the naive non-equi join, which
   * Spark can only plan as a broadcast-nested-loop / cartesian — the
@@ -50,7 +50,34 @@ object TemporalJoins {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None): DataFrame =
+    asOfDirected(left, right, keys, leftTime, rightTime, tolerance,
+      forward = false)
+
+  /** Forward AS-OF join: the mirror semantic — the right row with the
+    * SMALLEST `rightTime` >= `leftTime` (inclusive); "the next event
+    * after". Same one-shuffle window-carry plan, scanning time
+    * descending; `tolerance` bounds the look-AHEAD
+    * (`rightTime <= leftTime + tolerance`).
+    */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Column] = None): DataFrame =
+    asOfDirected(left, right, keys, leftTime, rightTime, tolerance,
+      forward = true)
+
+  private def asOfDirected(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Column],
+      forward: Boolean): DataFrame = {
     val rVals = right.columns.filterNot(keys.contains).toSeq
     val lOther = left.columns.filterNot(keys.contains).toSeq
     require(rVals.intersect(lOther).isEmpty,
@@ -75,14 +102,20 @@ object TemporalJoins {
         Seq(col(rightTime).as("_t"), lit(0).as("_side")) ++
         lOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rVals.map(col): _*).as("_rv"): _*)
+    // scan order: time ascending for backward (carry = most recent
+    // prior), descending for forward (carry = nearest future); right
+    // rows sort before left rows at equal times either way, keeping
+    // the boundary inclusive
+    val timeOrder = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc)
+      .orderBy(timeOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lPart.unionByName(rPart).select(
       keys.map(col) ++ Seq(col("_t"), col("_side")) ++ lOther.map(col) :+
         last(col("_rv"), ignoreNulls = true).over(w).as("_rv"): _*)
     val matchedOk = tolerance match {
       case None => lit(true)
+      case Some(tol) if forward => col("_rv").getField(rightTime) <= col("_t") + tol
       case Some(tol) => col("_rv").getField(rightTime) >= col("_t") - tol
     }
     carried

@@ -53,6 +53,32 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(beyond.isEmpty)
   }
 
+  test("asOfJoinForward attaches the nearest future right row, inclusive") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"),       // tie with right: inclusive
+      (1L, ts("2024-01-01 14:00:00"), "late"),    // nothing after
+      (3L, ts("2024-01-01 10:00:00"), "no-right"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 2.0),
+      (1L, ts("2024-01-01 09:00:00"), 0.5)) // past: never matches forward
+      .toDF("k", "rt", "v")
+    val got = TemporalJoins.asOfJoinForward(left, right, Seq("k"), "t", "rt")
+      .select("tag", "rt", "v").as[(String, Option[Timestamp], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((Some(ts("2024-01-01 11:00:00")), Some(1.0))))
+    assert(got("b") == ((Some(ts("2024-01-01 12:00:00")), Some(2.0))))
+    assert(got("late") == ((None, None)))
+    assert(got("no-right") == ((None, None)))
+    // look-ahead tolerance: 30 min excludes the 11:00 match for "a"
+    val tol = TemporalJoins.asOfJoinForward(left, right, Seq("k"), "t", "rt",
+      tolerance = Some(expr("INTERVAL 30 MINUTE")))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(tol("a").isEmpty && tol("b").contains(2.0))
+  }
+
   test("asOfJoin carry is all-or-nothing: a null field in the latest " +
     "right row must not resurrect an older row's value") {
     val left = Seq((1L, ts("2024-01-01 12:00:00"), "x"))
