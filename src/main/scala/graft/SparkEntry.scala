@@ -36,6 +36,24 @@ object SparkEntry {
   private def t(name: String)(s: SparkSession, dir: String): DataFrame =
     if (name == "events") Tables.events(s, dir) else Tables.load(s, dir, name)
 
+  /** Shared probe/build sides for the two as-of queries. The right side
+    * is pre-aggregated to one row per (user, ts) so timestamp ties have
+    * a defined winner (the asOfJoin determinism contract).
+    */
+  private def clicksAndPurchases(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = t("events")(s, d)
+    val clicks = ev
+      .filter(col("event_type") === "click" && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+      .groupBy(col("user_id"), col("purchase_ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    (clicks, purchases)
+  }
+
   private val storeOrdersSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("o_orderkey",
       org.apache.spark.sql.types.LongType),
@@ -647,17 +665,7 @@ object SparkEntry {
     //      oracle is DuckDB's native ASOF LEFT JOIN, an independent
     //      implementation of the same semantic ----
     "q_asof_join" -> ((s, d) => {
-      val ev = t("events")(s, d)
-      val clicks = ev
-        .filter(col("event_type") === "click" && col("user_id").isNotNull)
-        .select(col("event_id"), col("user_id"), col("ts"))
-      // pre-aggregate the right side to one row per (user, ts) so ties
-      // have a defined winner (asOfJoin determinism contract)
-      val purchases = ev
-        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
-        .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
-        .groupBy(col("user_id"), col("purchase_ts"))
-        .agg(max(col("value")).as("purchase_value"))
+      val (clicks, purchases) = clicksAndPurchases(s, d)
       graft.ops.TemporalJoins.asOfJoin(
         clicks, purchases, Seq("user_id"), "ts", "purchase_ts")
     }),
@@ -665,15 +673,7 @@ object SparkEntry {
     // ---- forward AS-OF join: each click is paired with the user's
     //      NEXT purchase at-or-after it (time-to-conversion shape) ----
     "q_asof_forward" -> ((s, d) => {
-      val ev = t("events")(s, d)
-      val clicks = ev
-        .filter(col("event_type") === "click" && col("user_id").isNotNull)
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val purchases = ev
-        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
-        .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
-        .groupBy(col("user_id"), col("purchase_ts"))
-        .agg(max(col("value")).as("purchase_value"))
+      val (clicks, purchases) = clicksAndPurchases(s, d)
       graft.ops.TemporalJoins.asOfJoinForward(
         clicks, purchases, Seq("user_id"), "ts", "purchase_ts")
     }),

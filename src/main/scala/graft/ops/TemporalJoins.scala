@@ -105,8 +105,11 @@ object TemporalJoins {
     // scan order: time ascending for backward (carry = most recent
     // prior), descending for forward (carry = nearest future); right
     // rows sort before left rows at equal times either way, keeping
-    // the boundary inclusive
-    val timeOrder = if (forward) col("_t").desc else col("_t").asc
+    // the boundary inclusive. Null left times must scan BEFORE any
+    // right row in both directions (nulls compare to nothing, so they
+    // never match — same as the SQL ASOF inequality): asc is
+    // nulls-first already, desc needs it forced.
+    val timeOrder = if (forward) col("_t").desc_nulls_first else col("_t").asc
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(timeOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -161,9 +164,16 @@ object TemporalJoins {
       .cast("long")
     val probes = left.withColumn("_bkt", explode(array(lBkt, lBkt + 1)))
     val build = right.withColumn("_bkt", rBkt)
+    // the residual upper bound must match the time column's type:
+    // calendar interval for timestamps, plain seconds for numeric
+    // epoch columns (interval + double doesn't type-check)
+    val upper = left.schema(leftTime).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        col(leftTime) + lit(maxGapSec)
+      case _ => col(leftTime) + expr(s"INTERVAL $maxGapSec SECOND")
+    }
     probes.join(build, keys :+ "_bkt")
-      .filter(col(rightTime) > col(leftTime) &&
-        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $maxGapSec SECOND"))
+      .filter(col(rightTime) > col(leftTime) && col(rightTime) <= upper)
       .drop("_bkt")
   }
 }

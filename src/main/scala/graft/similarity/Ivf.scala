@@ -44,7 +44,10 @@ object Ivf {
     while (i < cen.length) {
       var d = 0.0; var j = 0
       while (j < dim) { d += v(j) * cen(i)(j); j += 1 }
-      if (d >= bestD) { bestD = d; best = i }
+      // Double.compare, not >=: NaN dots must rank ABOVE every double
+      // exactly as ArgTopCells' struct-sort does, or a NaN vector
+      // trains into a different cell than assignment places it
+      if (java.lang.Double.compare(d, bestD) >= 0) { bestD = d; best = i }
       i += 1
     }
     best

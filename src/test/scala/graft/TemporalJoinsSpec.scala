@@ -79,6 +79,29 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(tol("a").isEmpty && tol("b").contains(2.0))
   }
 
+  test("null left timestamps never match, in either direction") {
+    val left = Seq(
+      (1L, Option.empty[Timestamp], "null-ts"),
+      (1L, Some(ts("2024-01-01 10:00:00")), "ok"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0))
+      .toDF("k", "rt", "v")
+    // backward: asc scan puts nulls first — no carry
+    val back = TemporalJoins.asOfJoin(left, right, Seq("k"), "t", "rt")
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(back("null-ts").isEmpty && back("ok").contains(1.0))
+    // forward: desc scan must ALSO put nulls first, or the null-ts row
+    // would pick up the key's earliest right row as a bogus match
+    val fwd = TemporalJoins.asOfJoinForward(left, right, Seq("k"), "t", "rt")
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(fwd("null-ts").isEmpty && fwd("ok").isEmpty)
+    val laterRight = Seq((1L, ts("2024-01-01 11:00:00"), 2.0))
+      .toDF("k", "rt", "v")
+    val fwd2 = TemporalJoins.asOfJoinForward(left, laterRight, Seq("k"), "t", "rt")
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(fwd2("null-ts").isEmpty && fwd2("ok").contains(2.0))
+  }
+
   test("asOfJoin carry is all-or-nothing: a null field in the latest " +
     "right row must not resurrect an older row's value") {
     val left = Seq((1L, ts("2024-01-01 12:00:00"), "x"))
@@ -152,6 +175,24 @@ class TemporalJoinsSpec extends SparkTestBase {
     val got = TemporalJoins.bandJoin(a, b, Seq("k"), "ta", "tb", 600L)
       .select("id_b").as[Long].collect().toSet
     assert(got == Set(11L))
+  }
+
+  test("bandJoin accepts numeric epoch-second time columns") {
+    val a = Seq((1L, 1L, 1000.0)).toDF("id_a", "k", "ta")
+    val b = Seq(
+      (10L, 1L, 1000.0),   // tie: excluded
+      (11L, 1L, 1600.0),   // exact gap: included
+      (12L, 1L, 1601.0))   // beyond: excluded
+      .toDF("id_b", "k", "tb")
+    val got = TemporalJoins.bandJoin(a, b, Seq("k"), "ta", "tb", 600L)
+      .select("id_b").as[Long].collect().toSet
+    assert(got == Set(11L))
+    val asLong = TemporalJoins.bandJoin(
+      a.withColumn("ta", col("ta").cast("long")),
+      b.withColumn("tb", col("tb").cast("long")),
+      Seq("k"), "ta", "tb", 600L)
+      .select("id_b").as[Long].collect().toSet
+    assert(asLong == Set(11L))
   }
 
   test("hashSample is deterministic and rate-proportional") {
