@@ -337,6 +337,37 @@ object SparkEntry {
           col("sum_qty"), col("n_rows"))
     }),
 
+    // ---- GROUPING SETS: three aggregation levels in one shuffle
+    //      (Spark expands to a single Expand + hash-agg — never three
+    //      scans); grouping_id disambiguates rolled-up cells ----
+    "q_grouping_sets" -> ((s, d) => {
+      t("lineitem")(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_rows"))
+    }),
+
+    // ---- CUBE: all 2^k aggregation levels, same one-Expand plan ----
+    "q_cube_agg" -> ((s, d) => {
+      t("lineitem")(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_rows"))
+    }),
+
     "q_count_distinct" -> ((s, d) => {
       t("lineitem")(s, d).agg(
         countDistinct(col("l_suppkey")).as("n_supp"),
@@ -693,6 +724,57 @@ object SparkEntry {
         .select(col("user_id"), col("id_a"), col("id_b"))
     }),
 
+    // ---- rolling event-time RANGE frame: per-user trailing-1-hour
+    //      sum/count at every event. One shuffle on user_id; the frame
+    //      is O(1) amortized per row (sliding, not recomputed). Sums
+    //      run on integer cents so the result is independent of
+    //      FP addition order — a window sum of doubles is not ----
+    "q_rolling_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc)
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t("events")(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("cents")).over(w).as("roll_cents"),
+          count(lit(1)).over(w).as("roll_n"))
+    }),
+
+    // ---- time-bucket downsampling (OHLC bars): per user-hour
+    //      open/close via min/max over (ts, event_id, value) structs —
+    //      a one-shuffle hash aggregate, never a sort or window;
+    //      event_id breaks timestamp ties deterministically ----
+    "q_ohlc_bars" -> ((s, d) =>
+      t("events")(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          count(lit(1)).as("n_events"))),
+
+    // ---- salted join for skewed keys: same rows as the plain join
+    //      (the oracle), but each hot key fans out over 16 reducers;
+    //      the planner-independent twin of AQE's skew split ----
+    "q_skew_salted_join" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+      val sup = t("supplier")(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.ops.SkewJoin.saltedJoin(li, sup, Seq("l_suppkey"), 16,
+          saltSource = struct(col("l_orderkey"), col("l_linenumber")))
+        .groupBy(col("s_name"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // ---- deterministic content-hash sampling: ~1/16 of lineitem keyed
     //      on md5(orderkey-linenumber) — reproducible on any cluster
     //      layout and any md5-agreeing engine, unlike rand()/sample()
@@ -930,6 +1012,64 @@ object SparkEntry {
          round(sum(l_quantity), 2) AS sum_qty,
          count(*) AS n_rows
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    // grouping_id bit convention (1 = column aggregated away) is the
+    // SQL standard one in both engines; cast to BIGINT to match Spark
+    "q_grouping_sets" ->
+      """SELECT CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls,
+         round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_returnflag), ())""",
+
+    "q_cube_agg" ->
+      """SELECT CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls,
+         round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    // integer-cent sums: a rolling sum of doubles depends on addition
+    // order (segment-tree vs streaming) and would not hash-match
+    "q_rolling_window" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
+         SELECT event_id, user_id,
+           sum(cents) OVER w AS roll_cents,
+           count(*) OVER w AS roll_n
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+
+    "q_ohlc_bars" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr, ts,
+           event_id, value
+         FROM events
+         WHERE user_id IS NOT NULL AND value IS NOT NULL
+           AND ts IS NOT NULL),
+         r AS (SELECT *,
+           row_number() OVER (PARTITION BY user_id, hr
+             ORDER BY ts ASC, event_id ASC) AS rn_a,
+           row_number() OVER (PARTITION BY user_id, hr
+             ORDER BY ts DESC, event_id DESC) AS rn_d
+         FROM e)
+         SELECT user_id, hr,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           max(value) AS high, min(value) AS low,
+           count(*) AS n_events
+         FROM r GROUP BY 1, 2""",
+
+    "q_skew_salted_join" ->
+      """SELECT s_name, round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n_items
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1""",
 
     "q_count_distinct" ->
       """SELECT count(DISTINCT l_suppkey) AS n_supp,
