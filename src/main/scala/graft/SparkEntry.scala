@@ -325,6 +325,30 @@ object SparkEntry {
           round(expr("percentile(value, 0.99D)"), 6).as("p99"))
     }),
 
+    // ---- sketch aggregates with an in-query accuracy contract:
+    //      HLL distinct counts and quantile sketches are MERGEABLE
+    //      partial aggregates (map-side partials, sketch-sized
+    //      shuffle) — at 100 TB they replace the memory-unbounded
+    //      exact forms. The booleans assert the sketch error bounds
+    //      (HLL rsd 1% checked at 5% = 5 sigma; quantile rank error
+    //      n/10000 checked at 5% + 0.5 absolute); the oracle emits
+    //      TRUE, so a sketch drifting out of tolerance hash-fails ----
+    "q_sketch_accuracy" -> ((s, d) => {
+      t("events")(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("nd_exact"),
+          approx_count_distinct(col("user_id"), 0.01).as("nd_hll"),
+          expr("percentile(value, 0.5D)").as("p50_exact"),
+          expr("approx_percentile(value, 0.5D, 10000)").as("p50_sketch"))
+        .select(col("event_type"), col("nd_exact"),
+          (abs(col("nd_hll") - col("nd_exact")) <=
+            col("nd_exact") * 0.05).as("hll_ok"),
+          (abs(col("p50_sketch") - col("p50_exact")) <=
+            abs(col("p50_exact")) * 0.05 + 0.5).as("pq_ok"))
+    }),
+
     // ---- §2.5 extensions: rollup hierarchy totals, distinct-agg ----
     "q_rollup" -> ((s, d) => {
       t("lineitem")(s, d)
@@ -1005,6 +1029,15 @@ object SparkEntry {
          round(quantile_cont(value, 0.9), 6) AS p90,
          round(quantile_cont(value, 0.99), 6) AS p99
          FROM events WHERE value IS NOT NULL GROUP BY event_type""",
+
+    // nd_exact is checked for real; the _ok booleans are the
+    // Spark-side sketch-accuracy contract the oracle asserts
+    "q_sketch_accuracy" ->
+      """SELECT event_type, count(DISTINCT user_id) AS nd_exact,
+         TRUE AS hll_ok, TRUE AS pq_ok
+         FROM events
+         WHERE user_id IS NOT NULL AND value IS NOT NULL
+         GROUP BY event_type""",
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
