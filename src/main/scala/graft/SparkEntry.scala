@@ -325,6 +325,53 @@ object SparkEntry {
           round(expr("percentile(value, 0.99D)"), 6).as("p99"))
     }),
 
+    // ---- UNPIVOT (wide -> long): 4 measure columns melt into
+    //      (measure, val) rows — a Generate, shuffle-free ----
+    "q_unpivot" -> ((s, d) =>
+      t("lineitem")(s, d).unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")),
+
+    // ---- gap-filled hourly timeline with forward fill: densify each
+    //      user's [first, last] hour via sequence+explode (no driver
+    //      loop, no cross join against a global calendar), then carry
+    //      the last close over gap hours. Grid size is bounded by the
+    //      per-user span, and every step is one key shuffle ----
+    "q_gap_fill" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull)
+      val hourly = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("close"), ignoreNulls = true).over(w)
+            .as("filled_value"))
+    }),
+
+    // ---- distribution-position window functions ----
+    "q_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc)
+      t("events")(s, d).na.drop(Seq("value"))
+        .select(col("event_id"), col("event_type"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+    }),
+
     // ---- sketch aggregates with an in-query accuracy contract:
     //      HLL distinct counts and quantile sketches are MERGEABLE
     //      partial aggregates (map-side partials, sketch-sized
@@ -1029,6 +1076,45 @@ object SparkEntry {
          round(quantile_cont(value, 0.9), 6) AS p90,
          round(quantile_cont(value, 0.99), 6) AS p99
          FROM events WHERE value IS NOT NULL GROUP BY event_type""",
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val
+         FROM (UNPIVOT lineitem
+           ON l_quantity, l_extendedprice, l_discount, l_tax
+           INTO NAME measure VALUE val)""",
+
+    "q_gap_fill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr, ts,
+           event_id, value
+         FROM events
+         WHERE user_id IS NOT NULL AND value IS NOT NULL
+           AND ts IS NOT NULL),
+         r AS (SELECT *,
+           row_number() OVER (PARTITION BY user_id, hr
+             ORDER BY ts DESC, event_id DESC) AS rn_d
+         FROM e),
+         h AS (SELECT user_id, hr, count(*) AS n_events,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close
+         FROM r GROUP BY 1, 2),
+         b AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+               FROM h GROUP BY 1),
+         g AS (SELECT user_id,
+           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+         FROM b)
+         SELECT g.user_id, g.hr,
+           coalesce(h.n_events, 0) AS n_events,
+           last_value(h.close IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value
+         FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr""",
+
+    "q_percent_rank" ->
+      """SELECT event_id, event_type,
+         round(percent_rank() OVER w, 6) AS pr,
+         round(cume_dist() OVER w, 6) AS cd
+         FROM events WHERE value IS NOT NULL
+         WINDOW w AS (PARTITION BY event_type ORDER BY value ASC)""",
 
     // nd_exact is checked for real; the _ok booleans are the
     // Spark-side sketch-accuracy contract the oracle asserts
