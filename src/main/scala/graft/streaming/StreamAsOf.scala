@@ -82,16 +82,21 @@ object StreamAsOf {
     require(rVals.intersect(lCols).isEmpty,
       s"right value columns ${rVals.intersect(lCols).mkString(",")} collide with left")
 
-    val lTagged = left.select(
-      to_json(struct(keys.map(col): _*)).as("kj"),
+    // null event times are dropped on BOTH sides: a left row without a
+    // time has no position in event time, so it can neither be
+    // watermark-gated nor matched (the batch twin emits it unmatched —
+    // the one documented divergence); letting it through would crash
+    // the deserializer on the non-nullable tUs field
+    val lTagged = left.na.drop(Seq(leftTime)).select(
+      to_json(struct(keys.map(col): _*), TsFmt).as("kj"),
       col(leftTime).as("_ts"),
       lit(1).as("side"),
-      to_json(struct(lCols.map(col): _*), TsFmt.asJava).as("payload"))
+      to_json(struct(lCols.map(col): _*), TsFmt).as("payload"))
     val rTagged = right.na.drop(Seq(rightTime)).select(
-      to_json(struct(keys.map(col): _*)).as("kj"),
+      to_json(struct(keys.map(col): _*), TsFmt).as("kj"),
       col(rightTime).as("_ts"),
       lit(0).as("side"),
-      to_json(struct(rVals.map(col): _*), TsFmt.asJava).as("payload"))
+      to_json(struct(rVals.map(col): _*), TsFmt).as("payload"))
 
     val tolUs = toleranceSec.map(_ * 1000000L)
     val enriched: Dataset[AsOfOut] = lTagged.unionByName(rTagged)
@@ -113,8 +118,8 @@ object StreamAsOf {
         c, right.schema(c).dataType)))
     enriched.toDF()
       .select(
-        from_json(col("left"), lSchema, TsFmt.asJava).as("_l"),
-        from_json(col("right"), rSchema, TsFmt.asJava).as("_r"))
+        from_json(col("left"), lSchema, TsFmt).as("_l"),
+        from_json(col("right"), rSchema, TsFmt).as("_r"))
       .select(
         lCols.map(c => col("_l").getField(c).as(c)) ++
           rVals.map(c => col("_r").getField(c).as(c)): _*)
@@ -156,17 +161,27 @@ object StreamAsOf {
     if (keep.isEmpty && keptRights.isEmpty) state.remove()
     else {
       state.update(AsOfKeyState(keptRights, keep))
-      if (keep.nonEmpty)
-        state.setTimeoutTimestamp(keep.map(_.tUs).min / 1000L + 1L)
+      // Spark clears the per-key timeout on every invocation, so any
+      // future wake-up must be re-registered here or the key is never
+      // visited again without new data. Three reasons to wake:
+      //  - pending lefts: at the earliest emission point;
+      //  - a tolerance: at the latest right's expiry, so dead carries
+      //    are removed instead of living forever;
+      //  - >1 buffered rights: once the watermark passes the latest
+      //    one they collapse to a single carry.
+      // (A single carry with no tolerance is permanent by design —
+      // that IS the as-of dimension state.)
+      val wakeUs: Option[Long] =
+        if (keep.nonEmpty) Some(keep.map(_.tUs).min)
+        else {
+          val horizon = keptRights.map(_.tUs).max
+          if (tolUs.isDefined) Some(horizon + tolUs.get)
+          else if (keptRights.size > 1) Some(horizon)
+          else None
+        }
+      wakeUs.foreach(us => state.setTimeoutTimestamp(
+        math.max(us / 1000L + 1L, state.getCurrentWatermarkMs() + 1L)))
     }
     out.iterator
-  }
-
-  private implicit class MapToJava[A, B](m: Map[A, B]) {
-    def asJava: java.util.Map[A, B] = {
-      val jm = new java.util.HashMap[A, B]()
-      m.foreach { case (k, v) => jm.put(k, v) }
-      jm
-    }
   }
 }

@@ -34,6 +34,7 @@ class StreamAsOfSpec extends SparkTestBase {
       lms.addData(
         (1L, ts("2025-01-01 09:45:00"), "a"),
         (1L, ts("2025-01-01 10:00:00"), "b"),
+        (1L, null, "null-ts"), // no event-time position: dropped, not a crash
         (2L, ts("2025-01-01 10:00:00"), "no-right"))
       q.processAllAvailable()
       // advance the watermark past every left via a far-future probe
@@ -45,6 +46,37 @@ class StreamAsOfSpec extends SparkTestBase {
         .collect().toMap
       assert(got == Map(
         "a" -> Some(1.0), "b" -> Some(2.0), "no-right" -> None))
+    } finally q.stop()
+  }
+
+  test("asOfEnrich with tolerance cleans dead state instead of growing it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val lms = MemoryStream[(Long, Timestamp, String)]
+    val rms = MemoryStream[(Long, Timestamp, Double)]
+    val enriched = StreamAsOf.asOfEnrich(
+      lms.toDF().toDF("k", "t", "tag"),
+      rms.toDF().toDF("k", "rt", "v"),
+      Seq("k"), "t", "rt", watermark = "0 seconds",
+      toleranceSec = Some(60L))
+    val q = enriched.writeStream.format("memory").queryName("asof_state")
+      .outputMode("append").start()
+    try {
+      // rights on 50 distinct keys that never see a left row
+      rms.addData((1L to 50L).map(k => (k, ts("2025-01-01 08:00:00"), 1.0)))
+      q.processAllAvailable()
+      // advance the watermark far past every carry's expiry
+      lms.addData((999L, ts("2025-01-02 00:00:00"), "sentinel"))
+      q.processAllAvailable()
+      lms.addData((999L, ts("2025-01-03 00:00:00"), "sentinel2"))
+      q.processAllAvailable()
+      val stateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.apply(0).numRowsTotal)
+      // all 50 expired carries evicted; at most the live sentinel key
+      assert(stateRows.exists(_ <= 1L),
+        s"state not cleaned: $stateRows rows retained")
     } finally q.stop()
   }
 
