@@ -325,6 +325,36 @@ object SparkEntry {
           round(expr("percentile(value, 0.99D)"), 6).as("p99"))
     }),
 
+    // ---- exact-moment statistics: corr/slope from integer second
+    //      moments. The built-in corr() accumulates FP co-moments in
+    //      shuffle order — not reproducible, can't hash-match; exact
+    //      integer sums in decimal(38,0) make the whole statistic
+    //      deterministic on any cluster layout, then ONE cast to
+    //      double at the end. Moments stay < 1e38 up to ~1e12 rows ----
+    "q_corr_exact" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val m = t("lineitem")(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("sx"),
+          sum(col("y")).cast(dec).as("sy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("y").cast(dec) * col("y")).as("syy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val denx = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val deny = (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      m.select(col("l_returnflag"),
+        round(num / (sqrt(denx) * sqrt(deny)), 6).as("corr_qty_cents"),
+        round(num / denx, 6).as("slope_cents_per_qty"))
+    }),
+
     // ---- UNPIVOT (wide -> long): 4 measure columns melt into
     //      (measure, val) rows — a Generate, shuffle-free ----
     "q_unpivot" -> ((s, d) =>
@@ -1076,6 +1106,31 @@ object SparkEntry {
          round(quantile_cont(value, 0.9), 6) AS p90,
          round(quantile_cont(value, 0.99), 6) AS p99
          FROM events WHERE value IS NOT NULL GROUP BY event_type""",
+
+    // HUGEINT keeps every moment exact; one cast to double at the end
+    // mirrors the Spark decimal(38,0) path bit-for-bit
+    "q_corr_exact" ->
+      """WITH b AS (SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         FROM lineitem),
+         m AS (SELECT l_returnflag,
+           CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x) AS HUGEINT) AS sx,
+           CAST(sum(y) AS HUGEINT) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+         FROM b GROUP BY 1)
+         SELECT l_returnflag,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS corr_qty_cents,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             AS slope_cents_per_qty
+         FROM m""",
 
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, val
