@@ -325,6 +325,44 @@ object SparkEntry {
           round(expr("percentile(value, 0.99D)"), 6).as("p99"))
     }),
 
+    // ---- deterministic train/val/test split: every document gets
+    //      exactly one label (bands partition the md5 byte space), the
+    //      same label on every run and layout — held-out stays held
+    //      out across pipeline rebuilds ----
+    "q_dataset_split" -> ((s, d) =>
+      graft.ops.Sampling.datasetSplit(
+          t("documents")(s, d), col("doc_id"),
+          Seq(("train", 240), ("val", 8), ("test", 8)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"))),
+
+    // ---- burst-collapse event dedup: drop telemetry repeats landing
+    //      within 10 min of the previous same (user, type) event — one
+    //      key shuffle + lag, the streaming-friendly dedup shape ----
+    "q_event_dedup_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      t("events")(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .filter(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 600000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
+    // ---- blocked fuzzy matching over the distinct part vocabulary:
+    //      near-collision names within 3 edits, candidates from a
+    //      2-char prefix block equi-join — never the all-pairs
+    //      cartesian ----
+    "q_fuzzy_pairs" -> ((s, d) => {
+      val names = t("part")(s, d).select(col("p_name").as("name")).distinct()
+      graft.ops.FuzzyMatch.blockedLevenshteinPairs(
+        names, "name", "name", prefixLen = 2, maxDist = 3)
+    }),
+
     // ---- exact-moment statistics: corr/slope from integer second
     //      moments. The built-in corr() accumulates FP co-moments in
     //      shuffle order — not reproducible, can't hash-match; exact
@@ -1106,6 +1144,36 @@ object SparkEntry {
          round(quantile_cont(value, 0.9), 6) AS p90,
          round(quantile_cont(value, 0.99), 6) AS p99
          FROM events WHERE value IS NOT NULL GROUP BY event_type""",
+
+    "q_dataset_split" ->
+      """WITH s AS (SELECT text,
+           CASE WHEN b < 240 THEN 'train'
+                WHEN b < 248 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT text,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+             AS INTEGER) AS b
+           FROM documents))
+         SELECT split, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
+         FROM s GROUP BY 1""",
+
+    "q_event_dedup_window" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, ts,
+           lag(ts) OVER (PARTITION BY user_id, event_type
+             ORDER BY ts ASC, event_id ASC) AS prev_ts
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+         SELECT event_id, user_id, event_type
+         FROM e
+         WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 10 MINUTE""",
+
+    "q_fuzzy_pairs" ->
+      """WITH p AS (SELECT DISTINCT p_name FROM part),
+         b AS (SELECT p_name, substr(p_name, 1, 2) AS blk FROM p)
+         SELECT a.p_name AS id_a, b2.p_name AS id_b,
+           CAST(levenshtein(a.p_name, b2.p_name) AS INTEGER) AS dist
+         FROM b a JOIN b b2
+           ON a.blk = b2.blk AND a.p_name < b2.p_name
+         WHERE levenshtein(a.p_name, b2.p_name) <= 3""",
 
     // HUGEINT keeps every moment exact; one cast to double at the end
     // mirrors the Spark decimal(38,0) path bit-for-bit

@@ -36,6 +36,34 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, rate256: Int): DataFrame =
     df.filter(keep(key, rate256))
 
+  /** Deterministic dataset split: label every row train/val/test (or
+    * any banding) by which band of the first md5 byte it falls in.
+    * `bands` are (label, width-in-256ths) and must sum to 256, so the
+    * split is EXHAUSTIVE and EXCLUSIVE: each row gets exactly one
+    * label, the same one in every run, on any layout, in any engine —
+    * the property that keeps a held-out set held out across pipeline
+    * rebuilds. Composes with incremental ingest: new rows land in
+    * bands at the configured proportions with no coordination.
+    */
+  def datasetSplit(
+      df: DataFrame,
+      key: Column,
+      bands: Seq[(String, Int)],
+      labelCol: String = "split"): DataFrame = {
+    require(bands.nonEmpty && bands.forall(_._2 > 0),
+      "bands must be non-empty with positive widths")
+    require(bands.map(_._2).sum == 256,
+      s"band widths must sum to 256, got ${bands.map(_._2).sum}")
+    val byte = conv(substring(md5(key.cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    val uppers = bands.map(_._2).scanLeft(0)(_ + _).tail
+    val label = bands.tail.zip(uppers.tail)
+      .foldLeft(when(byte < uppers.head, lit(bands.head._1))) {
+        case (acc, ((l, _), hi)) => acc.when(byte < hi, lit(l))
+      }
+    df.withColumn(labelCol, label)
+  }
+
   /** Per-stratum hash sampling: `rates` maps values of `stratum` to
     * keep-rates in 1/256ths; unlisted strata use `defaultRate256`.
     * The standard rebalancing move (e.g. downsample boilerplate-heavy

@@ -207,6 +207,59 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(all == 20000 && none == 0)
   }
 
+  test("datasetSplit is exhaustive, exclusive, and layout-independent") {
+    import graft.ops.Sampling
+    val df = (1 to 20000).toDF("id")
+    val bands = Seq(("train", 240), ("val", 8), ("test", 8))
+    val got = Sampling.datasetSplit(df, col("id"), bands)
+    assert(got.count() == 20000) // every row labeled (exhaustive)
+    val byLabel = got.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // proportions within loose binomial bounds
+    assert(byLabel("train") > 17000 && byLabel("val") < 1500)
+    // layout-independent: identical assignment after repartition
+    val again = Sampling.datasetSplit(df.repartition(17), col("id"), bands)
+      .select("id", "split").as[(Int, String)].collect().toMap
+    val first = got.select("id", "split").as[(Int, String)].collect().toMap
+    assert(first == again)
+    // the val band members agree with hashSample at the cumulative
+    // boundary: rows below 240 are train, [240,248) are val
+    intercept[IllegalArgumentException] {
+      Sampling.datasetSplit(df, col("id"), Seq(("a", 100), ("b", 100)))
+    }
+  }
+
+  test("blockedLevenshteinPairs equals brute force within blocks") {
+    import graft.ops.FuzzyMatch
+    val words = Seq("red widget", "red widgit", "red gadget", "blue bolt",
+      "blue boltt", "blue jolt", "green gear", "green gears", "greon gear",
+      "tiny cog", "rad widget").zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val df = words.toDF("id", "w")
+    val got = FuzzyMatch.blockedLevenshteinPairs(df, "id", "w",
+        prefixLen = 2, maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, wa) <- words; (ib, wb) <- words
+      if ia < ib && wa.take(2) == wb.take(2) && lev(wa, wb) <= 2
+    } yield (ia, ib, lev(wa, wb))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the documented recall limit: "rad widget" is one edit from
+    // "red widget" but blocks under "ra" vs "re", so the pair is missed
+    assert(lev("rad widget", "red widget") == 1)
+    assert(!got.exists(p => Set(p._1, p._2) == Set(0L, 10L)))
+  }
+
   test("stratifiedHashSample applies per-stratum rates consistently") {
     val df = (1 to 9000).map(i => (i, Seq("a", "b", "c")(i % 3)))
       .toDF("id", "s")
