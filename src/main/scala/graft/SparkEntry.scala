@@ -325,6 +325,22 @@ object SparkEntry {
           round(expr("percentile(value, 0.99D)"), 6).as("p99"))
     }),
 
+    // ---- array higher-order functions over the embedding column:
+    //      per-vector profile computed INSIDE the row (transform /
+    //      filter / aggregate are codegen'd, no explode, no shuffle);
+    //      float->double cast first so both engines do exact-double
+    //      arithmetic in array order ----
+    "q_array_hof" -> ((s, d) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      t("embeddings")(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 6)
+          .as("l2_norm"),
+        size(filter(v, x => x > 0)).as("n_positive"),
+        round(array_max(transform(v, x => abs(x))), 6).as("max_abs"))
+    }),
+
     // ---- deterministic train/val/test split: every document gets
     //      exactly one label (bands partition the md5 byte space), the
     //      same label on every run and layout — held-out stays held
@@ -1144,6 +1160,17 @@ object SparkEntry {
          round(quantile_cont(value, 0.9), 6) AS p90,
          round(quantile_cont(value, 0.99), 6) AS p99
          FROM events WHERE value IS NOT NULL GROUP BY event_type""",
+
+    "q_array_hof" ->
+      """SELECT vec_id,
+         len(embedding) AS dim,
+         round(sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+         len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0))
+           AS n_positive,
+         round(list_max(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
+         FROM embeddings""",
 
     "q_dataset_split" ->
       """WITH s AS (SELECT text,

@@ -39,11 +39,14 @@ object FuzzyMatch {
       col(idCol).as(s"id_$tag"),
       col(textCol).as(s"txt_$tag"),
       substring(col(textCol), 1, prefixLen).as("_blk"))
+    // thresholded levenshtein: O(maxDist * len) with early exit,
+    // returning -1 past the threshold — cheaper than the full O(n*m)
+    // matrix on the (majority) non-matching candidates
+    val d = levenshtein(col("txt_a"), col("txt_b"), maxDist)
     side("a").join(side("b"), "_blk")
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("txt_a")) - length(col("txt_b"))) <= maxDist)
-      .filter(levenshtein(col("txt_a"), col("txt_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("txt_a"), col("txt_b")).as("dist"))
+      .filter(d >= 0)
+      .select(col("id_a"), col("id_b"), d.as("dist"))
   }
 }
