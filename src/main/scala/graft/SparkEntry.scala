@@ -325,6 +325,21 @@ object SparkEntry {
           round(expr("percentile(value, 0.99D)"), 6).as("p99"))
     }),
 
+    // ---- deterministic MODE: two-level aggregate (count per value,
+    //      then struct-argmax with ties to the larger value) — the
+    //      built-in mode() leaves ties unspecified, so it can never
+    //      hash-match; this form is exact and layout-independent ----
+    "q_mode_qty" -> ((s, d) => {
+      t("lineitem")(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("cnt"), col("l_quantity"))).as("m"))
+        .select(col("l_returnflag"),
+          col("m.l_quantity").as("mode_qty"),
+          col("m.cnt").as("mode_n"))
+    }),
+
     // ---- array higher-order functions over the embedding column:
     //      per-vector profile computed INSIDE the row (transform /
     //      filter / aggregate are codegen'd, no explode, no shuffle);
@@ -1160,6 +1175,15 @@ object SparkEntry {
          round(quantile_cont(value, 0.9), 6) AS p90,
          round(quantile_cont(value, 0.99), 6) AS p99
          FROM events WHERE value IS NOT NULL GROUP BY event_type""",
+
+    "q_mode_qty" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+                    FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY cnt DESC, l_quantity DESC) AS rn
+               FROM c)
+         SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
+         FROM r WHERE rn = 1""",
 
     "q_array_hof" ->
       """SELECT vec_id,
