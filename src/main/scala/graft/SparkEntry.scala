@@ -346,11 +346,18 @@ object SparkEntry {
     //      float->double cast first so both engines do exact-double
     //      arithmetic in array order ----
     "q_array_hof" -> ((s, d) => {
-      val v = transform(col("embedding"), x => x.cast("double"))
+      // null elements are skipped and an all-null/empty array yields a
+      // NULL norm — DuckDB's list_sum semantics, made explicit here
+      // (a bare fold would instead poison the sum to null / return the
+      // 0.0 seed)
+      val v = filter(
+        transform(col("embedding"), x => x.cast("double")),
+        x => x.isNotNull)
       t("embeddings")(s, d).select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 6)
+        when(size(v) > 0,
+          round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 6))
           .as("l2_norm"),
         size(filter(v, x => x > 0)).as("n_positive"),
         round(array_max(transform(v, x => abs(x))), 6).as("max_abs"))
@@ -407,9 +414,12 @@ object SparkEntry {
           col("l_quantity").cast("long").as("x"),
           round(col("l_extendedprice") * 100).cast("long").as("y"))
         .groupBy(col("l_returnflag"))
+        // every sum ACCUMULATES in decimal(38,0) — summing cents in
+        // long would overflow the accumulator near ~1e12 rows even
+        // though the final value fits
         .agg(count(lit(1)).cast(dec).as("n"),
-          sum(col("x")).cast(dec).as("sx"),
-          sum(col("y")).cast(dec).as("sy"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
           sum(col("x").cast(dec) * col("y")).as("sxy"),
           sum(col("x").cast(dec) * col("x")).as("sxx"),
           sum(col("y").cast(dec) * col("y")).as("syy"))

@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** First md5 byte of the key as an int in [0, 255] — THE banding
+    * rule shared by the stratified sampler and the dataset split, so
+    * the two can never disagree on band boundaries.
+    */
+  private def hashByte(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+
   private def keep(key: Column, rate256: Int): Column = {
     require(rate256 >= 0 && rate256 <= 256,
       s"rate256 must be in [0,256], got $rate256")
@@ -54,13 +61,16 @@ object Sampling {
       "bands must be non-empty with positive widths")
     require(bands.map(_._2).sum == 256,
       s"band widths must sum to 256, got ${bands.map(_._2).sum}")
-    val byte = conv(substring(md5(key.cast("string")), 1, 2), 16, 10)
-      .cast("int")
+    val byte = hashByte(key)
     val uppers = bands.map(_._2).scanLeft(0)(_ + _).tail
+    // the otherwise branch catches exactly the NULL-key rows (md5 of
+    // null is null, so every band test is null): they land in the
+    // LAST band, deterministically — exhaustiveness holds for them too
     val label = bands.tail.zip(uppers.tail)
       .foldLeft(when(byte < uppers.head, lit(bands.head._1))) {
         case (acc, ((l, _), hi)) => acc.when(byte < hi, lit(l))
       }
+      .otherwise(lit(bands.last._1))
     df.withColumn(labelCol, label)
   }
 
@@ -83,8 +93,6 @@ object Sampling {
     }
     // integer compare of the first hash byte — a 2-hex-char string
     // threshold cannot express rate 256 (keep-all)
-    df.filter(
-      conv(substring(md5(key.cast("string")), 1, 2), 16, 10)
-        .cast("int") < rate)
+    df.filter(hashByte(key) < rate)
   }
 }

@@ -223,8 +223,13 @@ class TemporalJoinsSpec extends SparkTestBase {
       .select("id", "split").as[(Int, String)].collect().toMap
     val first = got.select("id", "split").as[(Int, String)].collect().toMap
     assert(first == again)
-    // the val band members agree with hashSample at the cumulative
-    // boundary: rows below 240 are train, [240,248) are val
+    // band boundaries agree with hashSample's hex-threshold rule:
+    // the train band (byte < 240) is exactly the rate-240 sample
+    val trainIds = got.filter(col("split") === "train")
+      .select("id").as[Int].collect().toSet
+    val sampled = Sampling.hashSample(df, col("id"), 240)
+      .select("id").as[Int].collect().toSet
+    assert(trainIds == sampled)
     intercept[IllegalArgumentException] {
       Sampling.datasetSplit(df, col("id"), Seq(("a", 100), ("b", 100)))
     }
