@@ -27,26 +27,41 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyMatch {
 
+  /** @param suffixProbe add a second candidate pass blocked on the
+    *        LAST `prefixLen` characters and union the results —
+    *        catches pairs whose edits fall inside the prefix (they
+    *        must then agree on the suffix, unless the string is
+    *        shorter than prefixLen + maxDist). Doubles candidate cost
+    *        for roughly "either-end edit" recall.
+    */
   def blockedLevenshteinPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       prefixLen: Int = 2,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      suffixProbe: Boolean = false): DataFrame = {
     require(prefixLen > 0, s"prefixLen must be positive, got $prefixLen")
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
-    def side(tag: String): DataFrame = df.select(
-      col(idCol).as(s"id_$tag"),
-      col(textCol).as(s"txt_$tag"),
-      substring(col(textCol), 1, prefixLen).as("_blk"))
     // thresholded levenshtein: O(maxDist * len) with early exit,
     // returning -1 past the threshold — cheaper than the full O(n*m)
     // matrix on the (majority) non-matching candidates
     val d = levenshtein(col("txt_a"), col("txt_b"), maxDist)
-    side("a").join(side("b"), "_blk")
-      .filter(col("id_a") < col("id_b"))
-      .filter(abs(length(col("txt_a")) - length(col("txt_b"))) <= maxDist)
-      .filter(d >= 0)
-      .select(col("id_a"), col("id_b"), d.as("dist"))
+    def pairsOn(blk: Column): DataFrame = {
+      def side(tag: String): DataFrame = df.select(
+        col(idCol).as(s"id_$tag"),
+        col(textCol).as(s"txt_$tag"),
+        blk.as("_blk"))
+      side("a").join(side("b"), "_blk")
+        .filter(col("id_a") < col("id_b"))
+        .filter(abs(length(col("txt_a")) - length(col("txt_b"))) <= maxDist)
+        .filter(d >= 0)
+        .select(col("id_a"), col("id_b"), d.as("dist"))
+    }
+    val pre = pairsOn(substring(col(textCol), 1, prefixLen))
+    if (!suffixProbe) pre
+    else pre.unionByName(
+        pairsOn(substring(col(textCol), -prefixLen, prefixLen)))
+      .dropDuplicates("id_a", "id_b")
   }
 }

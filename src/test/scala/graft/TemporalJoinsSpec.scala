@@ -263,6 +263,16 @@ class TemporalJoinsSpec extends SparkTestBase {
     // "red widget" but blocks under "ra" vs "re", so the pair is missed
     assert(lev("rad widget", "red widget") == 1)
     assert(!got.exists(p => Set(p._1, p._2) == Set(0L, 10L)))
+    // the suffix probe recovers it (both end in "et") without
+    // duplicating the prefix-found pairs
+    val probed = FuzzyMatch.blockedLevenshteinPairs(df, "id", "w",
+        prefixLen = 2, maxDist = 2, suffixProbe = true)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect()
+    assert(probed.length == probed.map(p => (p._1, p._2)).distinct.length)
+    val probedSet = probed.toSet
+    assert(probedSet.contains((0L, 10L, 1)))
+    assert(got.subsetOf(probedSet))
   }
 
   test("stratifiedHashSample applies per-stratum rates consistently") {
