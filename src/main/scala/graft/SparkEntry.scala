@@ -325,6 +325,14 @@ object SparkEntry {
           round(expr("percentile(value, 0.99D)"), 6).as("p99"))
     }),
 
+    // ---- data-quality profile: per-column null counts and exact
+    //      distinct cardinalities in ONE pass (a single Expand +
+    //      aggregate), long format for joining against expectations ----
+    "q_dq_profile" -> ((s, d) =>
+      graft.ops.DataQuality.nullProfile(
+        t("events")(s, d)
+          .select("event_id", "user_id", "event_type", "value"))),
+
     // ---- deterministic MODE: two-level aggregate (count per value,
     //      then struct-argmax with ties to the larger value) — the
     //      built-in mode() leaves ties unspecified, so it can never
@@ -1185,6 +1193,28 @@ object SparkEntry {
          round(quantile_cont(value, 0.9), 6) AS p90,
          round(quantile_cont(value, 0.99), 6) AS p99
          FROM events WHERE value IS NOT NULL GROUP BY event_type""",
+
+    "q_dq_profile" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM events)
+         SELECT 'event_id' AS column, n_rows,
+           (SELECT count(*) FROM events WHERE event_id IS NULL) AS n_nulls,
+           (SELECT count(DISTINCT event_id) FROM events) AS n_distinct
+         FROM n
+         UNION ALL
+         SELECT 'user_id', n_rows,
+           (SELECT count(*) FROM events WHERE user_id IS NULL),
+           (SELECT count(DISTINCT user_id) FROM events)
+         FROM n
+         UNION ALL
+         SELECT 'event_type', n_rows,
+           (SELECT count(*) FROM events WHERE event_type IS NULL),
+           (SELECT count(DISTINCT event_type) FROM events)
+         FROM n
+         UNION ALL
+         SELECT 'value', n_rows,
+           (SELECT count(*) FROM events WHERE value IS NULL),
+           (SELECT count(DISTINCT value) FROM events)
+         FROM n""",
 
     "q_mode_qty" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt

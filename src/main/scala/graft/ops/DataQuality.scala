@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling — the inspection pass a pipeline runs before
+  * trusting a new data drop.
+  *
+  * `nullProfile` computes, in ONE pass over the input, per-column null
+  * counts and exact distinct cardinalities plus the row total, emitted
+  * in long format (one row per column) so downstream checks can join
+  * against expectation tables. Multiple exact count-distincts compile
+  * to a single Expand + aggregate (one shuffle); for very wide or very
+  * hot tables swap `countDistinct` for `approx_count_distinct` — the
+  * sketch form is mergeable and constant-memory (see
+  * q_sketch_accuracy for the asserted error-bound pattern).
+  *
+  * All emitted metrics are longs, so the profile is deterministic on
+  * any layout and engine — min/max/mean profiling is deliberately NOT
+  * here: cross-type casts and FP means are where cross-engine
+  * comparisons rot.
+  */
+object DataQuality {
+
+  def nullProfile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs =
+      count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c"),
+          countDistinct(col(c)).as(s"_nd_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(cols.map(c => struct(
+      lit(c).as("column"),
+      col(s"_nulls_$c").as("n_nulls"),
+      col(s"_nd_$c").as("n_distinct"))): _*)
+    wide.select(col("n_rows"), explode(entries).as("e"))
+      .select(col("e.column").as("column"), col("n_rows"),
+        col("e.n_nulls").as("n_nulls"),
+        col("e.n_distinct").as("n_distinct"))
+  }
+}
