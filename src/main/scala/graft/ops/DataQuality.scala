@@ -24,16 +24,20 @@ object DataQuality {
 
   def nullProfile(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
+    // backtick-quote source names so dots profile as literal column
+    // names, not struct paths; generated intermediate names are
+    // positional so they never need quoting
+    def src(c: String) = df.col("`" + c.replace("`", "``") + "`")
     val aggs =
       count(lit(1)).as("n_rows") +:
-        cols.flatMap(c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c"),
-          countDistinct(col(c)).as(s"_nd_$c")))
+        cols.zipWithIndex.flatMap { case (c, i) => Seq(
+          sum(when(src(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$i"),
+          countDistinct(src(c)).as(s"_nd_$i")) }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val entries = array(cols.map(c => struct(
+    val entries = array(cols.zipWithIndex.map { case (c, i) => struct(
       lit(c).as("column"),
-      col(s"_nulls_$c").as("n_nulls"),
-      col(s"_nd_$c").as("n_distinct"))): _*)
+      col(s"_nulls_$i").as("n_nulls"),
+      col(s"_nd_$i").as("n_distinct")) }: _*)
     wide.select(col("n_rows"), explode(entries).as("e"))
       .select(col("e.column").as("column"), col("n_rows"),
         col("e.n_nulls").as("n_nulls"),

@@ -18,16 +18,20 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 class LayoutSkippingSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
-    df.collect()
+  private def scanOutputRows(
+      df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    // collect (not count) so the metrics read below belong to THIS
+    // query execution
+    val resultRows = df.collect().length.toLong
     def leafScan(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
       p match {
         case a: AdaptiveSparkPlanExec => leafScan(a.executedPlan)
         case s: FileSourceScanExec => Seq(s)
         case other => other.children.flatMap(leafScan)
       }
-    leafScan(df.queryExecution.executedPlan)
+    val scanned = leafScan(df.queryExecution.executedPlan)
       .map(_.metrics("numOutputRows").value).sum
+    (resultRows, scanned)
   }
 
   test("range filter on a sorted layout skips row groups; shuffled layout scans all") {
@@ -48,14 +52,13 @@ class LayoutSkippingSpec extends SparkTestBase {
         .parquet(s"$dir/shuffled")
 
       val pred = col("k").between(1000, 2000)
-      val sortedRead = scanOutputRows(
+      val (sortedRows, sortedRead) = scanOutputRows(
         spark.read.parquet(s"$dir/sorted").filter(pred))
-      val shuffledRead = scanOutputRows(
+      val (shuffledRows, shuffledRead) = scanOutputRows(
         spark.read.parquet(s"$dir/shuffled").filter(pred))
 
       // both return identical results...
-      assert(spark.read.parquet(s"$dir/sorted").filter(pred).count() == 1001)
-      assert(spark.read.parquet(s"$dir/shuffled").filter(pred).count() == 1001)
+      assert(sortedRows == 1001L && shuffledRows == 1001L)
       // ...but the sorted layout decodes a small fraction of the rows
       // (only the overlapping row groups), the shuffled layout all of
       // them — numOutputRows counts rows surviving the scan's own

@@ -12,6 +12,27 @@ import org.apache.spark.sql.functions._
 class ObservationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("nullProfile counts actual nulls and null-excluding distincts") {
+    import graft.ops.DataQuality
+    val df = Seq(
+      (Some(1L), Some("a")), (None, Some("a")),
+      (Some(2L), None), (Some(2L), Some("b")), (None, None))
+      .toDF("k", "s")
+    val got = DataQuality.nullProfile(df)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // countDistinct excludes nulls (SQL semantics) — n_nulls carries
+    // the null story separately
+    assert(got("k") == ((5L, 2L, 2L)))
+    assert(got("s") == ((5L, 2L, 2L)))
+    // dotted column names resolve as literal names, not struct paths
+    val dotted = DataQuality.nullProfile(
+        df.withColumnRenamed("k", "props.version"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(dotted("props.version") == ((5L, 2L, 2L)))
+  }
+
   test("observe() collects null/row counters on the same pass as the job") {
     val obs = Observation("dq")
     val df = Seq(
