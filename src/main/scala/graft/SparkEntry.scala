@@ -409,6 +409,15 @@ object SparkEntry {
         names, "name", "name", prefixLen = 2, maxDist = 3)
     }),
 
+    // ---- the suffix-probed form: candidates from prefix OR suffix
+    //      blocks, deduplicated — recovers edits inside the prefix ----
+    "q_fuzzy_pairs_probed" -> ((s, d) => {
+      val names = t("part")(s, d).select(col("p_name").as("name")).distinct()
+      graft.ops.FuzzyMatch.blockedLevenshteinPairs(
+        names, "name", "name", prefixLen = 2, maxDist = 3,
+        suffixProbe = true)
+    }),
+
     // ---- exact-moment statistics: corr/slope from integer second
     //      moments. The built-in corr() accumulates FP co-moments in
     //      shuffle order — not reproducible, can't hash-match; exact
@@ -1268,6 +1277,22 @@ object SparkEntry {
 
     // HUGEINT keeps every moment exact; one cast to double at the end
     // mirrors the Spark decimal(38,0) path bit-for-bit
+    "q_fuzzy_pairs_probed" ->
+      """WITH p AS (SELECT DISTINCT p_name FROM part),
+         pre AS (SELECT p_name, substr(p_name, 1, 2) AS blk FROM p),
+         suf AS (SELECT p_name, right(p_name, 2) AS blk FROM p),
+         c AS (
+           SELECT a.p_name AS id_a, b.p_name AS id_b
+           FROM pre a JOIN pre b
+             ON a.blk = b.blk AND a.p_name < b.p_name
+           UNION
+           SELECT a.p_name, b.p_name
+           FROM suf a JOIN suf b
+             ON a.blk = b.blk AND a.p_name < b.p_name)
+         SELECT id_a, id_b,
+           CAST(levenshtein(id_a, id_b) AS INTEGER) AS dist
+         FROM c WHERE levenshtein(id_a, id_b) <= 3""",
+
     "q_corr_exact" ->
       """WITH b AS (SELECT l_returnflag,
            CAST(l_quantity AS BIGINT) AS x,
