@@ -22,6 +22,46 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** One failed expectation: name, number of violating rows. */
+  final case class Violation(name: String, violations: Long)
+
+  /** Raised by [[gate]]; carries every breached expectation. */
+  final class ExpectationsFailed(val failed: Seq[Violation])
+    extends IllegalStateException(
+      failed.map(v => s"${v.name}: ${v.violations} violating rows")
+        .mkString("expectations failed — ", "; ", ""))
+
+  /** Expectation gate: every (name, rowPredicate) must hold on all
+    * but `maxViolations` rows or the load is rejected with an
+    * [[ExpectationsFailed]] listing each breach. A NULL predicate
+    * result counts as a violation (unknown is not a pass).
+    *
+    * All expectations are counted in ONE aggregation pass. This runs
+    * its own job; to gate with zero extra passes, ride the same
+    * counters on the real action via `observe()` (ObservationSpec
+    * shows the pattern) and compare after.
+    */
+  def gate(
+      df: DataFrame,
+      expectations: Seq[(String, org.apache.spark.sql.Column)],
+      maxViolations: Long = 0L): DataFrame = {
+    require(expectations.nonEmpty, "no expectations given")
+    val counts = df.agg(
+      sum(when(coalesce(expectations.head._2, lit(false)), 0L)
+        .otherwise(1L)).as("c0"),
+      expectations.tail.zipWithIndex.map { case ((_, cond), i) =>
+        sum(when(coalesce(cond, lit(false)), 0L).otherwise(1L))
+          .as(s"c${i + 1}")
+      }: _*).head()
+    val failed = expectations.zipWithIndex.collect {
+      case ((name, _), i)
+        if Option(counts.getAs[java.lang.Long](i)).exists(_ > maxViolations) =>
+          Violation(name, counts.getLong(i))
+    }
+    if (failed.nonEmpty) throw new ExpectationsFailed(failed)
+    df
+  }
+
   def nullProfile(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
     // backtick-quote source names so dots profile as literal column

@@ -33,6 +33,29 @@ class ObservationSpec extends SparkTestBase {
     assert(dotted("props.version") == ((5L, 2L, 2L)))
   }
 
+  test("gate passes clean loads and rejects breaches with counts") {
+    import graft.ops.DataQuality
+    val df = Seq((1L, Some(10.0)), (2L, Some(-3.0)), (3L, None))
+      .toDF("id", "v")
+    // clean: ids positive everywhere
+    val out = DataQuality.gate(df, Seq("id_positive" -> (col("id") > 0)))
+    assert(out.count() == 3)
+    // two breaches: one negative v, and the NULL v counts as a
+    // violation too (unknown is not a pass)
+    val ex = intercept[DataQuality.ExpectationsFailed] {
+      DataQuality.gate(df, Seq(
+        "id_positive" -> (col("id") > 0),
+        "v_non_negative" -> (col("v") >= 0)))
+    }
+    assert(ex.failed == Seq(DataQuality.Violation("v_non_negative", 2L)))
+    assert(ex.getMessage.contains("v_non_negative: 2"))
+    // tolerance: 2 violations allowed -> passes
+    DataQuality.gate(df, Seq("v_non_negative" -> (col("v") >= 0)),
+      maxViolations = 2L)
+    // empty input has nothing to violate
+    DataQuality.gate(df.limit(0), Seq("never" -> lit(false)))
+  }
+
   test("observe() collects null/row counters on the same pass as the job") {
     val obs = Observation("dq")
     val df = Seq(
