@@ -109,11 +109,11 @@ object Recall {
       Knn.bruteForceKnn(queries, corpus, 10), "query_id", "vec_id")
     val knnLsh = pairMetric("q_knn_lsh", knnTruth,
       pairSet(Knn.lshKnn(queries, corpus, 64, 10), "query_id", "vec_id"),
-      floor = 0.5)
+      floor = 0.75)
     val knnIvf = pairMetric("q_knn_ivf", knnTruth,
       pairSet(Ivf.ivfKnn(queries, corpus, 64, 10, nlist = 16, nprobe = 4),
         "query_id", "vec_id"),
-      floor = 0.5)
+      floor = 0.75)
 
     Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf)
   }

@@ -1392,13 +1392,15 @@ object SparkEntry {
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
     // integer-cent sums: a rolling sum of doubles depends on addition
-    // order (segment-tree vs streaming) and would not hash-match
+    // order (segment-tree vs streaming) and would not hash-match.
+    // DuckDB types sum(BIGINT) as HUGEINT; cast back so the driver's
+    // type-sensitive hash compares BIGINT to BIGINT.
     "q_rolling_window" ->
       """WITH e AS (SELECT event_id, user_id, ts,
            CAST(round(value * 100) AS BIGINT) AS cents
          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
          SELECT event_id, user_id,
-           sum(cents) OVER w AS roll_cents,
+           CAST(sum(cents) OVER w AS BIGINT) AS roll_cents,
            count(*) OVER w AS roll_n
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY ts

@@ -21,9 +21,18 @@ import org.apache.spark.sql.functions._
   * a sorted-neighborhood key; precision is always exact (the distance
   * predicate is evaluated on the full strings).
   *
-  * A hot block (many records sharing a prefix) concentrates its
-  * candidate pairs on one reducer; guard with a block-size cap or
-  * salt, same pattern as the Dedup pipelines' skew guards.
+  * Hot blocks (many records sharing a prefix — "the ", "a n" — think
+  * celebrity keys at corpus scale) would concentrate their quadratic
+  * candidate volume on ONE reducer. The guard here is recall-free:
+  * blocks above `maxBlock` are detected with a `groupBy.count` +
+  * broadcast (the hot-key set is tiny by construction, same pattern as
+  * Dedup's LSH bucket guard) and routed to a TRIANGLE-SALTED self-join
+  * — each hot-block record is hashed into one of `salts` groups and
+  * replicated to the (salts+1) cells of the upper-triangular group
+  * grid, so every unordered pair still meets in exactly one cell but
+  * per-reducer pair volume falls from n² to (n/salts)². Unlike a
+  * drop-cap, no pair is lost; unlike blanket salting, cold blocks pay
+  * nothing beyond the map-side-combined count.
   */
 object FuzzyMatch {
 
@@ -33,6 +42,13 @@ object FuzzyMatch {
     *        must then agree on the suffix, unless the string is
     *        shorter than prefixLen + maxDist). Doubles candidate cost
     *        for roughly "either-end edit" recall.
+    * @param maxBlock blocks with more rows than this are routed to the
+    *        triangle-salted path (identical results, bounded reducer
+    *        load). The default keeps per-reducer candidates ≤ ~25M
+    *        comparisons; tune down for wide rows.
+    * @param salts group count for the triangle path: per-reducer pair
+    *        volume shrinks by salts², replication cost is (salts+1)×
+    *        per hot-block row.
     */
   def blockedLevenshteinPairs(
       df: DataFrame,
@@ -40,23 +56,65 @@ object FuzzyMatch {
       textCol: String,
       prefixLen: Int = 2,
       maxDist: Int = 3,
-      suffixProbe: Boolean = false): DataFrame = {
+      suffixProbe: Boolean = false,
+      maxBlock: Int = 5000,
+      salts: Int = 16): DataFrame = {
     require(prefixLen > 0, s"prefixLen must be positive, got $prefixLen")
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(maxBlock > 0, s"maxBlock must be positive, got $maxBlock")
+    require(salts > 1, s"salts must be > 1, got $salts")
     // thresholded levenshtein: O(maxDist * len) with early exit,
     // returning -1 past the threshold — cheaper than the full O(n*m)
     // matrix on the (majority) non-matching candidates
     val d = levenshtein(col("txt_a"), col("txt_b"), maxDist)
+    val lenBand =
+      abs(length(col("txt_a")) - length(col("txt_b"))) <= maxDist
+
     def pairsOn(blk: Column): DataFrame = {
       def side(tag: String): DataFrame = df.select(
         col(idCol).as(s"id_$tag"),
         col(textCol).as(s"txt_$tag"),
         blk.as("_blk"))
-      side("a").join(side("b"), "_blk")
+      val tagged = side("a")
+      // hot-key detection: map-side-combined count, tiny result set
+      val hot = tagged.groupBy(col("_blk")).count()
+        .filter(col("count") > maxBlock)
+        .select(col("_blk"))
+      // plain path for cold blocks: equi-join on the block key
+      val coldPairs = tagged
+        .join(broadcast(hot), Seq("_blk"), "left_anti")
+        .join(side("b").join(broadcast(hot), Seq("_blk"), "left_anti"),
+          "_blk")
         .filter(col("id_a") < col("id_b"))
-        .filter(abs(length(col("txt_a")) - length(col("txt_b"))) <= maxDist)
+        .filter(lenBand)
         .filter(d >= 0)
         .select(col("id_a"), col("id_b"), d.as("dist"))
+
+      // triangle-salted path for hot blocks: record → group g =
+      // hash(id) mod salts; left role occupies cells (g, j), j ≥ g;
+      // right role occupies cells (i, g), i ≤ g. Every unordered
+      // cross-group pair meets in exactly one cell (min, max); same-
+      // group pairs meet twice in the diagonal cell with both
+      // orderings, which the id_a < id_b filter collapses to one.
+      val hotRows = tagged.join(broadcast(hot), Seq("_blk"), "left_semi")
+        .withColumn("_g",
+          pmod(xxhash64(col("id_a")), lit(salts.toLong)).cast("int"))
+      val left = hotRows.select(
+        col("id_a"), col("txt_a"), col("_blk"), col("_g").as("_glo"),
+        explode(sequence(col("_g"), lit(salts - 1))).as("_ghi"))
+      val right = hotRows.select(
+        col("id_a").as("id_b"), col("txt_a").as("txt_b"), col("_blk"),
+        explode(sequence(lit(0), col("_g"))).as("_glo"),
+        col("_g").as("_ghi"))
+      val hotPairs = left.join(right, Seq("_blk", "_glo", "_ghi"))
+        .filter(col("_glo") < col("_ghi") || col("id_a") < col("id_b"))
+        .filter(lenBand)
+        .filter(d >= 0)
+        .select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          d.as("dist"))
+      coldPairs.unionByName(hotPairs)
     }
     val pre = pairsOn(substring(col(textCol), 1, prefixLen))
     if (!suffixProbe) pre

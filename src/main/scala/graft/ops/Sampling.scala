@@ -20,21 +20,31 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** First md5 byte of the key as an int in [0, 255] — THE banding
-    * rule shared by the stratified sampler and the dataset split, so
-    * the two can never disagree on band boundaries.
+    * rule shared by every sampler in this module, so they can never
+    * disagree on band boundaries. NULL keys (md5 of null is null) are
+    * pinned to the LAST band (255) so the rule stays exhaustive:
+    * datasetSplit labels them with the last band, hashSample keeps
+    * them only at rate 256 (keep-all), stratifiedHashSample only at a
+    * stratum rate of 256 — one uniform rule, no silent drops at
+    * keep-all rates.
     */
-  private def hashByte(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+  private def hashByte(key: Column): Column = coalesce(
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int"),
+    lit(255))
 
   private def keep(key: Column, rate256: Int): Column = {
     require(rate256 >= 0 && rate256 <= 256,
       s"rate256 must be in [0,256], got $rate256")
     // first md5 byte as two lowercase hex chars: uniform over 0..255.
     // 0 and 256 can't be expressed as a 2-hex-char threshold ("100"
-    // compares lexicographically, not numerically) — constant-fold them
+    // compares lexicographically, not numerically) — constant-fold them.
+    // NULL keys coalesce to "ff" = band 255: dropped at every partial
+    // rate, kept at 256 via the lit(true) branch — the same last-band
+    // rule hashByte applies.
     if (rate256 == 0) lit(false)
     else if (rate256 == 256) lit(true)
-    else substring(md5(key.cast("string")), 1, 2) < lit(f"$rate256%02x")
+    else coalesce(substring(md5(key.cast("string")), 1, 2), lit("ff")) <
+      lit(f"$rate256%02x")
   }
 
   /** Keep ~`rate256`/256 of rows, decided by md5 of `key` — a stable
@@ -63,9 +73,9 @@ object Sampling {
       s"band widths must sum to 256, got ${bands.map(_._2).sum}")
     val byte = hashByte(key)
     val uppers = bands.map(_._2).scanLeft(0)(_ + _).tail
-    // the otherwise branch catches exactly the NULL-key rows (md5 of
-    // null is null, so every band test is null): they land in the
-    // LAST band, deterministically — exhaustiveness holds for them too
+    // NULL keys arrive as byte 255 (hashByte's last-band rule) and the
+    // final band test (byte < 256) catches them; the otherwise branch
+    // is a belt-and-braces backstop for the same last label
     val label = bands.tail.zip(uppers.tail)
       .foldLeft(when(byte < uppers.head, lit(bands.head._1))) {
         case (acc, ((l, _), hi)) => acc.when(byte < hi, lit(l))

@@ -42,7 +42,14 @@ object Bucketed {
       sortCols: Seq[String] = Nil): Unit = {
     require(bucketKeys.nonEmpty, "bucketKeys must be non-empty")
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    // saveAsTable parses the name as a dot-separated multi-part
+    // identifier; the drop must resolve the SAME identifier, so quote
+    // each part with backticks (escaping embedded backticks) instead
+    // of interpolating the raw string — a dashed or reserved-word name
+    // would otherwise mis-parse or target the wrong object
+    val quoted = table.split('.')
+      .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $quoted")
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .option("path", path)

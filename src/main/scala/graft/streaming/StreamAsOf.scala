@@ -81,6 +81,11 @@ object StreamAsOf {
     val lCols = left.columns.toSeq
     require(rVals.intersect(lCols).isEmpty,
       s"right value columns ${rVals.intersect(lCols).mkString(",")} collide with left")
+    // fail at PLAN time on types that cannot round-trip through the
+    // JSON state machine — from_json would otherwise deserialize them
+    // to silent NULLs after a green-looking start
+    validateJsonRoundTrip("left", left.schema)
+    validateJsonRoundTrip("right", right.schema)
 
     // null event times are dropped on BOTH sides: a left row without a
     // time has no position in event time, so it can neither be
@@ -123,6 +128,35 @@ object StreamAsOf {
       .select(
         lCols.map(c => col("_l").getField(c).as(c)) ++
           rVals.map(c => col("_r").getField(c).as(c)): _*)
+  }
+
+  /** Enforce the documented "rows ride as canonical JSON" contract:
+    * binary and calendar-interval values have no JSON round-trip
+    * (from_json yields NULL), and JSON object keys are strings, so
+    * maps with non-string keys cannot come back. Recursive so nested
+    * structs/arrays/maps are checked too.
+    */
+  private def validateJsonRoundTrip(
+      side: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    def check(path: String, dt: DataType): Unit = dt match {
+      case BinaryType | CalendarIntervalType =>
+        throw new IllegalArgumentException(
+          s"asOfEnrich: $side column $path has type ${dt.simpleString}, " +
+            "which does not round-trip through the JSON state payload " +
+            "(from_json would emit NULL); drop or re-encode it first")
+      case m: MapType if m.keyType != StringType =>
+        throw new IllegalArgumentException(
+          s"asOfEnrich: $side column $path is a map with " +
+            s"${m.keyType.simpleString} keys; JSON object keys are " +
+            "strings, so the map cannot round-trip — stringify the keys")
+      case s: StructType =>
+        s.fields.foreach(f => check(s"$path.${f.name}", f.dataType))
+      case a: ArrayType => check(s"$path[]", a.elementType)
+      case m: MapType => check(s"$path{}", m.valueType)
+      case _ => ()
+    }
+    schema.fields.foreach(f => check(f.name, f.dataType))
   }
 
   /** The per-key state transition. Pure over (new rows, old state,

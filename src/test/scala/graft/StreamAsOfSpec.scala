@@ -157,4 +157,35 @@ class StreamAsOfSpec extends SparkTestBase {
       assert(streamed.exists(_._3.isDefined))
     } finally q.stop()
   }
+
+  test("asOfEnrich rejects non-JSON-round-trippable schemas at plan time") {
+    import spark.implicits._
+    val ts = new Timestamp(1704067200000L)
+    val okLeft = Seq((1, ts, "x")).toDF("k", "t", "v")
+    // binary on the right: would come back from from_json as NULL
+    val binRight = Seq((1, ts, Array[Byte](1, 2)))
+      .toDF("k", "rt", "blob")
+    val binLeft = Seq((1, ts, Array[Byte](1, 2))).toDF("k", "t", "lblob")
+    val okRight = Seq((1, ts, "y")).toDF("k", "rt", "rv")
+    val eL = intercept[IllegalArgumentException] {
+      StreamAsOf.asOfEnrich(binLeft, okRight, Seq("k"), "t", "rt")
+    }
+    assert(eL.getMessage.contains("does not round-trip"))
+    val eR = intercept[IllegalArgumentException] {
+      StreamAsOf.asOfEnrich(okLeft, binRight, Seq("k"), "t", "rt")
+    }
+    assert(eR.getMessage.contains("blob"))
+    // map with non-string keys: JSON object keys are strings
+    val mapRight = Seq((1, ts, Map(1 -> "a"))).toDF("k", "rt", "m")
+    val eM = intercept[IllegalArgumentException] {
+      StreamAsOf.asOfEnrich(okLeft, mapRight, Seq("k"), "t", "rt")
+    }
+    assert(eM.getMessage.contains("keys"))
+    // nested binary inside a struct is caught too
+    val nested = Seq((1, ts, (1, Array[Byte](9)))).toDF("k", "rt", "s")
+    val eN = intercept[IllegalArgumentException] {
+      StreamAsOf.asOfEnrich(okLeft, nested, Seq("k"), "t", "rt")
+    }
+    assert(eN.getMessage.contains("s._2"))
+  }
 }

@@ -275,6 +275,65 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(got.subsetOf(probedSet))
   }
 
+  test("NULL sampling keys follow one last-band rule in every sampler") {
+    val df = Seq((1, Option("k1")), (2, Option.empty[String]),
+      (3, Option("k3"))).toDF("id", "k")
+    // partial rates: NULL keys sit in band 255 → dropped, not NULL-ed
+    assert(Sampling.hashSample(df, col("k"), 255)
+      .filter(col("k").isNull).count() == 0)
+    // keep-all keeps them (band 255 < 256)
+    assert(Sampling.hashSample(df, col("k"), 256).count() == 3)
+    // stratified: same rule per-stratum — NULL-key row survives only
+    // where its stratum rate is 256
+    val strat = Seq((1, Option("a"), "s1"), (2, Option.empty[String], "s1"),
+      (3, Option.empty[String], "s2")).toDF("id", "k", "s")
+    val kept = Sampling.stratifiedHashSample(
+        strat, col("k"), col("s"), Map("s1" -> 256, "s2" -> 255))
+      .select("id").as[Int].collect().toSet
+    assert(kept.contains(2) && !kept.contains(3))
+    // datasetSplit: NULL key → last band label, deterministically
+    val split = Sampling.datasetSplit(df, col("k"),
+      Seq(("train", 240), ("val", 8), ("test", 8)))
+    assert(split.filter(col("k").isNull).select("split")
+      .as[String].collect().toSeq == Seq("test"))
+  }
+
+  test("hot-block guard: triangle salt preserves pairs, bounds cells") {
+    import graft.ops.FuzzyMatch
+    // plant a celebrity prefix: 80 rows share "zz", a handful don't
+    val hotWords = (0 until 80).map(i => s"zz item ${i % 7}$i")
+    val coldWords = Seq("red widget", "red widgit", "blue bolt")
+    val words = (hotWords ++ coldWords).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+    val df = words.toDF("id", "w")
+    def run(maxBlock: Int): Set[(Long, Long, Int)] =
+      FuzzyMatch.blockedLevenshteinPairs(df, "id", "w",
+          prefixLen = 2, maxDist = 2, maxBlock = maxBlock, salts = 4)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+        .collect().toSet
+    val guarded = run(maxBlock = 10)   // "zz" block (80) routed to salt
+    val plain = run(maxBlock = 100000) // guard never fires
+    assert(guarded == plain)           // recall-free: identical pairs
+    assert(guarded.nonEmpty)
+    // no duplicate pairs escape the triangle (each unordered pair
+    // meets in exactly one cell)
+    val rows = FuzzyMatch.blockedLevenshteinPairs(df, "id", "w",
+        prefixLen = 2, maxDist = 2, maxBlock = 10, salts = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(rows.length == rows.distinct.length)
+    // bounded cells: with the same deterministic group hash the
+    // largest group is far under the block size, so per-cell candidate
+    // volume is ≤ maxGroup² (vs 80² unguarded)
+    val groupSizes = df
+      .filter(substring(col("w"), 1, 2) === "zz")
+      .groupBy(pmod(xxhash64(col("id")), lit(4L))).count()
+      .as[(Long, Long)].collect().toMap
+    assert(groupSizes.size == 4)
+    val maxGroup = groupSizes.values.max
+    assert(maxGroup < 40, s"degenerate salting: maxGroup=$maxGroup")
+    assert(maxGroup * maxGroup < 80L * 80L / 2)
+  }
+
   test("stratifiedHashSample applies per-stratum rates consistently") {
     val df = (1 to 9000).map(i => (i, Seq("a", "b", "c")(i % 3)))
       .toDF("id", "s")
