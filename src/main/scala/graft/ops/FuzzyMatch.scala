@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * Hot blocks (many records sharing a prefix — "the ", "a n" — think
   * celebrity keys at corpus scale) would concentrate their quadratic
   * candidate volume on ONE reducer. The guard here is recall-free:
-  * blocks above `maxBlock` are detected with a `groupBy.count` +
-  * broadcast (the hot-key set is tiny by construction, same pattern as
-  * Dedup's LSH bucket guard) and routed to a TRIANGLE-SALTED self-join
+  * blocks above `maxBlock` are detected with ONE `groupBy.count`
+  * collected to the driver (bounded by |df|/maxBlock keys, so
+  * scalar-sized by construction — same pattern as Dedup's LSH bucket
+  * guard) and routed via isin literals to a TRIANGLE-SALTED self-join
   * — each hot-block record is hashed into one of `salts` groups and
   * replicated to the (salts+1) cells of the upper-triangular group
   * grid, so every unordered pair still meets in exactly one cell but
@@ -76,27 +77,40 @@ object FuzzyMatch {
         col(textCol).as(s"txt_$tag"),
         blk.as("_blk"))
       val tagged = side("a")
-      // hot-key detection: map-side-combined count, tiny result set
-      val hot = tagged.groupBy(col("_blk")).count()
+      // hot-key detection: ONE map-side-combined count, collected to
+      // the driver — the result is bounded by |df| / maxBlock keys
+      // (each needs > maxBlock rows), so it is scalar-sized by
+      // construction. Driver literals beat re-evaluating the groupBy
+      // subtree under each of the three joins that referenced it
+      // (Spark has no automatic subtree reuse across joins), and the
+      // isin filters evaluate scan-side with zero extra shuffles.
+      val hotKeys: Array[Any] = tagged.groupBy(col("_blk")).count()
         .filter(col("count") > maxBlock)
-        .select(col("_blk"))
-      // plain path for cold blocks: equi-join on the block key
-      val coldPairs = tagged
-        .join(broadcast(hot), Seq("_blk"), "left_anti")
-        .join(side("b").join(broadcast(hot), Seq("_blk"), "left_anti"),
-          "_blk")
+        .select(col("_blk")).collect().map(_.get(0))
+      // rows with a NULL block key can never meet anything in an
+      // equi-join, so excluding them from both paths (isin is NULL on
+      // NULL input) does not change the pair output
+      def cold(t: DataFrame): DataFrame =
+        if (hotKeys.isEmpty) t else t.filter(!col("_blk").isin(hotKeys: _*))
+      val coldPairs = cold(tagged)
+        .join(cold(side("b")), "_blk")
         .filter(col("id_a") < col("id_b"))
         .filter(lenBand)
         .filter(d >= 0)
         .select(col("id_a"), col("id_b"), d.as("dist"))
+      if (hotKeys.isEmpty) coldPairs else saltedUnion(coldPairs, tagged, hotKeys)
+    }
 
+    def saltedUnion(
+        coldPairs: DataFrame, tagged: DataFrame,
+        hotKeys: Array[Any]): DataFrame = {
       // triangle-salted path for hot blocks: record → group g =
       // hash(id) mod salts; left role occupies cells (g, j), j ≥ g;
       // right role occupies cells (i, g), i ≤ g. Every unordered
       // cross-group pair meets in exactly one cell (min, max); same-
       // group pairs meet twice in the diagonal cell with both
       // orderings, which the id_a < id_b filter collapses to one.
-      val hotRows = tagged.join(broadcast(hot), Seq("_blk"), "left_semi")
+      val hotRows = tagged.filter(col("_blk").isin(hotKeys: _*))
         .withColumn("_g",
           pmod(xxhash64(col("id_a")), lit(salts.toLong)).cast("int"))
       val left = hotRows.select(

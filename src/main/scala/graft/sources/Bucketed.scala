@@ -43,11 +43,12 @@ object Bucketed {
     require(bucketKeys.nonEmpty, "bucketKeys must be non-empty")
     require(buckets > 0, s"buckets must be positive, got $buckets")
     // saveAsTable parses the name as a dot-separated multi-part
-    // identifier; the drop must resolve the SAME identifier, so quote
-    // each part with backticks (escaping embedded backticks) instead
-    // of interpolating the raw string — a dashed or reserved-word name
-    // would otherwise mis-parse or target the wrong object
-    val quoted = table.split('.')
+    // identifier; the drop must resolve the SAME identifier, so parse
+    // with the session's own SQL parser (which honors backtick quoting
+    // — a naive split('.') would mangle db.`my.table`) and re-quote
+    // each parsed part, escaping embedded backticks
+    val quoted = df.sparkSession.sessionState.sqlParser
+      .parseMultipartIdentifier(table)
       .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $quoted")
     val w = df.write.mode(SaveMode.Overwrite)

@@ -51,7 +51,7 @@ private[streaming] case class AsOfOut(
   * Rows ride through the state machine as canonical JSON (µs-precision
   * timestamps), so the operator is schema-generic without reflective
   * encoders; column types must round-trip through JSON (atomics,
-  * strings, µs timestamps — not binary). Ties on (key, rightTime)
+  * strings, µs timestamps, base64'd binary). Ties on (key, rightTime)
   * have no defined winner — pre-aggregate the right side, same
   * contract as the batch operator. Rows below the watermark at
   * arrival are DROPPED by the watermark operator before reaching the
@@ -131,20 +131,23 @@ object StreamAsOf {
   }
 
   /** Enforce the documented "rows ride as canonical JSON" contract:
-    * binary and calendar-interval values have no JSON round-trip
-    * (from_json yields NULL), and JSON object keys are strings, so
-    * maps with non-string keys cannot come back. Recursive so nested
+    * calendar-interval values have no JSON round-trip, and JSON object
+    * keys are strings, so maps with non-string keys cannot come back
+    * (from_json fails with INVALID_JSON_MAP_KEY_TYPE). Binary is FINE:
+    * to_json base64-encodes it and from_json decodes it back —
+    * pinned by StreamAsOfSpec — which matters because multimodal
+    * payloads are binary columns. Recursive so nested
     * structs/arrays/maps are checked too.
     */
   private def validateJsonRoundTrip(
       side: String, schema: org.apache.spark.sql.types.StructType): Unit = {
     import org.apache.spark.sql.types._
     def check(path: String, dt: DataType): Unit = dt match {
-      case BinaryType | CalendarIntervalType =>
+      case CalendarIntervalType =>
         throw new IllegalArgumentException(
           s"asOfEnrich: $side column $path has type ${dt.simpleString}, " +
-            "which does not round-trip through the JSON state payload " +
-            "(from_json would emit NULL); drop or re-encode it first")
+            "which does not round-trip through the JSON state payload; " +
+            "drop or re-encode it first")
       case m: MapType if m.keyType != StringType =>
         throw new IllegalArgumentException(
           s"asOfEnrich: $side column $path is a map with " +

@@ -162,30 +162,48 @@ class StreamAsOfSpec extends SparkTestBase {
     import spark.implicits._
     val ts = new Timestamp(1704067200000L)
     val okLeft = Seq((1, ts, "x")).toDF("k", "t", "v")
-    // binary on the right: would come back from from_json as NULL
-    val binRight = Seq((1, ts, Array[Byte](1, 2)))
-      .toDF("k", "rt", "blob")
-    val binLeft = Seq((1, ts, Array[Byte](1, 2))).toDF("k", "t", "lblob")
-    val okRight = Seq((1, ts, "y")).toDF("k", "rt", "rv")
-    val eL = intercept[IllegalArgumentException] {
-      StreamAsOf.asOfEnrich(binLeft, okRight, Seq("k"), "t", "rt")
-    }
-    assert(eL.getMessage.contains("does not round-trip"))
-    val eR = intercept[IllegalArgumentException] {
-      StreamAsOf.asOfEnrich(okLeft, binRight, Seq("k"), "t", "rt")
-    }
-    assert(eR.getMessage.contains("blob"))
     // map with non-string keys: JSON object keys are strings
     val mapRight = Seq((1, ts, Map(1 -> "a"))).toDF("k", "rt", "m")
     val eM = intercept[IllegalArgumentException] {
       StreamAsOf.asOfEnrich(okLeft, mapRight, Seq("k"), "t", "rt")
     }
     assert(eM.getMessage.contains("keys"))
-    // nested binary inside a struct is caught too
-    val nested = Seq((1, ts, (1, Array[Byte](9)))).toDF("k", "rt", "s")
+    // a non-string-keyed map nested inside a struct is caught too
+    val nested = Seq((1, ts, (1, Map(2L -> "b")))).toDF("k", "rt", "s")
     val eN = intercept[IllegalArgumentException] {
       StreamAsOf.asOfEnrich(okLeft, nested, Seq("k"), "t", "rt")
     }
     assert(eN.getMessage.contains("s._2"))
+  }
+
+  test("asOfEnrich round-trips binary payloads through the JSON state") {
+    // multimodal rows carry blobs as binary columns; to_json base64-
+    // encodes BinaryType and from_json decodes it back, so the operator
+    // must accept and faithfully carry binary on both sides
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val lms = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val rms = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val enriched = StreamAsOf.asOfEnrich(
+      lms.toDF().toDF("k", "t", "lblob"),
+      rms.toDF().toDF("k", "rt", "rblob"),
+      Seq("k"), "t", "rt", watermark = "0 seconds")
+    val q = enriched.writeStream.format("memory").queryName("asof_bin")
+      .outputMode("append").start()
+    try {
+      rms.addData((1L, ts("2025-01-01 09:00:00"), Array[Byte](1, 2, 3)))
+      lms.addData((1L, ts("2025-01-01 09:30:00"), Array[Byte](9, 8)))
+      q.processAllAvailable()
+      lms.addData((99L, ts("2025-01-01 23:00:00"), Array[Byte](0)))
+      q.processAllAvailable()
+      val got = spark.table("asof_bin")
+        .filter(col("k") === 1L)
+        .select("lblob", "rblob")
+        .as[(Array[Byte], Array[Byte])].collect()
+      assert(got.length == 1)
+      assert(got(0)._1.toSeq == Seq[Byte](9, 8))
+      assert(got(0)._2.toSeq == Seq[Byte](1, 2, 3))
+    } finally q.stop()
   }
 }
