@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression gate: the PLANS_r*.md audit claims that
+  * make these queries scale — pushed filters, single-shuffle
+  * aggregation, shuffle-free sampling, broadcast band join, top-k
+  * without a global sort — asserted against the actual plans so a
+  * future change that silently un-pushes a filter or adds an Exchange
+  * fails CI instead of the next plan audit's eyeball.
+  *
+  * Same mechanism as BucketedSpec: string checks on the executed
+  * (AQE-final) physical plan, or on `explainString(FormattedMode)`
+  * where the claim is about scan metadata (the tree string truncates
+  * PushedFilters past maxMetadataStringLength).
+  */
+class PlanSpec extends SparkTestBase {
+
+  // plan shape claims are about the production plan, which the tiny
+  // sf0.001 inputs can distort (everything broadcasts); sf0.01 is the
+  // smallest dir where the claims are meaningfully exercised and is
+  // what the driver's Verify runs against
+  private val dir = "/root/testdata/sf0.01"
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  /** Final physical plan string after execution (AQE finalized),
+    * truncated at the Initial Plan section AQE appends so node counts
+    * are not double-counted.
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    val fin = if (cut >= 0) s.substring(0, cut) else s
+    spark.catalog.clearCache()
+    fin
+  }
+
+  /** Count shuffle exchanges (hash/range/single partitioning) in a
+    * final-plan string; BroadcastExchange deliberately not counted.
+    */
+  private def shuffles(plan: String): Int =
+    "Exchange (hash|range|Single)partitioning".r
+      .findAllMatchIn(plan).length
+
+  test("q_point_lookup pushes its key predicate into the parquet scan") {
+    val plan = formatted(q("q_point_lookup"))
+    assert(plan.contains("PushedFilters: [")
+      && !plan.contains("PushedFilters: []"),
+      s"point-lookup filter not pushed:\n$plan")
+  }
+
+  test("q_asof_join pushes the event-type filters into both scans") {
+    val plan = formatted(q("q_asof_join"))
+    assert(plan.contains("EqualTo(event_type,"),
+      s"as-of event-type filter not pushed to the scan:\n$plan")
+    // one Window over the unioned stream — the single-shuffle sorted-
+    // carry shape; a range-join or per-key nested loop would not have it
+    assert(plan.contains("Window"), s"as-of lost its window shape:\n$plan")
+  }
+
+  test("q_grouping_sets aggregates every level through ONE shuffle") {
+    val plan = finalPlan(q("q_grouping_sets"))
+    assert(plan.contains("Expand"), s"no Expand in grouping sets:\n$plan")
+    assert(shuffles(plan) == 1,
+      s"grouping sets expected exactly 1 Exchange, got ${shuffles(plan)}:\n$plan")
+  }
+
+  test("q_cube_agg aggregates every level through ONE shuffle") {
+    val plan = finalPlan(q("q_cube_agg"))
+    assert(plan.contains("Expand"), s"no Expand in cube:\n$plan")
+    assert(shuffles(plan) == 1,
+      s"cube expected exactly 1 Exchange, got ${shuffles(plan)}:\n$plan")
+  }
+
+  test("q_sample_hash is a shuffle-free scan filter") {
+    val plan = finalPlan(q("q_sample_hash"))
+    assert(shuffles(plan) == 0,
+      s"hash sampling must not shuffle, got ${shuffles(plan)}:\n$plan")
+  }
+
+  test("q_range_join plans the band as a broadcast equi-join at sf0.01") {
+    val plan = finalPlan(q("q_range_join"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"band join not broadcast at sf0.01:\n$plan")
+    // the scale contract: an equi-join on the derived bucket, never a
+    // per-key cartesian (BroadcastNestedLoopJoin / CartesianProduct)
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band join degenerated to a cartesian form:\n$plan")
+  }
+
+  test("q_top5_sales takes top-k without a global sort") {
+    val plan = finalPlan(q("q_top5_sales"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k lost TakeOrderedAndProject:\n$plan")
+  }
+}
