@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side architecture is real and tested — schema, typed
   * Dataset plumbing, `mapPartitions` batch shape, deterministic
-  * feature extraction over raw bytes. The codec step itself is a
-  * deliberate stub ([[StubCodec.decodeImage]]): the actual image/audio
-  * libraries are not available in this environment, and swapping the
-  * stub for a real decoder changes no plan shape — `mapPartitions`
-  * amortizes per-partition codec init (the expensive part at 100 TB)
-  * exactly the same way.
+  * feature extraction over raw bytes. The still-image codec is
+  * pluggable behind [[ImageCodec]]: [[ImageIoCodec]] does real
+  * PNG/JPEG decode with the JDK's own `javax.imageio` (no extra
+  * dependency), while [[StubCodec]] remains the deterministic-fake
+  * default for synthetic payloads (and stands in for the video/audio
+  * container ops, whose libraries are not in this environment).
+  * Swapping codecs changes no plan shape — `mapPartitions` amortizes
+  * per-partition codec init (the expensive part at 100 TB) exactly
+  * the same way.
   */
 object Multimodal {
 
@@ -33,11 +36,25 @@ object Multimodal {
       width: Int,
       height: Int)
 
+  /** The still-image codec surface the pipeline operators are generic
+    * over. Implementations must be Serializable — instances ride into
+    * `mapPartitions` closures. Two implementations ship:
+    * [[StubCodec]] (deterministic fakes, works on any bytes — the
+    * CI/oracle path) and [[ImageIoCodec]] (real PNG/JPEG decode via
+    * the JDK's own `javax.imageio`, zero extra dependencies).
+    */
+  trait ImageCodec extends Serializable {
+    /** Decode the payload's (width, height). */
+    def decodeImage(payload: Array[Byte]): (Int, Int)
+    /** Scale the payload to w×h and re-encode. */
+    def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
   /** Deliberately-stubbed codec. Real deployments replace `decodeImage`
     * with an actual library call; everything around it (batching,
     * schema, determinism of the fake) is production plumbing.
     */
-  object StubCodec {
+  object StubCodec extends ImageCodec {
     /** STUB: derives a deterministic fake (width, height) from the
       * payload bytes instead of decoding a real image.
       */
@@ -71,6 +88,48 @@ object Multimodal {
       */
     def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       frameAt(payload, (w.toLong << 32) | h.toLong)
+  }
+
+  /** Real still-image codec on the JDK's `javax.imageio` — PNG, JPEG,
+    * GIF, BMP with no dependency beyond the JRE. Dimension decode
+    * reads only the header (the reader reports width/height without
+    * materializing pixel data), which is what a 100 TB metadata pass
+    * wants; resize materializes, scales bilinearly, and re-encodes as
+    * PNG. Fails loudly on undecodable payloads — at scale, route
+    * assets through a `mime` filter first or wrap with a quarantine
+    * try/catch in the caller, rather than silently fabricating
+    * dimensions (that is StubCodec's documented job).
+    */
+  object ImageIoCodec extends ImageCodec {
+    def decodeImage(payload: Array[Byte]): (Int, Int) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "ImageIoCodec: no reader for payload bytes")
+        val r = readers.next()
+        try { r.setInput(iis); (r.getWidth(0), r.getHeight(0)) }
+        finally r.dispose()
+      } finally iis.close()
+    }
+
+    def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "ImageIoCodec: undecodable payload")
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** One sampled frame of a clip asset. */
@@ -120,10 +179,11 @@ object Multimodal {
       spark: SparkSession,
       assets: DataFrame,
       width: Int,
-      height: Int): Dataset[Asset] = {
+      height: Int,
+      codec: ImageCodec = StubCodec): Dataset[Asset] = {
     import spark.implicits._
     assets.as[Asset].mapPartitions { it =>
-      it.map(a => a.copy(payload = StubCodec.resizeImage(a.payload, width, height)))
+      it.map(a => a.copy(payload = codec.resizeImage(a.payload, width, height)))
     }
   }
 
@@ -131,12 +191,15 @@ object Multimodal {
     * partition, streamed row batches, no driver involvement. This is
     * the `mapInPandas` batch shape expressed natively in Scala.
     */
-  def extractFeatures(spark: SparkSession, assets: DataFrame): Dataset[AssetFeatures] = {
+  def extractFeatures(
+      spark: SparkSession,
+      assets: DataFrame,
+      codec: ImageCodec = StubCodec): Dataset[AssetFeatures] = {
     import spark.implicits._
     assets.as[Asset].mapPartitions { it =>
       // per-partition init goes here (codec contexts, model handles)
       it.map { a =>
-        val (w, h) = StubCodec.decodeImage(a.payload)
+        val (w, h) = codec.decodeImage(a.payload)
         AssetFeatures(
           asset_id = a.asset_id,
           mime = a.mime,

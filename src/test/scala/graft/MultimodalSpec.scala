@@ -30,6 +30,40 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.StubCodec.decodeImage(p.clone()))
   }
 
+  private def fixturePng(): Array[Byte] = {
+    val in = getClass.getResourceAsStream("/multimodal/fixture_4x3.png")
+    assert(in != null, "missing committed PNG fixture")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("ImageIoCodec decodes the committed PNG fixture's real dimensions") {
+    assert(Multimodal.ImageIoCodec.decodeImage(fixturePng()) == (4, 3))
+    // undecodable bytes fail loudly instead of fabricating dimensions
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decodeImage("not a png".getBytes("UTF-8"))
+    }
+  }
+
+  test("extractFeatures with ImageIoCodec reports real dims through the pipeline") {
+    val png = fixturePng()
+    val assets = Seq((1L, "image/png", png)).toDF("asset_id", "mime", "payload")
+    val feats = Multimodal.extractFeatures(spark, assets, Multimodal.ImageIoCodec)
+      .collect()
+    assert(feats.length == 1)
+    assert((feats(0).width, feats(0).height) == (4, 3))
+    assert(feats(0).n_bytes == png.length.toLong)
+  }
+
+  test("resizeAssets with ImageIoCodec re-encodes at the target size") {
+    val assets = Seq((1L, "image/png", fixturePng()))
+      .toDF("asset_id", "mime", "payload")
+    val resized = Multimodal.resizeAssets(
+      spark, assets, 8, 6, Multimodal.ImageIoCodec).collect()
+    assert(resized.length == 1)
+    // the output is itself a decodable image at the requested size
+    assert(Multimodal.ImageIoCodec.decodeImage(resized(0).payload) == (8, 6))
+  }
+
   test("sampleFrames: one row per interval, deterministic bytes, 1→N shape") {
     val docs = Seq((1L, "x" * 300), (2L, "y")).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(
