@@ -1,19 +1,44 @@
 package graft
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.GraftCoreShims
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR (default sf0.1), local[32].
   *
-  * Prints ONE JSON line and also writes it to a file
-  * (SPARK_GRAFT_BENCH_OUT, default ./BENCH_OUT.json) so the driver
-  * never has to fish the line out of the sbt log stream. A failing
-  * query FAILS the run (non-zero exit) — round 1 recorded broken
-  * queries as fast successes.
+  * Writes the full result JSON (per-query seconds AND per-query
+  * shuffle read/write bytes — wall-time saturated the baseline rounds
+  * ago; shuffle volume is the signal that catches O(n²) candidate
+  * growth in the LSH paths before wall-time does) to a file
+  * (SPARK_GRAFT_BENCH_OUT, default ./BENCH_OUT.json) and stdout, then
+  * prints a SHORT summary JSON line LAST: the driver keeps only the
+  * tail of the log, and the full line has outgrown it (r4/r5 both
+  * recorded parsed:null from a head-truncated line). A failing query
+  * FAILS the run (non-zero exit) — round 1 recorded broken queries as
+  * fast successes.
   *
   * Optional args: query names to run (subset, for local iteration).
   */
 object Bench {
+
+  /** Accumulates shuffle bytes across task-end events; reset per
+    * query, snapshot after draining the listener bus.
+    */
+  private final class ShuffleListener extends SparkListener {
+    val read = new AtomicLong(0L)
+    val write = new AtomicLong(0L)
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def reset(): Unit = { read.set(0L); write.set(0L) }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -55,28 +80,44 @@ object Bench {
     }
     spark.catalog.clearCache()
     System.gc()
+    val shuffle = new ShuffleListener
+    spark.sparkContext.addSparkListener(shuffle)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      shuffle.reset()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      // task-end events are async; drain before snapshotting so each
+      // query's shuffle bytes land on the query that caused them
+      GraftCoreShims.drainListenerBus(spark.sparkContext)
+      val sh = (shuffle.read.get(), shuffle.write.get())
       // queries persist intermediate signature tables; drop them so
       // timings stay independent, and nudge GC so one query's garbage
       // is not billed to the next
       spark.catalog.clearCache()
       System.gc()
-      name -> dt
+      (name, dt, sh)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, (r, w)) =>
+      "\"" + k + s"""\":{"read":$r,"write":$w}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"sf":"$sfDir"}"""
+    println(full)
+    Files.writeString(Paths.get(out), full + "\n")
+    // the contract-format line (no shuffle map) goes LAST on both
+    // streams: the driver keeps only the tail of the log, and printing
+    // the longer line first means the tail window cuts INTO that one,
+    // leaving this line intact and parseable (r4/r5 recorded
+    // parsed:null because the single long line lost its head)
+    val contract =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // also on stderr and in a known file: the driver's log-fishing
-    // parser gets two sbt-prefix-free escape hatches
-    System.err.println(json)
-    Files.writeString(Paths.get(out), json + "\n")
+    println(contract)
+    System.err.println(contract)
     spark.stop()
   }
 }

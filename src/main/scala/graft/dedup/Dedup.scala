@@ -110,7 +110,7 @@ object Dedup {
   /** Candidate near-dup pairs from MinHash-LSH banding: a pair is a
     * candidate if any band agrees. Output (doc_a, doc_b), deduplicated.
     */
-  private def minhashCandidates(
+  private[graft] def minhashCandidates(
       signed: DataFrame, // (doc_id, sig)
       bands: Int,
       r: Int,

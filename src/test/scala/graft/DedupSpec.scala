@@ -166,6 +166,35 @@ class DedupSpec extends SparkTestBase {
     assert(unguarded.size == 15, "all C(6,2) clone pairs emerge when the cap allows")
   }
 
+  test("LSH candidate volume stays sub-quadratic on the real corpus") {
+    // the scale contract of banding: candidate pairs ~ O(dups + noise),
+    // NOT O(n²)/2 — a silent regression here (wider bands, a broken
+    // bucket guard) is what turns the 100 TB run quadratic long before
+    // wall-time shows it at test scale
+    val n = docs.count()
+    val allPairs = n * (n - 1) / 2
+    val signed = docs.select(col("doc_id"),
+      Dedup.minhashSignature(
+        Dedup.shingleHashes(col("text"), 3), 128).as("sig"))
+    val candidates = Dedup.minhashCandidates(
+      signed, bands = 16, r = 8, maxBucket = 1000).count()
+    assert(candidates < allPairs / 20,
+      s"LSH produced $candidates candidates for $n docs " +
+        s"($allPairs all-pairs) — the banding is no longer selective")
+    // and the guard bounds the degenerate case: clones of ONE text
+    // would meet in every band; past maxBucket they must not explode
+    val clones = (1L to 300L)
+      .map(i => (i, "identical boilerplate forming one degenerate bucket"))
+      .toDF("doc_id", "text")
+    val cloneSigned = clones.select(col("doc_id"),
+      Dedup.minhashSignature(
+        Dedup.shingleHashes(col("text"), 3), 128).as("sig"))
+    val guarded = Dedup.minhashCandidates(
+      cloneSigned, bands = 16, r = 8, maxBucket = 50).count()
+    assert(guarded == 0,
+      s"degenerate 300-clone bucket leaked $guarded candidates past the guard")
+  }
+
   test("nearDupClusters: multi-hop chains collapse to the min id") {
     // components: {1,2,3,4} as a chain (needs >1 propagation round),
     // {10,11}, and 20–21–22 as a triangle-ish fan
