@@ -198,26 +198,17 @@ object PosOps {
   def topK(df: DataFrame, k: Int, ordering: Column*): DataFrame =
     df.orderBy(ordering: _*).limit(k)
 
-  /** Skew-safe inner equi-join: the fact side gets a deterministic salt
-    * in [0, salts) (hash of the whole row — content-stable across
-    * retries), the dimension side is replicated `salts`× via explode,
-    * and the join runs on (key, salt) so one hot key spreads over
-    * `salts` shuffle partitions instead of one straggler task.
-    *
-    * This is the manual fallback for when AQE's skew-join split can't
-    * apply (e.g. the skewed side feeds an aggregation that blocks the
-    * runtime rewrite). Output = exactly the plain inner join.
+  /** Skew-safe inner equi-join, the single-key convenience form:
+    * delegates to [[SkewJoin.saltedJoin]] (the one implementation)
+    * with the whole fact row as the salt source — content-stable
+    * across retries with no column choice required. Output = exactly
+    * the plain inner join.
     */
   def saltedJoin(
       fact: DataFrame,
       dim: DataFrame,
       key: String,
-      salts: Int): DataFrame = {
-    require(salts > 0, "salts must be positive")
-    val salted = fact.withColumn("_salt",
-      pmod(xxhash64(struct(fact.columns.map(col).toIndexedSeq: _*)), lit(salts)))
-    val replicated = dim.withColumn("_salt",
-      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
-  }
+      salts: Int): DataFrame =
+    SkewJoin.saltedJoin(fact, dim, Seq(key), salts,
+      struct(fact.columns.map(col).toIndexedSeq: _*))
 }

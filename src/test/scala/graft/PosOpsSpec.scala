@@ -95,6 +95,36 @@ class PosOpsSpec extends SparkTestBase {
     assert(got == Seq((2, 9.0), (4, 9.0)))
   }
 
+  test("decimal money mode classifies the tier boundaries identically") {
+    // SURVEY §7.4.6: money as DECIMAL(12,2) is the one-line schema
+    // variant for exact-cent deployments; tiering at the {100, 500,
+    // 2000} boundaries must agree with double mode, including sums
+    // assembled from many cent-sized rows (the FP-drift shape)
+    val customers = (1 to 8).map(i => (i, s"c$i")).toDF("cust_id", "name")
+    val amounts = Seq(
+      (1, Seq(99.99)),            // Bronze: just under
+      (2, Seq(100.00)),           // Silver: exactly at
+      (3, Seq(499.99)),           // Silver: just under
+      (4, Seq(250.00, 250.00)),   // Gold: exactly at, summed
+      (5, Seq(1999.99)),          // Gold: just under
+      (6, Seq.fill(4)(500.00)),   // Platinum: exactly at, summed
+      (7, Seq.fill(10000)(0.01))) // Silver: 10k cent rows sum to 100
+    val sales = amounts.flatMap { case (c, as) => as.map(a => (c, a)) }
+      .toDF("cust_id", "amount")
+    def tiers(amount: org.apache.spark.sql.Column): Map[Int, String] =
+      PosOps.membershipLevel(customers, sales, "cust_id",
+        amount, 100d, 500d, 2000d)
+        .select("cust_id", "membership_level")
+        .as[(Int, String)].collect().toMap
+    val dbl = tiers(col("amount"))
+    val dec = tiers(col("amount").cast("decimal(12,2)"))
+    val want = Map(1 -> "Bronze", 2 -> "Silver", 3 -> "Silver",
+      4 -> "Gold", 5 -> "Gold", 6 -> "Platinum", 7 -> "Silver",
+      8 -> "Bronze") // never purchased: coalesce default
+    assert(dec == want, s"decimal mode drifted: $dec")
+    assert(dbl == want, s"double mode drifted: $dbl")
+  }
+
   test("saltedJoin equals the plain inner join under a hot key") {
     // 1000 rows of one hot key + a long tail
     val fact = (1 to 1000).map(i => (7, i)) ++ (1 to 50).map(i => (i % 5, -i))
