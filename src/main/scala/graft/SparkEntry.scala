@@ -708,6 +708,60 @@ object SparkEntry {
     "q_doc_bm25" -> ((s, d) =>
       graft.text.TextOps.bm25(t("documents")(s, d), "doc_id", "text")),
 
+    // ---- PII redaction: email/phone/IPv4 → typed placeholder tags.
+    //      The corpus is synthetic word soup, so PII-shaped strings
+    //      are derived per-doc INSIDE the query (identically in the
+    //      oracle SQL) and then scrubbed — the operator under test is
+    //      the chained regexp_replace, which stays codegen'd and
+    //      shuffle-free over a 100 TB corpus ----
+    "q_doc_redact" -> ((s, d) => {
+      import graft.text.TextOps._
+      val derived = concat(
+        col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or 555-123-4567 at 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7"))
+      t("documents")(s, d).select(
+        col("doc_id"),
+        redactPii(derived).as("red_text"),
+        size(regexp_extract_all(derived, lit(emailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(derived, lit(phonePattern), lit(0)))
+          .cast("long").as("n_phones"))
+    }),
+
+    // ---- Gopher-style repetition quality signals: duplicate-token
+    //      fraction + top-token fraction per document ----
+    "q_doc_repetition" -> ((s, d) =>
+      graft.text.TextOps.repetitionSignals(
+        t("documents")(s, d), "doc_id", "text")),
+
+    // ---- flagship pretraining-corpus pipeline: quality gate →
+    //      language filter → exact dedup (min-id per fingerprint) →
+    //      deterministic hash sample. The composition a reference user
+    //      runs end-to-end before training; every stage is the
+    //      already-proven operator, chained. One explode-free scan for
+    //      the per-doc features, ONE shuffle (the fingerprint groupBy
+    //      — the join back is on the SAME key so AQE reuses the
+    //      exchange), and the sample filter is a scan-side predicate ----
+    "q_pretrain_pipeline" -> ((s, d) => {
+      import graft.text.TextOps._
+      val enriched = t("documents")(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        punctCount(col("text")).as("n_punct"),
+        langId(col("text")).as("lang_pred"),
+        fingerprint(col("text")).as("fp"))
+      val filtered = enriched.filter(
+        col("n_tokens") >= 10 &&
+          col("n_punct") * 2 <= col("n_tokens") &&
+          col("lang_pred") === "en")
+      val kept = filtered.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      kept.join(filtered.select("doc_id", "n_tokens"), Seq("doc_id"))
+        .filter(substring(col("fp"), 1, 2) < "c0") // keep 192/256 = 75%
+        .select("doc_id", "n_tokens", "fp")
+    }),
+
     // ---- corpus frequency analysis: top-k word trigrams (boilerplate
     //      detection); native one-pass ShingleStrings (the HOF
     //      `shingles()` form re-ran the tokenizing regex once per
@@ -1476,6 +1530,68 @@ object SparkEntry {
          JOIN dl ON dl.doc_id = tf.doc_id
          JOIN df ON df.term = tf.term
          CROSS JOIN tot""",
+
+    // PII-bearing text derived identically (the corpus itself is
+    // PII-free word soup); regexes are in the Java∩RE2 subset; the
+    // 'g' flag matches Spark's replace-all default
+    "q_doc_redact" ->
+      """WITH src AS (SELECT doc_id,
+           text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+           '@mail.example.org or 555-123-4567 at 10.0.' ||
+           CAST(doc_id % 256 AS VARCHAR) || '.7' AS derived
+         FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(derived,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+             AS red_text,
+           CAST(len(regexp_extract_all(derived,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(derived,
+             '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b')) AS BIGINT) AS n_phones
+         FROM src""",
+
+    "q_doc_repetition" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\S+')) AS term
+                 FROM documents)
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct, max(tf) AS top_tf
+           FROM tf GROUP BY 1)
+         SELECT doc_id, n_tokens,
+           round(CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens, 6)
+             AS dup_token_frac,
+           round(CAST(top_tf AS DOUBLE) / n_tokens, 6) AS top_token_frac
+         FROM agg""",
+
+    "q_pretrain_pipeline" ->
+      """WITH enriched AS (SELECT doc_id, text,
+           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS en_hits,
+           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS de_hits,
+           len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un)\b')) AS fr_hits,
+           len(regexp_extract_all(lower(text), '\b(el|los|las|es|un|una)\b')) AS es_hits,
+           md5(text) AS fp
+         FROM documents),
+         filtered AS (SELECT * FROM enriched
+           WHERE n_tokens >= 10 AND n_punct * 2 <= n_tokens
+             AND en_hits >= de_hits AND en_hits >= fr_hits
+             AND en_hits >= es_hits AND en_hits > 0),
+         kept AS (SELECT fp, min(doc_id) AS doc_id
+           FROM filtered GROUP BY 1)
+         SELECT k.doc_id, f.n_tokens, k.fp
+         FROM kept k JOIN filtered f ON f.doc_id = k.doc_id
+         WHERE substr(k.fp, 1, 2) < 'c0'""",
 
     // distinct-per-doc trigrams (matching shingles()' array_distinct),
     // counted across docs

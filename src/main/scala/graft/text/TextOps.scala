@@ -182,6 +182,58 @@ object TextOps {
           .as("n_chunk_tokens"))
   }
 
+  // PII-scrub patterns, restricted to the Java-regex ∩ RE2 subset
+  // (no lookaround, no backreferences) so the DuckDB oracle evaluates
+  // them identically. Deliberately high-recall shapes — a training-
+  // data scrub prefers over-redaction to leakage.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: replace emails, phone-shaped numbers, and IPv4
+    * addresses with typed placeholder tags. A pure chained
+    * `regexp_replace` expression — codegen'd, shuffle-free,
+    * linear over a 100 TB corpus; order matters (emails first, so an
+    * address's digits are gone before the phone pass; IP last so
+    * phone fragments don't half-match it).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipv4Pattern, "<IP>")
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * fraction of tokens belonging to duplicate occurrences — tokens
+    * beyond the first occurrence of each distinct token — and the
+    * fraction claimed by the single most frequent token. High values
+    * flag degenerate/boilerplate documents that poison training data.
+    *
+    * One tokenize+explode pass, one (doc,term) aggregation, one
+    * per-doc rollup — grouped shuffles only, no window over the
+    * corpus, no driver involvement; ratios round(6) for
+    * engine-identical hashing.
+    */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens"), 6).as("dup_token_frac"),
+        round(col("top_tf").cast("double") / col("n_tokens"), 6)
+          .as("top_token_frac"))
+
   /** Content fingerprint: md5 of the UTF-8 bytes. For a 100 TB corpus
     * this is the exact-dedup key — group/bucket by `fingerprint` and
     * keep `min(doc_id)`.

@@ -111,4 +111,37 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
     assert(got(3L).toSeq == Seq((3L, 0L, "", 0L)))
   }
+
+  test("redactPii scrubs emails, phones, IPs; leaves near-misses alone") {
+    val df = Seq(
+      (1L, "mail a.b-c@x.co.uk and d%e@y.io, call 555-123-4567, " +
+        "host 192.168.0.1"),
+      (2L, "not-pii: version 1234.5.6.7, plain 555 1234, at@ sign"),
+      (3L, "dotted phone 800.555.1234 0100 then 10.0.0.255 ends"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      graft.text.TextOps.redactPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP>")
+    // 1234.5.6.7 has a 4-digit first octet (no \b match inside the
+    // run); "555 1234" lacks a third group; "at@ sign" has no domain
+    assert(got(2L) == "not-pii: version 1234.5.6.7, plain 555 1234, at@ sign")
+    // dot-separated phone wins over the would-be-IP reading because
+    // the phone pass runs first; trailing real IP still caught
+    assert(got(3L) == "dotted phone <PHONE> 0100 then <IP> ends")
+  }
+
+  test("repetitionSignals: duplicate-token and top-token fractions") {
+    val df = Seq(
+      (1L, "a a a b"),          // 4 tokens, 2 distinct, top 3
+      (2L, "x y z"),            // no repetition
+      (3L, "The the THE"))      // case-folds to one term
+      .toDF("doc_id", "text")
+    val got = graft.text.TextOps.repetitionSignals(df, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 0.5, 0.75)))
+    assert(got(2L) == ((3L, 0.0, 0.333333)))   // round(1/3, 6)
+    assert(got(3L) == ((3L, 0.666667, 1.0)))   // round(2/3, 6)
+  }
 }
