@@ -762,6 +762,46 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "fp")
     }),
 
+    // ---- benchmark decontamination: training docs sharing a 4-gram
+    //      with the held-out eval shard (doc_id % 20 == 0 plays the
+    //      benchmark suite); the benchmark shingle set broadcasts,
+    //      the train side is one map-side semi-joined scan ----
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      graft.dedup.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleLen = 4)
+    }),
+
+    // ---- incremental cross-corpus dedup: best ≥0.8-Jaccard corpus
+    //      match per new-batch doc (batch = doc_id % 5 == 0) — the
+    //      daily-crawl-vs-historical-corpus shape, O(batch) not
+    //      O(corpus) per increment ----
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      graft.dedup.Dedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")
+    }),
+
+    // ---- CCNet-style boilerplate segment removal: aligned 10-token
+    //      segments occurring in ≥2 distinct docs are deleted, text
+    //      reassembled in order; row count stays = |documents| ----
+    "q_boilerplate_strip" -> ((s, d) =>
+      graft.text.TextOps.stripBoilerplate(
+        t("documents")(s, d), "doc_id", "text")),
+
+    // ---- sequence packing: greedy fill of 256-token context windows
+    //      within 8 deterministic pack buckets — the padding-free
+    //      pretraining batch layout; parallel across buckets, native
+    //      linear PackWindows fold within one ----
+    "q_pack_sequences" -> ((s, d) =>
+      graft.ops.Packing.packSequences(
+        t("documents")(s, d), "doc_id", "text",
+        capacity = 256L, buckets = 8)),
+
     // ---- corpus frequency analysis: top-k word trigrams (boilerplate
     //      detection); native one-pass ShingleStrings (the HOF
     //      `shingles()` form re-ran the tokenizing regex once per
@@ -891,6 +931,24 @@ object SparkEntry {
     "q_embedding_neardup_ivf" -> ((s, d) => {
       graft.similarity.Ivf.cellNearDup(
         t("embeddings")(s, d), "vec_id", "embedding", 64, 0.4)
+    }),
+
+    // ---- SemDeDup-shape semantic corpus collapse (Abbas et al.
+    //      2023): connected components over the cosine near-dup
+    //      graph, keep one representative (min id) per semantic
+    //      cluster, emit the surviving ids. Same scoped all-pairs
+    //      oracle path as q_embedding_neardup; the 100 TB path swaps
+    //      in cellNearDup (IVF cells = the SemDeDup k-means step)
+    //      for pair generation — the collapse algebra is identical ----
+    "q_semantic_collapse" -> ((s, d) => {
+      val emb = t("embeddings")(s, d).filter(col("vec_id") < 500)
+      val pairs = graft.dedup.Dedup.embeddingNearDup(
+        emb, "vec_id", "embedding", 0.4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val losers = graft.dedup.Dedup.nearDupClusters(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("vec_id"))
+      emb.select(col("vec_id")).join(losers, Seq("vec_id"), "left_anti")
     }),
 
     // ---- multimodal frame sampling: 1 asset → N timestamped frames
@@ -1593,6 +1651,105 @@ object SparkEntry {
          FROM kept k JOIN filtered f ON f.doc_id = k.doc_id
          WHERE substr(k.fp, 1, 2) < 'c0'""",
 
+    // 4-gram shingle sets per side (distinct per doc, short-doc
+    // fallback = whole token sequence, matching shingleHashes); a
+    // train doc's hit count = its shingles present in the benchmark
+    // shingle union
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 4
+             THEN [array_to_string(toks[i:i+3], ' ')
+                   for i in range(1, len(toks) - 2)]
+             ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         bench AS (SELECT DISTINCT unnest(sh) s FROM g
+           WHERE doc_id % 20 = 0),
+         train AS (SELECT doc_id, unnest(sh) s FROM g
+           WHERE doc_id % 20 <> 0)
+         SELECT train.doc_id, count(*) AS n_contaminated
+         FROM train JOIN bench USING (s) GROUP BY 1""",
+
+    // cross-set trigram Jaccard; best corpus match per batch doc =
+    // highest jaccard, ties toward the smallest corpus id — the
+    // ORDER BY uses the UNROUNDED jaccard (bit-identical integer
+    // division in both engines), rounding only the emitted value
+    "q_dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN [array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, len(toks) - 1)]
+             ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) s FROM g),
+         p AS (SELECT b.doc_id batch_doc, c.doc_id corpus_doc,
+                 count(*) common
+               FROM e b JOIN e c ON b.s = c.s
+               WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+               GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(sh) n_sh FROM g),
+         j AS (SELECT batch_doc, corpus_doc,
+                 CAST(common AS DOUBLE)
+                   / CAST(a.n_sh + b.n_sh - common AS DOUBLE) AS jac,
+                 row_number() OVER (PARTITION BY batch_doc
+                   ORDER BY CAST(common AS DOUBLE)
+                     / CAST(a.n_sh + b.n_sh - common AS DOUBLE) DESC,
+                   corpus_doc ASC) AS rn
+               FROM p
+               JOIN sz a ON a.doc_id = batch_doc
+               JOIN sz b ON b.doc_id = corpus_doc
+               WHERE CAST(common AS DOUBLE)
+                   / CAST(a.n_sh + b.n_sh - common AS DOUBLE) >= 0.8)
+         SELECT batch_doc, corpus_doc AS dup_of,
+           round(jac, 6) AS jaccard
+         FROM j WHERE rn = 1""",
+
+    // aligned 10-token segments; segments in ≥2 distinct docs are
+    // boilerplate; surviving segments reassemble in index order, and
+    // fully-boilerplate docs stay as empty-text rows
+    "q_boilerplate_strip" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         segs AS (SELECT doc_id, unnest(
+             [{'idx': i, 'seg': array_to_string(toks[i*10+1:(i+1)*10], ' ')}
+              for i in range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))],
+             recursive := true) FROM t),
+         freq AS (SELECT seg, count(DISTINCT doc_id) nd
+           FROM segs GROUP BY 1),
+         kept AS (SELECT s.doc_id, s.idx, s.seg
+           FROM segs s JOIN freq f USING (seg) WHERE f.nd < 2),
+         re AS (SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY idx) AS clean_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY 1)
+         SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
+           CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept_segments
+         FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id""",
+
+    // greedy 256-token window fill within doc_id%8 buckets, fill order
+    // = doc_id ascending; the recursive CTE replays the same fold the
+    // native PackWindows expression runs (first doc never rolls; an
+    // oversize doc occupies a window alone)
+    "q_pack_sequences" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) n_tokens,
+           CAST(doc_id % 8 AS BIGINT) AS bucket FROM documents),
+         o AS (SELECT doc_id, n_tokens, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) rn
+           FROM t),
+         packed AS (
+           SELECT doc_id, n_tokens, bucket, rn,
+             CAST(0 AS BIGINT) AS win, n_tokens AS fill
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.doc_id, o.n_tokens, o.bucket, o.rn,
+             CASE WHEN p.fill + o.n_tokens > 256
+               THEN p.win + 1 ELSE p.win END,
+             CASE WHEN p.fill + o.n_tokens > 256
+               THEN o.n_tokens ELSE p.fill + o.n_tokens END
+           FROM packed p
+           JOIN o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+         SELECT doc_id, n_tokens, bucket, win AS win_idx FROM packed""",
+
     // distinct-per-doc trigrams (matching shingles()' array_distinct),
     // counted across docs
     "q_top_ngrams" ->
@@ -1852,6 +2009,34 @@ object SparkEntry {
                   (acc, x) -> acc + x))) AS cos
            FROM e a, e b WHERE a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(cos, 4) AS cos FROM s WHERE cos >= 0.4""",
+
+    // cosine pairs as in q_embedding_neardup, transitive closure as in
+    // q_dedup_corpus; survivors = ids not collapsed into a smaller
+    // cluster representative
+    "q_semantic_collapse" ->
+      """WITH RECURSIVE e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+           FROM embeddings WHERE vec_id < 500),
+         s AS (
+           SELECT a.vec_id id_a, b.vec_id id_b,
+             list_reduce(list_transform(list_zip(a.v, b.v),
+               p -> p[1] * p[2]), (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                  (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                  (acc, x) -> acc + x))) AS cos
+           FROM e a, e b WHERE a.vec_id < b.vec_id),
+         pp AS (SELECT id_a, id_b FROM s WHERE cos >= 0.4),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pp
+                   UNION SELECT id_b, id_a FROM pp),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION SELECT a, a FROM edges
+           UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         cl AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         SELECT e.vec_id FROM e
+         WHERE NOT EXISTS (SELECT 1 FROM cl
+           WHERE cl.vec_id = e.vec_id AND cl.cluster_id <> cl.vec_id)""",
 
     // stub codec cadence is deterministic: duration = 10 ms/byte,
     // frames every 1000 ms, min 1 → n_frames = max(1, bytes // 100)

@@ -671,4 +671,96 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  // ---------------------------------------------------------------
+  // Cross-corpus operators: decontamination & incremental dedup
+  // ---------------------------------------------------------------
+
+  /** Benchmark decontamination: flag every training document sharing
+    * at least one word n-gram with a held-out benchmark/eval set —
+    * the standard pretraining hygiene step (n-gram collision against
+    * the eval suite ⇒ the document leaks test data and must be
+    * dropped or scrubbed).
+    *
+    * Output: (idCol, n_contaminated) for flagged documents only,
+    * where n_contaminated counts the DISTINCT leaked shingles
+    * (shingle arrays are per-document distinct by construction).
+    *
+    * Scale: benchmark suites are tiny relative to a 100 TB corpus
+    * (thousands of documents), so the benchmark shingle set is
+    * broadcast — the training side is ONE map-side semi-joined scan,
+    * never shuffled on text; the only shuffle is the per-doc hit
+    * count, keyed on the id of the (rare) flagged rows. Joining on
+    * the 8-byte xxhash64 shingle hash, same collision tolerance as
+    * [[ngramJaccardPairs]].
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 4): DataFrame = {
+    val benchSh = bench
+      .select(explode(shingleHashes(col(textCol), shingleLen)).as("s"))
+      .distinct()
+    train
+      .select(col(idCol), explode(shingleHashes(col(textCol), shingleLen)).as("s"))
+      .join(broadcast(benchSh), Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** Incremental (cross-corpus) near-dup detection: for each document
+    * of a NEW batch, its best near-duplicate in the EXISTING corpus at
+    * n-gram Jaccard ≥ threshold — the daily-crawl-vs-historical-corpus
+    * shape, where re-deduplicating the whole corpus per batch would be
+    * O(corpus) instead of O(batch). Exact duplicates surface as
+    * jaccard = 1.0, so this subsumes the content-hash check.
+    *
+    * Output: (batch_doc, dup_of, jaccard) — one row per contaminated
+    * batch document, `dup_of` = the corpus doc with the highest
+    * Jaccard (ties broken toward the smallest corpus id).
+    *
+    * Scale: the inverted-index join shuffles batch-side shingles
+    * (O(|batch|), not O(|corpus|)) against the corpus shingle index;
+    * like [[ngramJaccardPairs]] this direct form is the oracle-exact
+    * path, and corpora with hot boilerplate shingles route through the
+    * PPJoin prefix filter ([[ngramJaccardPairsPrefix]]) or LSH
+    * ([[minhashLshVerified]]) candidate generation instead — the
+    * verification algebra is identical.
+    */
+  def dedupAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    def side(df: DataFrame, as: String): DataFrame = df.select(
+      col(idCol).as(as),
+      shingleHashes(col(textCol), shingleLen).as("sh"))
+    val b = side(batch, "batch_doc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = side(corpus, "corpus_doc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val common = b.select(col("batch_doc"), explode(col("sh")).as("s"))
+      .join(c.select(col("corpus_doc"), explode(col("sh")).as("s")), Seq("s"))
+      .groupBy(col("batch_doc"), col("corpus_doc"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(b.select(col("batch_doc"), size(col("sh")).as("n_b")), Seq("batch_doc"))
+      .join(c.select(col("corpus_doc"), size(col("sh")).as("n_c")), Seq("corpus_doc"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_b") + col("n_c") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      // argmax on the UNROUNDED jaccard (bit-identical int division in
+      // every engine), ties toward the smallest corpus id
+      .groupBy(col("batch_doc"))
+      .agg(max(struct(col("jaccard"), (-col("corpus_doc")).as("neg"))).as("best"))
+      .select(
+        col("batch_doc"),
+        (-col("best.neg")).as("dup_of"),
+        round(col("best.jaccard"), 6).as("jaccard"))
+  }
 }

@@ -758,6 +758,71 @@ object MinHashSignature {
   }
 }
 
+/** Greedy sequence-packing fold: given per-document token counts in
+  * fold order, assign each document the index of the context window it
+  * lands in — a new window opens whenever adding the document would
+  * overflow `capacity` (a document larger than `capacity` occupies a
+  * window alone). The per-group greedy scan is inherently sequential,
+  * so it runs as ONE linear native pass over the already-grouped
+  * array; the composed `aggregate()` HOF form would re-copy the
+  * accumulator array per element (O(g²) in group size). Mirrors the
+  * recursive-CTE oracle exactly.
+  */
+case class PackWindows(child: Expression, capacity: Long)
+    extends UnaryExpression {
+  require(capacity > 0, "window capacity must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pack_windows"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pack_windows requires array<bigint>, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PackWindows.eval(input.asInstanceOf[ArrayData], capacity))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PackWindows$$.MODULE$$.eval($s, ${capacity}L));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PackWindows =
+    copy(child = newChild)
+}
+
+object PackWindows {
+  def eval(counts: ArrayData, capacity: Long): Array[Long] = {
+    val n = counts.numElements()
+    val out = new Array[Long](n)
+    var win = 0L
+    var fill = 0L
+    var i = 0
+    while (i < n) {
+      val c = counts.getLong(i)
+      // first doc never rolls (fill==0): an oversize doc sits alone in
+      // the current window and forces the NEXT doc to roll
+      if (fill > 0 && fill + c > capacity) { win += 1; fill = c }
+      else fill += c
+      out(i) = win
+      i += 1
+    }
+    out
+  }
+}
+
 /** Column-level entry points for the custom Catalyst expressions plus
   * SQL registration (`graft.functions.GraftFunctions.register(spark)`
   * exposes them to `spark.sql`).
@@ -803,6 +868,9 @@ object GraftFunctions {
   def shingleStrings(text: Column, n: Int): Column =
     toColumn(ShingleStrings(exprOf(text), n))
 
+  def packWindows(tokenCounts: Column, capacity: Long): Column =
+    toColumn(PackWindows(exprOf(tokenCounts), capacity))
+
   private def intArg(e: Expression): Int =
     e.eval(null) match {
       case i: Int  => i
@@ -822,7 +890,9 @@ object GraftFunctions {
       MinHashSignature(exprs.head, intArg(exprs(1)))),
     "vector_dot" -> (exprs => VectorDot(exprs.head, exprs(1))),
     "winnow" -> (exprs =>
-      Winnow(exprs.head, intArg(exprs(1)), intArg(exprs(2)))))
+      Winnow(exprs.head, intArg(exprs(1)), intArg(exprs(2)))),
+    "pack_windows" -> (exprs =>
+      PackWindows(exprs.head, intArg(exprs(1)).toLong)))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -254,4 +254,62 @@ object TextOps {
     * no cross-engine oracle — used by SimHash/MinHash pipelines).
     */
   def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Sub-document boilerplate removal (the CCNet line-dedup shape,
+    * Wenzek et al. 2020): split every document into aligned
+    * `segLen`-token segments, count how many DISTINCT documents each
+    * exact segment occurs in across the corpus, delete segments
+    * occurring in ≥ `minDocs` documents, and reassemble the survivors
+    * in order. Catches shared headers/footers/navigation chrome that
+    * document-level dedup can't see. (CCNet segments on newlines;
+    * this corpus is single-line, so fixed token windows are the
+    * segment unit — the aggregation algebra is identical.)
+    *
+    * Output: one row per input document — (idCol, clean_text,
+    * n_kept_segments); a fully-boilerplate document survives with
+    * empty text, so row count is stable for downstream audits.
+    *
+    * Scale: three grouped shuffles, none on raw text twice — the
+    * frequency table and the anti-join are keyed on the 8-byte
+    * xxhash64 of the segment (same collision tolerance as every hash
+    * join); only the final per-document reassembly shuffles segment
+    * text, keyed on doc id. The boilerplate key set is NOT assumed
+    * broadcastable: at corpus scale "every segment shared by ≥2 of
+    * 10¹⁰ documents" can be huge, so it stays a distributed anti-join
+    * (Catalyst broadcasts it when it is in fact small).
+    */
+  def stripBoilerplate(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      segLen: Int = 10,
+      minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(segLen > 0 && minDocs > 1,
+      s"need segLen > 0 and minDocs > 1, got $segLen/$minDocs")
+    val segs = chunkTokens(docs, idCol, textCol,
+        chunkSize = segLen, overlap = 0)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
+        xxhash64(col("chunk_text")).as("seg_hash"))
+    val boiler = segs
+      .groupBy(col("seg_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("seg_hash"))
+    val kept = segs.join(boiler, Seq("seg_hash"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+          .as("a"),
+        count(lit(1)).as("n_kept"))
+      .select(col(idCol),
+        array_join(transform(col("a"), s => s("chunk_text")), " ")
+          .as("clean_text"),
+        col("n_kept"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept_segments"))
+  }
 }

@@ -263,4 +263,60 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect()
     assert(pairs.toSeq == Seq((1L, 2L, 0)))
   }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with bench") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma delta"
+      (2L, "alpha beta gamma zeta eta"),      // 4-grams all differ from bench
+      (3L, "one two three four five"))        // disjoint vocabulary
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, bench, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L))
+  }
+
+  test("decontaminate counts distinct leaked shingles per doc") {
+    val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text") // 4-grams: abcd, bcde, cdef
+    val bench = Seq((9L, "a b c d e"), (10L, "c d e f"))        // covers abcd, bcde, cdef
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, bench, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L))
+  }
+
+  test("dedupAgainstCorpus: best corpus match, ties toward smallest id") {
+    val corpus = Seq(
+      (1L, "w x y z q r s t"),
+      (3L, "w x y z q r s t"),   // same text as 1 → tie at jaccard 1.0
+      (4L, "completely different tokens here now"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "w x y z q r s t"),    // exact dup of corpus 1 and 3
+      (20L, "unrelated brand new content words"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (b, c, j) => b -> ((c, j)) }.toMap
+    assert(got == Map(10L -> ((1L, 1.0))))
+  }
+
+  test("dedupAgainstCorpus on the corpus split matches within-corpus pairs") {
+    // every (batch, corpus) pair found by the cross form must appear in
+    // the all-pairs ground truth, and vice versa for pairs straddling
+    // the % 5 split
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val cross = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text")
+      .select("batch_doc").as[Long].collect().toSet
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        Seq(a, b).filter(x => x % 5 == 0 &&
+          Seq(a, b).exists(y => y % 5 != 0))
+      }.toSet
+    assert(cross == truth,
+      s"cross-corpus flagged $cross but ground truth straddling pairs $truth")
+  }
 }

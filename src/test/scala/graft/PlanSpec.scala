@@ -100,4 +100,26 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k lost TakeOrderedAndProject:\n$plan")
   }
+
+  test("q_decontaminate broadcasts the benchmark shingle set") {
+    // the scale contract: the training side is ONE map-side
+    // semi-joined scan against a broadcast benchmark index — the
+    // 100 TB train corpus is never shuffled on shingles
+    val plan = finalPlan(q("q_decontaminate"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingle set not broadcast:\n$plan")
+  }
+
+  test("q_pack_sequences groups each bucket through ONE shuffle") {
+    val plan = finalPlan(q("q_pack_sequences"))
+    assert(shuffles(plan) == 1,
+      s"packing expected exactly 1 Exchange (the bucket groupBy), " +
+        s"got ${shuffles(plan)}:\n$plan")
+  }
+
+  test("q_boilerplate_strip never degenerates to a cartesian form") {
+    val plan = finalPlan(q("q_boilerplate_strip"))
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"boilerplate anti-join degenerated:\n$plan")
+  }
 }

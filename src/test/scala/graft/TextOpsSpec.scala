@@ -144,4 +144,37 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(2L) == ((3L, 0.0, 0.333333)))   // round(1/3, 6)
     assert(got(3L) == ((3L, 0.666667, 1.0)))   // round(2/3, 6)
   }
+
+  test("stripBoilerplate removes shared segments, keeps order, keeps rows") {
+    // segLen=3: docs 1 and 2 share their FIRST 3-token segment exactly;
+    // remaining segments are unique
+    val df = Seq(
+      (1L, "nav home about x y z"),     // segs: "nav home about", "x y z"
+      (2L, "nav home about p q r"),     // segs: "nav home about", "p q r"
+      (3L, "entirely unique doc here"), // segs: "entirely unique doc", "here"
+      (4L, "nav home about"))           // single seg, fully boilerplate
+      .toDF("doc_id", "text")
+    val got = graft.text.TextOps
+      .stripBoilerplate(df, "doc_id", "text", segLen = 3, minDocs = 2)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("x y z", 1L)))
+    assert(got(2L) == (("p q r", 1L)))
+    assert(got(3L) == (("entirely unique doc here", 2L)))
+    assert(got(4L) == (("", 0L)))            // row survives with empty text
+    assert(got.size == 4)
+  }
+
+  test("stripBoilerplate segment order is chunk order, not lexicographic") {
+    val df = Seq(
+      (1L, "zz yy xx aa bb cc"),          // segs "zz yy xx", "aa bb cc"
+      (2L, "shared seg one two three four"),
+      (3L, "lone"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextOps
+      .stripBoilerplate(df, "doc_id", "text", segLen = 3, minDocs = 2)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, String, Long)].head()
+    assert(got._2 == "zz yy xx aa bb cc")
+  }
 }
