@@ -724,10 +724,9 @@ object Dedup {
     * Scale: the inverted-index join shuffles batch-side shingles
     * (O(|batch|), not O(|corpus|)) against the corpus shingle index;
     * like [[ngramJaccardPairs]] this direct form is the oracle-exact
-    * path, and corpora with hot boilerplate shingles route through the
-    * PPJoin prefix filter ([[ngramJaccardPairsPrefix]]) or LSH
-    * ([[minhashLshVerified]]) candidate generation instead — the
-    * verification algebra is identical.
+    * path — corpora with hot boilerplate shingles route through
+    * [[dedupAgainstCorpusLsh]] (banded candidates + exact verify,
+    * proven output-equal) instead.
     */
   def dedupAgainstCorpus(
       batch: DataFrame,
@@ -756,6 +755,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       // argmax on the UNROUNDED jaccard (bit-identical int division in
       // every engine), ties toward the smallest corpus id
+      .groupBy(col("batch_doc"))
+      .agg(max(struct(col("jaccard"), (-col("corpus_doc")).as("neg"))).as("best"))
+      .select(
+        col("batch_doc"),
+        (-col("best.neg")).as("dup_of"),
+        round(col("best.jaccard"), 6).as("jaccard"))
+  }
+
+  /** The 100 TB production path of [[dedupAgainstCorpus]]: MinHash-LSH
+    * banding proposes cross-set candidates (batch band keys probe the
+    * corpus band index — O(|batch|·bands) probe rows regardless of
+    * corpus size), exact Jaccard verifies candidates only, and the
+    * same argmax picks the best corpus match. With r=2/bands=32 a
+    * true ≥0.8 pair escapes every band with P ≈ 6·10⁻¹⁵, so the
+    * output is equal to the exact form (pinned in DedupSpec) while
+    * hot boilerplate shingles can never form a quadratic bucket —
+    * the corpus-side skew guard drops oversized band buckets
+    * before the join, mirroring [[minhashCandidates]].
+    */
+  def dedupAgainstCorpusLsh(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def side(df: DataFrame, as: String): DataFrame = df.select(
+      col(idCol).as(as),
+      shingleHashes(col(textCol), shingleLen).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = side(batch, "batch_doc")
+    val c = side(corpus, "corpus_doc")
+    def bandedSide(s: DataFrame, id: String): DataFrame = s.select(
+      col(id),
+      explode(bandKeys(
+        graft.functions.GraftFunctions.minhashSignature(col("sh"), numHashes),
+        bands, r)).as("band_key"))
+    val bb = bandedSide(b, "batch_doc")
+    val cb = bandedSide(c, "corpus_doc")
+    val big = cb.groupBy(col("band_key")).count()
+      .filter(col("count") > maxBucket).select(col("band_key"))
+    val cand = bb.join(broadcast(big), Seq("band_key"), "left_anti")
+      .join(cb.join(broadcast(big), Seq("band_key"), "left_anti"),
+        Seq("band_key"))
+      .select("batch_doc", "corpus_doc")
+      .dropDuplicates("batch_doc", "corpus_doc")
+    cand
+      .join(b.select(col("batch_doc"), col("sh").as("sh_b")), Seq("batch_doc"))
+      .join(c.select(col("corpus_doc"), col("sh").as("sh_c")), Seq("corpus_doc"))
+      .withColumn("common", size(array_intersect(col("sh_b"), col("sh_c"))))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("sh_b")) + size(col("sh_c")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
       .groupBy(col("batch_doc"))
       .agg(max(struct(col("jaccard"), (-col("corpus_doc")).as("neg"))).as("best"))
       .select(

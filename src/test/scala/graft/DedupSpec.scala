@@ -319,4 +319,45 @@ class DedupSpec extends SparkTestBase {
     assert(cross == truth,
       s"cross-corpus flagged $cross but ground truth straddling pairs $truth")
   }
+
+  test("decontaminate composes with a streaming source (stream-static join)") {
+    // the decontamination filter is a stateless broadcast semi-join +
+    // per-row shingling, so it runs unchanged over a stream of
+    // arriving documents — the shape of scrubbing a live crawl against
+    // a static benchmark index. groupBy(id) works in update mode; here
+    // we pin the per-batch flagging by running the same operator in
+    // foreachBatch, the ingest pattern the platform uses
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val flagged = scala.collection.mutable.Set[(Long, Long)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged ++= Dedup.decontaminate(batch, bench, "doc_id", "text", 4)
+          .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+          .collect()
+        ()
+      }.start()
+    try {
+      ms.addData((1L, "alpha beta gamma delta epsilon"), (2L, "clean doc here now"))
+      q.processAllAvailable()
+      ms.addData((3L, "more alpha beta gamma delta text"))
+      q.processAllAvailable()
+      assert(flagged.toSet == Set((1L, 1L), (3L, 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupAgainstCorpusLsh output equals the exact cross-corpus form") {
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val exact = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.dedupAgainstCorpusLsh(batch, corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "split should straddle planted near-dups")
+    assert(lsh == exact,
+      s"banded form diverged: missing ${exact -- lsh}, extra ${lsh -- exact}")
+  }
 }
