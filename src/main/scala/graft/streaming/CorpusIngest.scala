@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.text.TextOps
+
+/** Flagship streaming corpus-ingest pipeline: the composition a
+  * pretraining-data platform runs against a live document feed
+  * (crawl, upload queue, Kafka topic), built entirely from the
+  * engine's proven operators:
+  *
+  *   1. quality gate      — [[TextOps.qualityOk]], stateless scan
+  *      filter;
+  *   2. exact dedup       — [[StreamDedup.firstSeen]] keyed on the
+  *      md5 content fingerprint: checkpointed streaming state, so a
+  *      document seen in ANY earlier batch is dropped without ever
+  *      scanning the stored corpus (the O(1)-per-doc incremental
+  *      form of the batch fingerprint groupBy);
+  *   3. decontamination   — [[graft.dedup.Dedup.decontaminate]]
+  *      against a static benchmark set, broadcast per micro-batch;
+  *   4. partition-scoped persist — survivors land in a
+  *      [[TableStore]] partition keyed by the micro-batch epoch via
+  *      `overwritePartitions`: write cost O(|batch|), and a replayed
+  *      epoch (failure/restart) rewrites ITS OWN partition rather
+  *      than appending twice — the sink-side idempotence that turns
+  *      at-least-once replay into exactly-once table contents.
+  *
+  * Near-dup collapse (MinHash/SemDeDup) deliberately stays OUT of the
+  * per-batch path: candidate generation against the full corpus is a
+  * periodic compaction job ([[graft.dedup.Dedup.dedupCorpus]] /
+  * `dedupAgainstCorpusLsh` over the stored table), not a per-event
+  * obligation — the reference's hourly-sync cadence applied to
+  * corpus hygiene.
+  */
+object CorpusIngest {
+
+  val storedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("fp", StringType),
+    StructField("ingest_batch", StringType)))
+
+  /** The stateless+stateful streaming prefix: quality gate, then
+    * first-seen exact dedup on the content fingerprint. Exposed for
+    * tests and for callers wiring their own sink.
+    */
+  def cleanStream(
+      spark: SparkSession,
+      docs: DataFrame): Dataset[(String, Long, String)] = {
+    import spark.implicits._
+    val gated = docs
+      .filter(TextOps.qualityOk(col("text")))
+      .select(TextOps.fingerprint(col("text")).as("fp"),
+        col("doc_id").cast("long").as("doc_id"), col("text"))
+      .as[(String, Long, String)]
+    StreamDedup.firstSeen[String, (String, Long, String)](
+      spark, gated, _._1)
+  }
+
+  /** Start the ingest query. `bench` is the static benchmark set
+    * (doc_id, text) scrubbed against; `store`/`table` receive the
+    * surviving documents partitioned by epoch.
+    */
+  def start(
+      spark: SparkSession,
+      docs: DataFrame,
+      bench: DataFrame,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      shingleLen: Int = 4): StreamingQuery =
+    cleanStream(spark, docs).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[(String, Long, String)], epoch: Long) =>
+        applyBatch(spark, batch.toDF("fp", "doc_id", "text"),
+          bench, store, table, epoch, shingleLen)
+      }
+      .start()
+
+  /** One micro-batch: decontaminate, then persist survivors into the
+    * epoch's own partition (idempotent under replay).
+    */
+  def applyBatch(
+      spark: SparkSession,
+      batch: DataFrame, // (fp, doc_id, text)
+      bench: DataFrame,
+      store: TableStore,
+      table: String,
+      epoch: Long,
+      shingleLen: Int = 4): Unit = {
+    val leaked = graft.dedup.Dedup
+      .decontaminate(batch, bench, "doc_id", "text", shingleLen)
+      .select(col("doc_id"))
+    val clean = batch.join(leaked, Seq("doc_id"), "left_anti")
+    val part = epoch.toString
+    val out = clean.select(
+      col("doc_id"), col("text"), col("fp"),
+      lit(part).as("ingest_batch"))
+    // an all-dropped batch still writes (an empty partition simply
+    // drops out of the manifest) so replay stays idempotent
+    store.overwritePartitions(table, out, "ingest_batch", Seq(part))
+  }
+
+  /** Read the full ingested corpus back. */
+  def corpus(spark: SparkSession, store: TableStore, table: String): DataFrame =
+    store.read(spark, table, storedSchema)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CorpusIngest, TableStore}
+
+/** End-to-end streaming corpus ingest: dirty document feed in, clean
+  * stored corpus out — quality gate, cross-batch exact dedup
+  * (checkpointed state), benchmark decontamination, epoch-partitioned
+  * persist.
+  */
+class CorpusIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("dirty feed → quality-gated, deduplicated, decontaminated corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val bench = Seq((900L, "leak mark alpha beta gamma delta end"))
+      .toDF("doc_id", "text")
+    val store = new TableStore(tmp("corpus_store"))
+    val good1 = "one two three four five six seven eight nine ten eleven"
+    val good2 = "red orange yellow green blue indigo violet amber teal cyan"
+    val leaked = "payload with leak mark alpha beta gamma delta inside " +
+      "plus enough filler tokens to pass the gate easily"
+    val ms = MemoryStream[(Long, String)]
+    val q = CorpusIngest.start(
+      spark, ms.toDF().toDF("doc_id", "text"), bench,
+      store, "corpus", tmp("corpus_ckpt"))
+    try {
+      ms.addData(
+        (1L, good1),
+        (2L, "too short"),          // fails the ≥10-token quality gate
+        (3L, good1),                // in-batch exact dup of 1
+        (4L, leaked))               // shares a 4-gram with the benchmark
+      q.processAllAvailable()
+      ms.addData(
+        (5L, good1),                // cross-batch dup of 1 — state drops it
+        (6L, good2))                // genuinely new
+      q.processAllAvailable()
+
+      val got = CorpusIngest.corpus(spark, store, "corpus")
+        .select("doc_id", "ingest_batch")
+        .as[(Long, String)].collect().toMap
+      assert(got.keySet == Set(1L, 6L),
+        s"expected only the clean uniques, got ${got.keySet}")
+      assert(got(1L) != got(6L),
+        "survivors of different epochs live in different partitions")
+
+      // replaying an epoch's batch rewrites its partition, not appends:
+      // table contents are exactly-once under at-least-once delivery
+      val epoch1 = got(6L).toLong
+      CorpusIngest.applyBatch(spark,
+        Seq(("fp6", 6L, good2)).toDF("fp", "doc_id", "text"),
+        bench, store, "corpus", epoch1)
+      val replayed = CorpusIngest.corpus(spark, store, "corpus")
+        .groupBy(col("doc_id")).count()
+        .as[(Long, Long)].collect().toMap
+      assert(replayed == Map(1L -> 1L, 6L -> 1L),
+        s"replay duplicated rows: $replayed")
+    } finally q.stop()
+  }
+
+  test("an all-dropped batch leaves the corpus unchanged and replayable") {
+    val store = new TableStore(tmp("corpus_store2"))
+    val bench = Seq((900L, "a b c d")).toDF("doc_id", "text")
+    val keep = Seq(("fpx", 1L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11"))
+      .toDF("fp", "doc_id", "text")
+    CorpusIngest.applyBatch(spark, keep, bench, store, "corpus", 0L)
+    // epoch 1 arrives but every row was gated/deduped upstream
+    CorpusIngest.applyBatch(spark,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))),
+      bench, store, "corpus", 1L)
+    val got = CorpusIngest.corpus(spark, store, "corpus")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+}
