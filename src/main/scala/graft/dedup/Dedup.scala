@@ -99,13 +99,19 @@ object Dedup {
     * round 1's window-count guard this adds no sort and no second
     * shuffle of the banded rows.
     */
-  private def dropOversizedBuckets(
-      banded: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
-    val big = banded.groupBy(col(keyCol)).count()
+  /** Keys of buckets larger than `maxBucket` — tiny by construction
+    * (one map-side-combined count; few keys can exceed the cap).
+    */
+  private def oversizedKeys(
+      banded: DataFrame, keyCol: String, maxBucket: Int): DataFrame =
+    banded.groupBy(col(keyCol)).count()
       .filter(col("count") > maxBucket)
       .select(col(keyCol))
-    banded.join(broadcast(big), Seq(keyCol), "left_anti")
-  }
+
+  private def dropOversizedBuckets(
+      banded: DataFrame, keyCol: String, maxBucket: Int): DataFrame =
+    banded.join(broadcast(oversizedKeys(banded, keyCol, maxBucket)),
+      Seq(keyCol), "left_anti")
 
   /** Candidate near-dup pairs from MinHash-LSH banding: a pair is a
     * candidate if any band agrees. Output (doc_a, doc_b), deduplicated.
@@ -753,26 +759,39 @@ object Dedup {
         col("common").cast("double") /
           (col("n_b") + col("n_c") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      // argmax on the UNROUNDED jaccard (bit-identical int division in
-      // every engine), ties toward the smallest corpus id
+      .transform(bestCorpusMatch)
+  }
+
+  /** Shared emit step of the cross-corpus forms: argmax on the
+    * UNROUNDED jaccard (bit-identical integer division in every
+    * engine), ties toward the smallest corpus id, rounding only the
+    * emitted value.
+    */
+  private def bestCorpusMatch(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("batch_doc"))
       .agg(max(struct(col("jaccard"), (-col("corpus_doc")).as("neg"))).as("best"))
       .select(
         col("batch_doc"),
         (-col("best.neg")).as("dup_of"),
         round(col("best.jaccard"), 6).as("jaccard"))
-  }
 
   /** The 100 TB production path of [[dedupAgainstCorpus]]: MinHash-LSH
     * banding proposes cross-set candidates (batch band keys probe the
     * corpus band index — O(|batch|·bands) probe rows regardless of
     * corpus size), exact Jaccard verifies candidates only, and the
-    * same argmax picks the best corpus match. With r=2/bands=32 a
-    * true ≥0.8 pair escapes every band with P ≈ 6·10⁻¹⁵, so the
-    * output is equal to the exact form (pinned in DedupSpec) while
-    * hot boilerplate shingles can never form a quadratic bucket —
-    * the corpus-side skew guard drops oversized band buckets
-    * before the join, mirroring [[minhashCandidates]].
+    * same argmax picks the best corpus match.
+    *
+    * Output equality with the exact form: with r=2/bands=32 a true
+    * ≥0.8 pair escapes every band with P ≈ 6·10⁻¹⁵ — so WHENEVER no
+    * band bucket exceeds `maxBucket` the two forms agree (the case
+    * pinned in DedupSpec). The corpus-side skew guard that drops
+    * oversized band buckets is the same recall/cost dial as
+    * [[minhashCandidates]]'s: a pair whose EVERY agreeing band lands
+    * in an oversized (boilerplate-dominated) bucket can be missed.
+    * Raise `maxBucket` — or pre-strip boilerplate with
+    * [[graft.text.TextOps.stripBoilerplate]] — when that trade is
+    * wrong for the corpus.
     */
   def dedupAgainstCorpusLsh(
       batch: DataFrame,
@@ -799,8 +818,9 @@ object Dedup {
         bands, r)).as("band_key"))
     val bb = bandedSide(b, "batch_doc")
     val cb = bandedSide(c, "corpus_doc")
-    val big = cb.groupBy(col("band_key")).count()
-      .filter(col("count") > maxBucket).select(col("band_key"))
+    // guard sized on CORPUS-side bucket counts (the side that can be
+    // boilerplate-quadratic) and applied to both join inputs
+    val big = oversizedKeys(cb, "band_key", maxBucket)
     val cand = bb.join(broadcast(big), Seq("band_key"), "left_anti")
       .join(cb.join(broadcast(big), Seq("band_key"), "left_anti"),
         Seq("band_key"))
@@ -814,11 +834,6 @@ object Dedup {
         col("common").cast("double") /
           (size(col("sh_b")) + size(col("sh_c")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("batch_doc"))
-      .agg(max(struct(col("jaccard"), (-col("corpus_doc")).as("neg"))).as("best"))
-      .select(
-        col("batch_doc"),
-        (-col("best.neg")).as("dup_of"),
-        round(col("best.jaccard"), 6).as("jaccard"))
+      .transform(bestCorpusMatch)
   }
 }

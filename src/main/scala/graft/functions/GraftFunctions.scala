@@ -811,10 +811,16 @@ object PackWindows {
     var fill = 0L
     var i = 0
     while (i < n) {
-      val c = counts.getLong(i)
-      // first doc never rolls (fill==0): an oversize doc sits alone in
-      // the current window and forces the NEXT doc to roll
-      if (fill > 0 && fill + c > capacity) { win += 1; fill = c }
+      // null counts (null text upstream) pack as zero-width — the
+      // expression is total even via the registered SQL function
+      val c = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      // ONLY the first element is exempt from rolling (the oracle
+      // CTE's seed row): an oversize first doc sits alone in window 0
+      // and forces the NEXT doc to roll. Gating on fill>0 instead
+      // would diverge from the oracle when zero-token docs lead a
+      // bucket — the recursive step rolls on fill+c > capacity even
+      // at fill 0.
+      if (i > 0 && fill + c > capacity) { win += 1; fill = c }
       else fill += c
       out(i) = win
       i += 1

@@ -46,7 +46,10 @@ object Packing {
     require(buckets > 0, "need at least one pack bucket")
     val base = docs.select(
       col(idCol).cast("long").as("doc_id"),
-      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      // null text packs as a zero-width doc (same rule as the null
+      // guard inside PackWindows) rather than poisoning the fold
+      coalesce(TextOps.tokenCount(col(textCol)), lit(0))
+        .cast("long").as("n_tokens"))
       .withColumn("bucket", pmod(col("doc_id"), lit(buckets.toLong)))
     // ONE shuffle keyed on bucket; array_sort on (doc_id, n_tokens)
     // structs orders by doc_id (ids are unique), fixing the fold order

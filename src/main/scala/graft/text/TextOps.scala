@@ -269,14 +269,16 @@ object TextOps {
     * n_kept_segments); a fully-boilerplate document survives with
     * empty text, so row count is stable for downstream audits.
     *
-    * Scale: three grouped shuffles, none on raw text twice — the
-    * frequency table and the anti-join are keyed on the 8-byte
-    * xxhash64 of the segment (same collision tolerance as every hash
-    * join); only the final per-document reassembly shuffles segment
-    * text, keyed on doc id. The boilerplate key set is NOT assumed
-    * broadcastable: at corpus scale "every segment shared by ≥2 of
-    * 10¹⁰ documents" can be huge, so it stays a distributed anti-join
-    * (Catalyst broadcasts it when it is in fact small).
+    * Scale: the frequency pass shuffles only (seg_hash, doc_id) —
+    * column pruning drops the text before that exchange — and the
+    * anti-join plus reassembly are keyed on the 8-byte hash and the
+    * doc id respectively (same collision tolerance as every hash
+    * join). The boilerplate key set is NOT assumed broadcastable: at
+    * corpus scale "every segment shared by ≥2 of 10¹⁰ documents" can
+    * be huge, so it stays a distributed anti-join (Catalyst
+    * broadcasts it when it is in fact small). Worst-case segment text
+    * therefore crosses the wire twice (hash-keyed anti-join, then
+    * doc-keyed reassembly); on the common broadcast path, once.
     */
   def stripBoilerplate(
       docs: org.apache.spark.sql.DataFrame,
@@ -288,6 +290,12 @@ object TextOps {
       s"need segLen > 0 and minDocs > 1, got $segLen/$minDocs")
     val segs = chunkTokens(docs, idCol, textCol,
         chunkSize = segLen, overlap = 0)
+      // chunkTokens emits chunk 0 even for a zero-token document; a
+      // non-empty segment always carries ≥1 token, so dropping the
+      // empty chunk_text exactly removes that phantom segment —
+      // zero-token docs then surface as ("", 0) rows via the final
+      // left join, matching the oracle's zero-segment comprehension
+      .filter(col("chunk_text") =!= lit(""))
       .select(col(idCol), col("chunk_idx"), col("chunk_text"),
         xxhash64(col("chunk_text")).as("seg_hash"))
     val boiler = segs

@@ -44,6 +44,15 @@ class PackingSpec extends SparkTestBase {
     assert(got.map(_._3).toSeq == Seq(0L, 1L))
   }
 
+  test("a zero-token doc at the head does not shield an oversize follower") {
+    // the oracle's recursive step rolls on fill + n > capacity even at
+    // fill 0 — only the seed row is exempt; empty text packs at width 0
+    val got = pack1(Seq(
+      (1L, ""), (2L, "a b c d e f g h"), (3L, "x")), capacity = 5)
+    assert(got.map(r => (r._2, r._3)).toSeq ==
+      Seq((0L, 0L), (8L, 1L), (1L, 2L)))
+  }
+
   test("buckets partition by doc_id mod and pack independently") {
     val rows = (0L until 20L).map(i => (i, ("t " * 10).trim))
     val got = Packing.packSequences(
@@ -81,10 +90,11 @@ class PackingSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect()
       .groupBy(_._1)
     perBucket.foreach { case (_, rs) =>
-      var win = 0L; var fill = 0L
+      var win = 0L; var fill = 0L; var first = true
       rs.sortBy(_._2).foreach { case (_, _, n, gotWin) =>
-        if (fill > 0 && fill + n > 256) { win += 1; fill = n }
+        if (!first && fill + n > 256) { win += 1; fill = n }
         else fill += n
+        first = false
         assert(gotWin == win)
       }
     }

@@ -152,7 +152,8 @@ class TextOpsSpec extends SparkTestBase {
       (1L, "nav home about x y z"),     // segs: "nav home about", "x y z"
       (2L, "nav home about p q r"),     // segs: "nav home about", "p q r"
       (3L, "entirely unique doc here"), // segs: "entirely unique doc", "here"
-      (4L, "nav home about"))           // single seg, fully boilerplate
+      (4L, "nav home about"),           // single seg, fully boilerplate
+      (5L, "   "))                      // zero tokens → no segments at all
       .toDF("doc_id", "text")
     val got = graft.text.TextOps
       .stripBoilerplate(df, "doc_id", "text", segLen = 3, minDocs = 2)
@@ -162,7 +163,10 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(2L) == (("p q r", 1L)))
     assert(got(3L) == (("entirely unique doc here", 2L)))
     assert(got(4L) == (("", 0L)))            // row survives with empty text
-    assert(got.size == 4)
+    // a zero-token doc contributes NO segment (the oracle's empty
+    // comprehension), not a phantom "" segment — and still keeps its row
+    assert(got(5L) == (("", 0L)))
+    assert(got.size == 5)
   }
 
   test("stripBoilerplate segment order is chunk order, not lexicographic") {
