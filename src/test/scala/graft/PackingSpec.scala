@@ -83,6 +83,42 @@ class PackingSpec extends SparkTestBase {
       "multi-doc windows must fit the token budget")
   }
 
+  test("PackWindows invariants hold on randomized count sequences") {
+    // pure-JVM property pass over the native fold: windows are a
+    // contiguous monotone partition, multi-doc windows respect the
+    // capacity, and zero/oversize counts follow the oracle's seed rule
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(20260812)
+    (1 to 200).foreach { _ =>
+      val cap = 1L + rnd.nextInt(40)
+      val counts = Array.fill(rnd.nextInt(60)) {
+        val r = rnd.nextInt(10)
+        if (r == 0) 0L else if (r == 9) cap + 1 + rnd.nextInt(20) else 1L + rnd.nextInt(12)
+      }
+      val wins = graft.functions.PackWindows.eval(
+        new GenericArrayData(counts), cap)
+      assert(wins.length == counts.length)
+      if (wins.nonEmpty) assert(wins.head == 0L)
+      wins.sliding(2).foreach { case Array(a, b) =>
+        assert(b == a || b == a + 1, s"window ids must be contiguous: $a -> $b")
+      case _ => ()
+      }
+      counts.indices.groupBy(wins(_)).foreach { case (w, idxs) =>
+        val fill = idxs.map(counts(_)).sum
+        if (idxs.size > 1)
+          assert(fill <= cap,
+            s"multi-doc window $w overfilled: $fill > $cap " +
+              s"(counts ${counts.mkString(",")})")
+      }
+      // reference fold: only the first element is exempt from rolling
+      var win = 0L; var fill = 0L
+      counts.zipWithIndex.foreach { case (c, i) =>
+        if (i > 0 && fill + c > cap) { win += 1; fill = c } else fill += c
+        assert(wins(i) == win)
+      }
+    }
+  }
+
   test("PackWindows expression matches a reference Scala fold on the corpus") {
     val docs = Tables.documents(spark, sfDir)
     val perBucket = Packing.packSequences(docs, "doc_id", "text")
