@@ -774,6 +774,19 @@ object SparkEntry {
         "doc_id", "text", shingleLen = 4)
     }),
 
+    // ---- semantic decontamination: train embeddings within cosine
+    //      0.4 of a held-out benchmark item (vec_id % 25 == 0 plays
+    //      the eval suite) — the paraphrase-robust complement to the
+    //      n-gram scrub; bench side broadcasts, train side is one
+    //      map-side codegen'd scan ----
+    "q_decontaminate_semantic" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      graft.dedup.Dedup.decontaminateEmbeddings(
+        emb.filter(col("vec_id") % 25 =!= 0),
+        emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", 0.4)
+    }),
+
     // ---- incremental cross-corpus dedup: best ≥0.8-Jaccard corpus
     //      match per new-batch doc (batch = doc_id % 5 == 0) — the
     //      daily-crawl-vs-historical-corpus shape, O(batch) not
@@ -1668,6 +1681,30 @@ object SparkEntry {
            WHERE doc_id % 20 <> 0)
          SELECT train.doc_id, count(*) AS n_contaminated
          FROM train JOIN bench USING (s) GROUP BY 1""",
+
+    // same cosine algebra as q_embedding_neardup, cross-set; best
+    // bench match per train item via row_number on the UNROUNDED cos
+    "q_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+           FROM embeddings),
+         b AS (SELECT vec_id AS bench_id, v AS bv FROM e
+           WHERE vec_id % 25 = 0),
+         t AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
+         s AS (SELECT t.vec_id, b.bench_id,
+             list_reduce(list_transform(list_zip(t.v, b.bv),
+               p -> p[1] * p[2]), (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(t.v, x -> x * x),
+                  (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_transform(b.bv, x -> x * x),
+                  (acc, x) -> acc + x))) AS cos
+           FROM t, b),
+         j AS (SELECT vec_id, bench_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, bench_id ASC) rn
+           FROM s WHERE cos >= 0.4)
+         SELECT vec_id, bench_id, round(cos, 4) AS cos
+         FROM j WHERE rn = 1""",
 
     // cross-set trigram Jaccard; best corpus match per batch doc =
     // highest jaccard, ties toward the smallest corpus id — the

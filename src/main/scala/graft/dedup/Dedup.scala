@@ -716,6 +716,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Semantic (embedding-level) decontamination: flag every training
+    * item whose embedding sits within cosine `threshold` of ANY
+    * benchmark item — the paraphrase-robust complement to the n-gram
+    * [[decontaminate]] (a reworded eval question shares no 4-gram but
+    * keeps its embedding neighborhood).
+    *
+    * Output: (idCol, bench_id, cos) — one row per contaminated train
+    * item with its closest benchmark match (ties toward the smallest
+    * bench id).
+    *
+    * Scale: benchmark suites are small, so the bench side broadcasts
+    * and scoring is a map-side O(|train|·|bench|) codegen'd flop scan
+    * — the train corpus is scanned once and never shuffled; only the
+    * (rare) flagged hits shuffle for the per-item argmax. A very
+    * large benchmark routes through [[graft.similarity.Ivf]] cells
+    * instead, same emit algebra.
+    */
+  def decontaminateEmbeddings(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    import graft.similarity.Knn
+    val t = train.select(
+      col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val b = broadcast(bench.select(
+      col(idCol).as("bench_id"), col(vecCol).cast("array<double>").as("bv"))
+      .withColumn("bnrm", Knn.norm(col("bv"))))
+    t.crossJoin(b)
+      .withColumn("cos",
+        Knn.dot(col("v"), col("bv")) / (col("nrm") * col("bnrm")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cos"), (-col("bench_id")).as("neg"))).as("best"))
+      .select(
+        col(idCol),
+        (-col("best.neg")).as("bench_id"),
+        round(col("best.cos"), 4).as("cos"))
+  }
+
   /** Incremental (cross-corpus) near-dup detection: for each document
     * of a NEW batch, its best near-duplicate in the EXISTING corpus at
     * n-gram Jaccard ≥ threshold — the daily-crawl-vs-historical-corpus

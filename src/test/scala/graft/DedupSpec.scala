@@ -349,6 +349,24 @@ class DedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("decontaminateEmbeddings flags direction matches, picks best bench") {
+    // train 1 = scaled copy of bench 100 (cos 1.0); train 2 orthogonal
+    val train = Seq(
+      (1L, Seq(2.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Seq(1.0, 0.0, 0.0)),
+      (101L, Seq(1.0, 0.0, 0.0)), // identical bench twin: tie → min id
+      (102L, Seq(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.decontaminateEmbeddings(
+      train, bench, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map { case (v, b, c) => v -> ((b, c)) }.toMap
+    assert(got == Map(1L -> ((100L, 1.0))))
+  }
+
   test("dedupAgainstCorpusLsh output equals the exact cross-corpus form") {
     val batch = docs.filter(col("doc_id") % 5 === 0)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
