@@ -117,6 +117,19 @@ class PlanSpec extends SparkTestBase {
         s"got ${shuffles(plan)}:\n$plan")
   }
 
+  test("q_decontaminate_semantic broadcasts the bench embeddings, one shuffle") {
+    // the cross product is INTENTIONAL (scan × broadcast eval index):
+    // assert the build side broadcasts and only the flagged-hit argmax
+    // shuffles — a plan where the train side exchanges would mean the
+    // corpus scan is no longer map-side
+    val plan = finalPlan(q("q_decontaminate_semantic"))
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      && plan.contains("BroadcastExchange"),
+      s"bench embedding frame not broadcast:\n$plan")
+    assert(shuffles(plan) == 1,
+      s"expected exactly 1 Exchange (the argmax), got ${shuffles(plan)}:\n$plan")
+  }
+
   test("q_boilerplate_strip never degenerates to a cartesian form") {
     val plan = finalPlan(q("q_boilerplate_strip"))
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
