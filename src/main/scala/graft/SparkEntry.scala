@@ -1683,14 +1683,21 @@ object SparkEntry {
          FROM train JOIN bench USING (s) GROUP BY 1""",
 
     // same cosine algebra as q_embedding_neardup, cross-set; best
-    // bench match per train item via row_number on the UNROUNDED cos
+    // bench match per train item via row_number on the UNROUNDED cos;
+    // norm > 0 mirrors the operator's zero-vector guard (a zero-norm
+    // row has no direction — cos would be 0/0)
     "q_decontaminate_semantic" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) v
            FROM embeddings),
-         b AS (SELECT vec_id AS bench_id, v AS bv FROM e
-           WHERE vec_id % 25 = 0),
-         t AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+               (acc, x) -> acc + x)) AS nrm
+           FROM e),
+         b AS (SELECT vec_id AS bench_id, v AS bv FROM n
+           WHERE vec_id % 25 = 0 AND nrm > 0),
+         t AS (SELECT vec_id, v FROM n
+           WHERE vec_id % 25 <> 0 AND nrm > 0),
          s AS (SELECT t.vec_id, b.bench_id,
              list_reduce(list_transform(list_zip(t.v, b.bv),
                p -> p[1] * p[2]), (acc, x) -> acc + x)

@@ -740,22 +740,24 @@ object Dedup {
       vecCol: String,
       threshold: Double): DataFrame = {
     import graft.similarity.Knn
+    // zero-norm vectors (failed embedder / padding rows) have no
+    // direction: cos would be 0/0 = NaN, and NaN sorts ABOVE every
+    // double in Spark, so an unguarded degenerate row would pass the
+    // threshold and win every argmax. Excluded on both sides (the
+    // oracle applies the same norm > 0 guard).
     val t = train.select(
       col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Knn.norm(col("v")))
+      .filter(col("nrm") > 0)
     val b = broadcast(bench.select(
       col(idCol).as("bench_id"), col(vecCol).cast("array<double>").as("bv"))
-      .withColumn("bnrm", Knn.norm(col("bv"))))
+      .withColumn("bnrm", Knn.norm(col("bv")))
+      .filter(col("bnrm") > 0))
     t.crossJoin(b)
       .withColumn("cos",
         Knn.dot(col("v"), col("bv")) / (col("nrm") * col("bnrm")))
       .filter(col("cos") >= threshold)
-      .groupBy(col(idCol))
-      .agg(max(struct(col("cos"), (-col("bench_id")).as("neg"))).as("best"))
-      .select(
-        col(idCol),
-        (-col("best.neg")).as("bench_id"),
-        round(col("best.cos"), 4).as("cos"))
+      .transform(bestMatch(_, idCol, "bench_id", "cos", 4))
   }
 
   /** Incremental (cross-corpus) near-dup detection: for each document
@@ -804,19 +806,28 @@ object Dedup {
       .transform(bestCorpusMatch)
   }
 
-  /** Shared emit step of the cross-corpus forms: argmax on the
-    * UNROUNDED jaccard (bit-identical integer division in every
-    * engine), ties toward the smallest corpus id, rounding only the
-    * emitted value.
+  /** Shared emit step of the cross-set forms: per-group argmax on the
+    * UNROUNDED score (bit-identical arithmetic in every engine), ties
+    * toward the smallest matched id, rounding only the emitted value.
+    * The single home of the oracle-sensitive tie-break algebra.
     */
-  private def bestCorpusMatch(scored: DataFrame): DataFrame =
+  private def bestMatch(
+      scored: DataFrame,
+      groupCol: String,
+      matchCol: String,
+      valCol: String,
+      scale: Int): DataFrame =
     scored
-      .groupBy(col("batch_doc"))
-      .agg(max(struct(col("jaccard"), (-col("corpus_doc")).as("neg"))).as("best"))
+      .groupBy(col(groupCol))
+      .agg(max(struct(col(valCol).as("v"), (-col(matchCol)).as("neg"))).as("best"))
       .select(
-        col("batch_doc"),
-        (-col("best.neg")).as("dup_of"),
-        round(col("best.jaccard"), 6).as("jaccard"))
+        col(groupCol),
+        (-col("best.neg")).as(matchCol),
+        round(col("best.v"), scale).as(valCol))
+
+  private def bestCorpusMatch(scored: DataFrame): DataFrame =
+    bestMatch(scored, "batch_doc", "corpus_doc", "jaccard", 6)
+      .withColumnRenamed("corpus_doc", "dup_of")
 
   /** The 100 TB production path of [[dedupAgainstCorpus]]: MinHash-LSH
     * banding proposes cross-set candidates (batch band keys probe the

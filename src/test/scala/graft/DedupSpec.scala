@@ -367,6 +367,25 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(1L -> ((100L, 1.0))))
   }
 
+  test("decontaminateEmbeddings: zero-norm vectors can neither flag nor win") {
+    // an unguarded zero vector yields cos = 0/0 = NaN, which sorts
+    // ABOVE every double — it would pass the threshold and win every
+    // argmax, flagging the whole corpus against one degenerate row
+    val train = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 0.0)))          // degenerate train row: never flagged
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Seq(0.0, 0.0)),        // degenerate bench row: never matches
+      (101L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.decontaminateEmbeddings(
+      train, bench, "vec_id", "embedding", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (v, b, c) => v -> ((b, c)) }.toMap
+    assert(got == Map(1L -> ((101L, 1.0))))
+  }
+
   test("dedupAgainstCorpusLsh output equals the exact cross-corpus form") {
     val batch = docs.filter(col("doc_id") % 5 === 0)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
