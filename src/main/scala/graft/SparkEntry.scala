@@ -2018,10 +2018,14 @@ object SparkEntry {
            UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
          SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""",
 
+    // norm > 0 on both sides mirrors the operator's zero-vector guard
     "q_knn_bruteforce" ->
-      """WITH e AS (SELECT vec_id,
+      """WITH e0 AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) v
            FROM embeddings),
+         e AS (SELECT vec_id, v FROM e0
+           WHERE sqrt(list_reduce(list_transform(v, x -> x * x),
+             (acc, x) -> acc + x)) > 0),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
          scored AS (
            SELECT q.query_id, e.vec_id,
@@ -2039,10 +2043,14 @@ object SparkEntry {
            FROM scored)
          WHERE rank <= 10""",
 
+    // norm > 0 mirrors the operator's zero-vector guard
     "q_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id,
+      """WITH e0 AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) v
            FROM embeddings WHERE vec_id < 500),
+         e AS (SELECT vec_id, v FROM e0
+           WHERE sqrt(list_reduce(list_transform(v, x -> x * x),
+             (acc, x) -> acc + x)) > 0),
          s AS (
            SELECT a.vec_id id_a, b.vec_id id_b,
              list_reduce(list_transform(list_zip(a.v, b.v),
@@ -2057,10 +2065,14 @@ object SparkEntry {
     // cosine pairs as in q_embedding_neardup, transitive closure as in
     // q_dedup_corpus; survivors = ids not collapsed into a smaller
     // cluster representative
+    // norm > 0 mirrors the operator's zero-vector guard
     "q_semantic_collapse" ->
-      """WITH RECURSIVE e AS (SELECT vec_id,
+      """WITH RECURSIVE e0 AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) v
            FROM embeddings WHERE vec_id < 500),
+         e AS (SELECT vec_id, v FROM e0
+           WHERE sqrt(list_reduce(list_transform(v, x -> x * x),
+             (acc, x) -> acc + x)) > 0),
          s AS (
            SELECT a.vec_id id_a, b.vec_id id_b,
              list_reduce(list_transform(list_zip(a.v, b.v),
@@ -2078,9 +2090,9 @@ object SparkEntry {
            UNION SELECT a, a FROM edges
            UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
          cl AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a)
-         SELECT e.vec_id FROM e
+         SELECT e0.vec_id FROM e0
          WHERE NOT EXISTS (SELECT 1 FROM cl
-           WHERE cl.vec_id = e.vec_id AND cl.cluster_id <> cl.vec_id)""",
+           WHERE cl.vec_id = e0.vec_id AND cl.cluster_id <> cl.vec_id)""",
 
     // stub codec cadence is deterministic: duration = 10 ms/byte,
     // frames every 1000 ms, min 1 → n_frames = max(1, bytes // 100)

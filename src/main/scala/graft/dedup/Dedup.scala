@@ -593,6 +593,10 @@ object Dedup {
       col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Knn.norm(col("v")))
+      // zero-norm rows have no direction: cos would be NaN, which
+      // sorts above every double — excluded here and in every
+      // embedding path (and mirrored in the oracles)
+      .filter(col("nrm") > 0)
     val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"),
       col("nrm").as("n_a"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"),
@@ -631,6 +635,7 @@ object Dedup {
       col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Knn.norm(col("v")))
+      .filter(col("nrm") > 0) // no-direction rows: see embeddingNearDup
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // All tables' signatures in ONE native-expression pass
     // ([[graft.functions.HyperplaneSignatures]]), materialized once per

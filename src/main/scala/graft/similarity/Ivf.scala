@@ -207,6 +207,8 @@ object Ivf {
     val e = corpus.select(
       col("vec_id"), col("vector").cast("array<double>").as("v"))
       .withColumn("nrm", Knn.norm(col("v")))
+      // no-direction rows: see Knn.bruteForceKnn (NaN poisons ranking)
+      .filter(col("nrm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bare (cell, id) rows — vectors never ride the candidate join
     val assigned = e.select(col("vec_id"),
@@ -248,12 +250,14 @@ object Ivf {
     val c = corpus.select(
       col("vec_id"), col("vector").cast("array<double>").as("cv"))
       .withColumn("cn", Knn.norm(col("cv")))
+      .filter(col("cn") > 0) // no-direction rows: see Knn.bruteForceKnn
       .withColumn("cell", bestCell(col("cv"), centroids))
     // nprobe best cells per query; dot ranking against unit centroids
     // is scale-invariant in the query too, so raw qv works
     val q = broadcast(queries
       .select(col("query_id"), col("vector").cast("array<double>").as("qv"))
       .withColumn("qn", Knn.norm(col("qv")))
+      .filter(col("qn") > 0) // no-direction rows: see Knn.bruteForceKnn
       .withColumn("cell", probeCellsExploded(col("qv"), centroids, nprobe)))
     val scored = c.join(q, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -47,12 +47,18 @@ object Knn {
       queries: DataFrame,  // (query_id, vector)
       corpus: DataFrame,   // (vec_id, vector)
       k: Int): DataFrame = {
+    // zero-norm rows score NaN against everything, and NaN sorts above
+    // every double — one degenerate corpus row would top EVERY query's
+    // ranking. No-direction rows are excluded on both sides, here and
+    // in every embedding path (mirrored in the oracles).
     val q = broadcast(queries.select(
       col("query_id"), col("vector").cast("array<double>").as("qv"))
-      .withColumn("qn", norm(col("qv"))))
+      .withColumn("qn", norm(col("qv")))
+      .filter(col("qn") > 0))
     val c = corpus.select(
       col("vec_id"), col("vector").cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .filter(col("cn") > 0)
     val scored = c.join(q, col("vec_id") =!= col("query_id"))
       .withColumn("score",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
@@ -111,7 +117,8 @@ object Knn {
     val qBase = broadcast(queries.select(
       col("query_id"),
       col("vector").cast("array<double>").as("qv"))
-      .withColumn("qn", norm(col("qv"))))
+      .withColumn("qn", norm(col("qv")))
+      .filter(col("qn") > 0)) // no-direction rows: see bruteForceKnn
     val qProbes = array(col("sig") +:
       (0 until bits).map(i => col("sig").bitwiseXOR(lit(1L << i))): _*)
     val q = broadcast(qBase
@@ -127,6 +134,7 @@ object Knn {
     val cBase = corpus.select(
       col("vec_id"), col("vector").cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .filter(col("cn") > 0) // no-direction rows: see bruteForceKnn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cIds = cBase
       .select(col("vec_id"), posexplode(sigArr(col("cv"))).as(Seq("tbl", "sig")))

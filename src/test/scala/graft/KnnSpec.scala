@@ -79,4 +79,19 @@ class KnnSpec extends SparkTestBase {
     assert(recall >= 0.2, s"lsh recall $recall unexpectedly low")
     assert(approx.nonEmpty)
   }
+
+  test("a zero-norm corpus row never enters a ranking (NaN guard)") {
+    // unguarded, the degenerate row scores NaN against every query and
+    // NaN sorts above every double — it would be everyone's rank 1
+    val queries = Seq((1L, Seq(1.0, 0.0))).toDF("query_id", "vector")
+    val corpus = Seq(
+      (10L, Seq(0.9, 0.1)),
+      (11L, Seq(0.0, 0.0)),  // degenerate
+      (12L, Seq(0.5, 0.5)))
+      .toDF("vec_id", "vector")
+    val got = Knn.bruteForceKnn(queries, corpus, 2)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toMap
+    assert(!got.contains(11L), s"zero vector ranked: $got")
+    assert(got.keySet == Set(10L, 12L) && got(10L) == 1)
+  }
 }
