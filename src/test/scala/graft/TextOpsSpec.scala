@@ -169,6 +169,41 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.size == 5)
   }
 
+  test("stripBoilerplate matches a sequential model on randomized corpora") {
+    // tiny vocabulary forces segment collisions; the model re-derives
+    // the aligned-chunk + distinct-doc-frequency + in-order-reassembly
+    // semantics independently of the DataFrame implementation
+    val vocab = Vector("a", "b", "c")
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val segLen = 2 + rnd.nextInt(2) // 2 or 3
+      val docs = (0L until 30L).map { i =>
+        val n = rnd.nextInt(10) // 0..9 tokens — includes empty docs
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // model
+      def segsOf(text: String): Seq[String] = {
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        toks.grouped(segLen).map(_.mkString(" ")).toSeq
+      }
+      val freq = docs.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+      val expected = docs.map { case (id, t) =>
+        val kept = segsOf(t).filter(s => freq(s) < 2)
+        id -> ((kept.mkString(" "), kept.size.toLong))
+      }.toMap
+      // engine
+      val got = graft.text.TextOps.stripBoilerplate(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        segLen = segLen, minDocs = 2)
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected,
+        s"segLen=$segLen diff: ${(got.toSet -- expected.toSet).take(3)} vs " +
+          s"${(expected.toSet -- got.toSet).take(3)}")
+    }
+  }
+
   test("stripBoilerplate segment order is chunk order, not lexicographic") {
     val df = Seq(
       (1L, "zz yy xx aa bb cc"),          // segs "zz yy xx", "aa bb cc"
