@@ -735,6 +735,14 @@ object SparkEntry {
       graft.text.TextOps.repetitionSignals(
         t("documents")(s, d), "doc_id", "text")),
 
+    // ---- character-entropy quality signal: shuffle-free native
+    //      expression; the oracle replays the identical sorted fold ----
+    "q_doc_entropy" -> ((s, d) =>
+      t("documents")(s, d).select(
+        col("doc_id"),
+        round(graft.text.TextOps.charEntropy(col("text")), 6)
+          .as("entropy"))),
+
     // ---- flagship pretraining-corpus pipeline: quality gate →
     //      language filter → exact dedup (min-id per fingerprint) →
     //      deterministic hash sample. The composition a reference user
@@ -1643,6 +1651,22 @@ object SparkEntry {
              AS dup_token_frac,
            round(CAST(top_tf AS DOUBLE) / n_tokens, 6) AS top_token_frac
          FROM agg""",
+
+    // sorted-codepoint fold (UTF-8 byte order == codepoint order), the
+    // same left-fold order as the native expression; `0 -` not unary
+    // minus so single-class docs emit +0.0 on both engines
+    "q_doc_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+           unnest(regexp_split_to_array(text, '')) c FROM documents),
+         f AS (SELECT doc_id, c, count(*) k FROM ch
+           WHERE c <> '' GROUP BY 1, 2),
+         s AS (SELECT doc_id, list_sort(list({'c': c, 'k': k})) arr,
+             sum(k) n
+           FROM f GROUP BY 1)
+         SELECT doc_id, round(0 - list_reduce(list_transform(arr,
+             x -> (CAST(x.k AS DOUBLE) / n) * ln(CAST(x.k AS DOUBLE) / n)),
+           (a, b) -> a + b), 6) AS entropy
+         FROM s""",
 
     "q_pretrain_pipeline" ->
       """WITH enriched AS (SELECT doc_id, text,

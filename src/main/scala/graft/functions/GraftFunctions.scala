@@ -829,6 +829,77 @@ object PackWindows {
   }
 }
 
+/** Shannon entropy of the character (codepoint) distribution — the
+  * classic degenerate-text signal (key-mash, repeated-char padding,
+  * binary-in-text all score far from natural language's ~2.5–4.5
+  * bits·ln2). One shuffle-free native pass per row: a sorted codepoint
+  * histogram folded in ascending order, which makes the double result
+  * reproducible and lets the DuckDB oracle replay the identical fold
+  * (UTF-8 byte order == codepoint order). The explode+groupBy SQL form
+  * shuffles |corpus| character rows; this expression shuffles nothing.
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_entropy requires string, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(CharEntropy.eval(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} =
+         |  graft.functions.CharEntropy$$.MODULE$$.eval($s.toString());
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  def eval(s: String): Double = {
+    if (s.isEmpty) return 0.0
+    // TreeMap: fold runs in ascending codepoint order — the same order
+    // as the oracle's sorted-list reduce, so the FP sum is identical
+    val counts = new java.util.TreeMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1L
+      i += Character.charCount(cp)
+      n += 1L
+    }
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      acc += p * math.log(p)
+    }
+    // 0.0 - acc, not -acc: a single-class doc has acc == 0.0 and unary
+    // negation would emit -0.0 (a different bit pattern than the
+    // oracle's `0 - ...`)
+    0.0 - acc
+  }
+}
+
 /** Column-level entry points for the custom Catalyst expressions plus
   * SQL registration (`graft.functions.GraftFunctions.register(spark)`
   * exposes them to `spark.sql`).
@@ -877,6 +948,9 @@ object GraftFunctions {
   def packWindows(tokenCounts: Column, capacity: Long): Column =
     toColumn(PackWindows(exprOf(tokenCounts), capacity))
 
+  def charEntropy(text: Column): Column =
+    toColumn(CharEntropy(exprOf(text)))
+
   private def intArg(e: Expression): Int =
     e.eval(null) match {
       case i: Int  => i
@@ -898,7 +972,8 @@ object GraftFunctions {
     "winnow" -> (exprs =>
       Winnow(exprs.head, intArg(exprs(1)), intArg(exprs(2)))),
     "pack_windows" -> (exprs =>
-      PackWindows(exprs.head, intArg(exprs(1)).toLong)))
+      PackWindows(exprs.head, intArg(exprs(1)).toLong)),
+    "char_entropy" -> (exprs => CharEntropy(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

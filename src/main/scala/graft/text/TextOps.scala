@@ -234,6 +234,15 @@ object TextOps {
         round(col("top_tf").cast("double") / col("n_tokens"), 6)
           .as("top_token_frac"))
 
+  /** Character-distribution Shannon entropy (natural log), via the
+    * shuffle-free native [[graft.functions.CharEntropy]] expression —
+    * the degenerate-text quality signal: key-mash and repeated-char
+    * padding score far below natural language. Deterministic: the
+    * histogram folds in codepoint order.
+    */
+  def charEntropy(text: Column): Column =
+    graft.functions.GraftFunctions.charEntropy(text)
+
   /** Content fingerprint: md5 of the UTF-8 bytes. For a 100 TB corpus
     * this is the exact-dedup key — group/bucket by `fingerprint` and
     * keep `min(doc_id)`.

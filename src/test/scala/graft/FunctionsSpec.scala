@@ -79,4 +79,24 @@ class FunctionsSpec extends SparkTestBase {
       graft.functions.Winnow.gramHashes("abcdefghij".getBytes("UTF-8"), 3), 2).toSeq
     assert(got == want)
   }
+
+  test("char_entropy: hand values, +0.0 sign, unicode codepoints, null") {
+    import graft.functions.CharEntropy
+    assert(CharEntropy.eval("") == 0.0)
+    // single class: exactly +0.0, not -0.0 (oracle parity)
+    val z = CharEntropy.eval("aaaa")
+    assert(z == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(z) == 0L)
+    val ln2 = math.log(2)
+    assert(math.abs(CharEntropy.eval("ab") - ln2) < 1e-15)
+    assert(math.abs(CharEntropy.eval("aabb") - ln2) < 1e-15)
+    // 4 distinct uniform → ln 4; surrogate-pair codepoint counts ONCE
+    assert(math.abs(CharEntropy.eval("aé中😀") -
+      math.log(4)) < 1e-15)
+    // SQL registration + null propagation
+    val got = spark.sql(
+      "SELECT char_entropy('ab') e1, char_entropy(CAST(NULL AS STRING)) e2")
+      .as[(Double, Option[Double])].head()
+    assert(math.abs(got._1 - ln2) < 1e-15 && got._2.isEmpty)
+  }
 }
