@@ -31,12 +31,20 @@ import org.apache.spark.sql.types.StructType
   * (kafka_consumer.py:82–83, 41–49).
   *
   * Version retirement is reference-counted: a `v=k` directory is
-  * deleted only when neither the current nor the previous snapshot's
-  * manifest references it (and k is not one of the two newest
-  * versions), so long-lived cold partitions keep their original files
-  * indefinitely — they are never rewritten, never copied.
+  * deleted only when no retained snapshot's manifest references it
+  * (and k is not one of the `keepVersions` newest), so long-lived
+  * cold partitions keep their original files indefinitely — they are
+  * never rewritten, never copied.
+  *
+  * `keepVersions` (≥ 2) is the time-travel window: [[readAt]] can pin
+  * any still-retained snapshot — the reproducibility primitive for
+  * training runs ("this model trained on corpus v=17"). Raising it
+  * costs only the retained versions' exclusive files; carried-forward
+  * partitions are shared by reference across snapshots.
   */
-class TableStore(root: String) {
+class TableStore(root: String, keepVersions: Int = 2) {
+  require(keepVersions >= 2,
+    "keepVersions must be >= 2 (current + previous for in-flight readers)")
 
   private def tableDir(name: String): Path = Paths.get(root, name)
   private def pointer(name: String): Path = tableDir(name).resolve("_latest")
@@ -164,8 +172,27 @@ class TableStore(root: String) {
       partValues: Option[Seq[String]] = None): DataFrame =
     currentVersion(name) match {
       case None => emptyDf(spark, schema)
-      case Some(v) =>
-        readManifest(name, v) match {
+      case Some(v) => readAt(spark, name, schema, v, partValues)
+    }
+
+  /** Time-travel read: assemble the snapshot as of version `v` — the
+    * dataset-reproducibility primitive (a training run records the
+    * corpus version it consumed; anyone re-reads exactly that
+    * snapshot while it stays inside the `keepVersions` retention
+    * window). Fails fast if v has been retired or never existed,
+    * never silently serves a different snapshot.
+    */
+  def readAt(
+      spark: SparkSession,
+      name: String,
+      schema: StructType,
+      v: Long,
+      partValues: Option[Seq[String]] = None): DataFrame = {
+    require(Files.exists(versionDir(name, v)),
+      s"version $v of table $name does not exist or has been retired " +
+        s"(retention keeps the $keepVersions newest; raise keepVersions " +
+        "to pin snapshots for longer)")
+    readManifest(name, v) match {
           // partition-scoped read of an unpartitioned table: no hive
           // partition can match — empty, never silently the full table
           case None if partValues.isDefined => emptyDf(spark, schema)
@@ -325,19 +352,20 @@ class TableStore(root: String) {
   }
 
   /** Atomically flip `_latest` to `next`, then retire version dirs no
-    * longer reachable from the two newest snapshots (the previous one
-    * is kept whole for in-flight readers). Directory streams are
-    * closed explicitly — round 1 leaked one fd per GC pass.
+    * longer reachable from the `keepVersions` newest snapshots (older
+    * retained snapshots serve [[readAt]] pins and in-flight readers).
+    * Directory streams are closed explicitly — round 1 leaked one fd
+    * per GC pass.
     */
   private def flipAndRetire(name: String, next: Long): Unit = {
     val tmp = tableDir(name).resolve("_latest.tmp")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(name),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val retained = ((next - keepVersions + 1) to next).toSet
     val live: Set[Long] =
-      Set(next, next - 1) ++
-        readManifest(name, next).map(_.entries.values.toSet).getOrElse(Set.empty) ++
-        readManifest(name, next - 1).map(_.entries.values.toSet).getOrElse(Set.empty)
+      retained ++ retained.flatMap(v =>
+        readManifest(name, v).map(_.entries.values.toSet).getOrElse(Set.empty))
     val dir = tableDir(name)
     if (Files.exists(dir)) {
       val listing = Files.list(dir)

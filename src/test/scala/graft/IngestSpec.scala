@@ -179,6 +179,52 @@ class IngestSpec extends SparkTestBase {
       == Seq(9 -> "z"))
   }
 
+  test("TableStore.readAt: pinned snapshots time-travel inside the retention window") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    // keepVersions=3: after three writes, v1..v3 all readable
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-tt3").toString
+    val s3 = new TableStore(dir3, keepVersions = 3)
+    s3.overwrite("t", Seq(1 -> "one").toDF("id", "v"))
+    s3.overwrite("t", Seq(2 -> "two").toDF("id", "v"))
+    s3.overwrite("t", Seq(3 -> "three").toDF("id", "v"))
+    assert(s3.currentVersion("t").contains(3L))
+    assert(s3.readAt(spark, "t", schema, 1L).as[(Int, String)].collect().toSeq
+      == Seq(1 -> "one"), "pinned v1 must replay exactly")
+    assert(s3.readAt(spark, "t", schema, 2L).as[(Int, String)].collect().toSeq
+      == Seq(2 -> "two"))
+    assert(s3.read(spark, "t", schema).as[(Int, String)].collect().toSeq
+      == Seq(3 -> "three"), "unpinned read serves the current snapshot")
+    // default retention (2): after the third write v1 is retired and a
+    // pinned read FAILS FAST instead of silently serving another version
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-tt2").toString
+    val s2 = new TableStore(dir2)
+    s2.overwrite("t", Seq(1 -> "one").toDF("id", "v"))
+    s2.overwrite("t", Seq(2 -> "two").toDF("id", "v"))
+    s2.overwrite("t", Seq(3 -> "three").toDF("id", "v"))
+    assert(s2.readAt(spark, "t", schema, 2L).as[(Int, String)].collect().toSeq
+      == Seq(2 -> "two"))
+    val ex = intercept[IllegalArgumentException] {
+      s2.readAt(spark, "t", schema, 1L)
+    }
+    assert(ex.getMessage.contains("retired"))
+    // partitioned time-travel: the pinned snapshot's manifest governs
+    val dirP = java.nio.file.Files.createTempDirectory("graft-ttp").toString
+    val sp = new TableStore(dirP, keepVersions = 3)
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.StringType)))
+    sp.overwrite("p", Seq(1 -> "d1", 2 -> "d2").toDF("id", "day"),
+      partitionBy = Seq("day"))
+    sp.overwritePartitions("p", Seq(9 -> "d2").toDF("id", "day"), "day", Seq("d2"))
+    assert(sp.read(spark, "p", pSchema).as[(Int, String)].collect().toSet
+      == Set(1 -> "d1", 9 -> "d2"))
+    assert(sp.readAt(spark, "p", pSchema, 1L).as[(Int, String)].collect().toSet
+      == Set(1 -> "d1", 2 -> "d2"),
+      "pinned v1 still sees the pre-rewrite partition content")
+  }
+
   test("StreamDedup.firstSeen: duplicates suppressed within and across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
