@@ -823,6 +823,23 @@ object SparkEntry {
         t("documents")(s, d), "doc_id", "text",
         capacity = 256L, buckets = 8)),
 
+    // ---- chunk→pack composition: split documents into 32-token
+    //      non-overlapping chunks, then greedily pack the chunks into
+    //      128-token windows — the realistic pretraining layout
+    //      (long docs split, short ones packed; zero padding between).
+    //      chunk_id = doc_id·100 + chunk_idx keeps the fill order
+    //      deterministic and engine-portable ----
+    "q_pack_chunks" -> ((s, d) => {
+      val chunks = graft.text.TextOps.chunkTokens(
+        t("documents")(s, d), "doc_id", "text",
+        chunkSize = 32, overlap = 0)
+        .select((col("doc_id") * 100 + col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      graft.ops.Packing.packSequences(
+        chunks, "chunk_id", "chunk_text", capacity = 128L, buckets = 8)
+        .withColumnRenamed("doc_id", "chunk_id")
+    }),
+
     // ---- corpus frequency analysis: top-k word trigrams (boilerplate
     //      detection); native one-pass ShingleStrings (the HOF
     //      `shingles()` form re-ran the tokenizing regex once per
@@ -1792,6 +1809,37 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
            CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept_segments
          FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id""",
+
+    // chunks = ceil(n/32) aligned windows per doc (≥1 even for empty
+    // docs, chunk 0 always exists), chunk token count = least(32,
+    // n - 32i); then the same greedy recursive fill at capacity 128
+    "q_pack_chunks" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) n
+           FROM documents),
+         c AS (SELECT doc_id * 100 + i AS chunk_id,
+             least(CAST(32 AS BIGINT), n - i * 32) AS n_tokens
+           FROM t, LATERAL unnest([x for x in
+             range(0, greatest(CAST(1 AS BIGINT),
+               CAST(ceil(n / 32.0) AS BIGINT)))]) AS u(i)),
+         o AS (SELECT chunk_id, n_tokens,
+             CAST(chunk_id % 8 AS BIGINT) AS bucket,
+             row_number() OVER (PARTITION BY chunk_id % 8
+               ORDER BY chunk_id) rn
+           FROM c),
+         packed AS (
+           SELECT chunk_id, n_tokens, bucket, rn,
+             CAST(0 AS BIGINT) AS win, n_tokens AS fill
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.chunk_id, o.n_tokens, o.bucket, o.rn,
+             CASE WHEN p.fill + o.n_tokens > 128
+               THEN p.win + 1 ELSE p.win END,
+             CASE WHEN p.fill + o.n_tokens > 128
+               THEN o.n_tokens ELSE p.fill + o.n_tokens END
+           FROM packed p
+           JOIN o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+         SELECT chunk_id, n_tokens, bucket, win AS win_idx FROM packed""",
 
     // greedy 256-token window fill within doc_id%8 buckets, fill order
     // = doc_id ascending; the recursive CTE replays the same fold the
