@@ -900,6 +900,65 @@ object CharEntropy {
   }
 }
 
+/** Segment text with a learned BPE merge table
+  * ([[graft.text.Bpe.Codec]]) into subword tokens — the apply side of
+  * vocabulary induction. The codec is an expression FIELD (serialized
+  * with the plan, handed to generated code via `addReferenceObj`, the
+  * same pattern as the MinHash parameter arrays), so encoding is a
+  * shuffle-free map-side pass that stays inside WholeStageCodegen: at
+  * 100 TB the corpus is scanned once and only the (tiny) merge table
+  * rides in the closure.
+  */
+case class BpeTokens(child: Expression, codec: graft.text.Bpe.Codec)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_tokens requires string, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokens.encode(codec,
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCodec", codec, "graft.text.Bpe.Codec")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.BpeTokens$$.MODULE$$.encode($ref, $s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
+object BpeTokens {
+  def encode(
+      codec: graft.text.Bpe.Codec,
+      s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = codec.encodeText(s.toString)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(toks(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-level entry points for the custom Catalyst expressions plus
   * SQL registration (`graft.functions.GraftFunctions.register(spark)`
   * exposes them to `spark.sql`).
@@ -950,6 +1009,12 @@ object GraftFunctions {
 
   def charEntropy(text: Column): Column =
     toColumn(CharEntropy(exprOf(text)))
+
+  /** Column-API only (the codec is a JVM object, not a SQL literal,
+    * so this one has no `builders` entry).
+    */
+  def bpeTokens(text: Column, codec: graft.text.Bpe.Codec): Column =
+    toColumn(BpeTokens(exprOf(text), codec))
 
   private def intArg(e: Expression): Int =
     e.eval(null) match {

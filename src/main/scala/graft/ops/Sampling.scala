@@ -84,6 +84,63 @@ object Sampling {
     df.withColumn(labelCol, label)
   }
 
+  /** Solve for the per-stratum keep rates (in 1/256ths) that move the
+    * corpus to a target mixture while keeping as many rows as
+    * possible: the achievable total is `T = min_s count(s)/target(s)`
+    * (the binding stratum is kept whole; every other stratum
+    * downsamples to match), and each stratum's keep fraction is
+    * `target(s)·T / count(s)`, floored to the 1/256 grid the hash
+    * sampler can express. Strata outside `targets` rate 0 (dropped) —
+    * the domain-mixing move of a pretraining data build.
+    *
+    * 100 TB shape: the only distributed work is ONE count pass
+    * filtered to the targeted strata, so the collect is bounded by
+    * `targets.size` rows regardless of how many distinct strata (web
+    * domains, sources) the corpus has.
+    */
+  def mixtureRates(
+      df: DataFrame,
+      stratum: Column,
+      targets: Map[String, Double]): Map[String, Int] = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0.0),
+      s"target proportions must be positive, got $targets")
+    val total = targets.values.sum
+    val counts = df
+      .filter(stratum.isin(targets.keys.toSeq: _*))
+      .groupBy(stratum.cast("string").as("s"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a targeted stratum absent from the data binds T to 0: the target
+    // mixture is unachievable, everything rates 0 — surfaced loudly
+    // rather than silently renormalized
+    val t = targets.map { case (s, p) =>
+      counts.getOrElse(s, 0L) / (p / total)
+    }.min
+    targets.map { case (s, p) =>
+      val c = counts.getOrElse(s, 0L)
+      val rate =
+        if (c == 0L) 0
+        else math.floor(256.0 * (p / total) * t / c).toInt
+      s -> math.min(256, math.max(0, rate))
+    }
+  }
+
+  /** Deterministically resample `df` to the target stratum mixture:
+    * [[mixtureRates]] solved on the data, applied with
+    * [[stratifiedHashSample]] (strata outside `targets` drop). Same
+    * stability story as every sampler here: re-running on any layout,
+    * or incrementally on new data with the same rates, keeps the same
+    * rows.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      targets: Map[String, Double]): DataFrame =
+    stratifiedHashSample(df, key, stratum,
+      mixtureRates(df, stratum, targets), defaultRate256 = 0)
+
   /** Per-stratum hash sampling: `rates` maps values of `stratum` to
     * keep-rates in 1/256ths; unlisted strata use `defaultRate256`.
     * The standard rebalancing move (e.g. downsample boilerplate-heavy

@@ -1,0 +1,157 @@
+package graft
+
+import scala.collection.mutable
+import scala.io.Source
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Bpe
+
+/** BPE vocabulary induction, pinned three ways (the pattern the
+  * stripBoilerplate and packing pins established):
+  *
+  *  1. model test — [[Bpe.learn]]'s incremental-statistics loop against
+  *     a naive recount-everything sequential reference on randomized
+  *     word-count tables (the references differ exactly where an
+  *     incremental-update bug would hide);
+  *  2. algebraic properties — encode is lossless and reproduces the
+  *     training segmentation; distributed induction is
+  *     layout-independent;
+  *  3. committed sf0.01 goldens for the two no-DuckDB-oracle queries
+  *     (string-safe TSV — tokens are `\S+` runs, so tab never occurs
+  *     in a symbol).
+  */
+class BpeSpec extends SparkTestBase {
+
+  /** Naive reference: recount ALL pair statistics from scratch every
+    * iteration, merge with the same (count desc, pair asc) argmax.
+    * O(merges × corpus symbols) — correct by inspection, too slow for
+    * production, perfect as an oracle.
+    */
+  private def naiveLearn(
+      wordCounts: Seq[(String, Long)],
+      numMerges: Int): (Seq[(String, String)], Seq[(Vector[String], Long)]) = {
+    var words: Seq[(Vector[String], Long)] = wordCounts.map { case (w, c) =>
+      ((w.map(_.toString) :+ Bpe.EndOfWord).toVector, c)
+    }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val stats = mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; j <- 0 until syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        stats.update(p, stats.getOrElse(p, 0L) + c)
+      }
+      if (stats.isEmpty) done = true
+      else {
+        val best = stats.keys.toSeq
+          .minBy { case (a, b) => (-stats((a, b)), a, b) }
+        words = words.map { case (syms, c) =>
+          val out = mutable.ArrayBuffer.empty[String]; var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == best._1 &&
+                syms(j + 1) == best._2) { out += (best._1 + best._2); j += 2 }
+            else { out += syms(j); j += 1 }
+          }
+          (out.toVector, c)
+        }
+        merges += best
+        m += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  test("learn matches the naive sequential reference on random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 25) {
+      val nWords = 20 + rnd.nextInt(50)
+      val words = (0 until nWords).map { _ =>
+        val len = 1 + rnd.nextInt(9)
+        (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      }.distinct
+      val wc = words.map(w => w -> (1L + rnd.nextInt(50)))
+      val numMerges = 1 + rnd.nextInt(60)
+      val got = Bpe.learn(wc, numMerges)
+      val want = naiveLearn(wc, numMerges)._1
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
+  test("encode is lossless and reproduces the training segmentation") {
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 60).map { _ =>
+      val len = 1 + rnd.nextInt(10)
+      (0 until len).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    }.distinct
+    val wc = words.map(w => w -> (1L + rnd.nextInt(30)))
+    val (merges, trained) = naiveLearn(wc, 40)
+    val codec = new Bpe.Codec(merges)
+    for (((w, _), (syms, _)) <- wc.zip(trained)) {
+      val enc = codec.encodeWord(w).toVector
+      // lossless: concatenation restores the word + marker
+      assert(enc.mkString == w + Bpe.EndOfWord, s"lossy encode of '$w'")
+      // faithful: encode-time greedy == train-time evolution
+      assert(enc == syms, s"'$w': encoded $enc but trained to $syms")
+    }
+  }
+
+  test("learnBpe is deterministic and layout-independent") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val m1 = Bpe.learnBpe(docs, col("text"), numMerges = 32,
+      maxWordTypes = 5000)
+    val m2 = Bpe.learnBpe(docs.repartition(13), col("text"), numMerges = 32,
+      maxWordTypes = 5000)
+    assert(m1 == m2, "merge sequence depends on layout")
+    assert(m1.size == 32)
+  }
+
+  test("BpeTokens expression agrees with the driver-side codec") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    val codec = new Bpe.Codec(
+      Bpe.learnBpe(Tables.load(spark, sfDir, "documents"), col("text"),
+        numMerges = 24, maxWordTypes = 5000))
+    val viaExpr = docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.bpeTokens(col("text"), codec)
+          .as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaDriver = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+      .view.mapValues(t => codec.encodeText(t).toSeq).toMap
+    assert(viaExpr == viaDriver)
+  }
+
+  // ---- committed sf0.01 goldens for the no-oracle queries ----
+
+  private def fixture(name: String): Set[Seq[String]] = {
+    val in = getClass.getResourceAsStream(s"/golden/${name}_sf0.01.tsv")
+    assert(in != null, s"missing golden fixture for $name")
+    val src = Source.fromInputStream(in, "UTF-8")
+    try src.getLines().drop(1)
+      .map(_.split('\t').toSeq).toSet
+    finally src.close()
+  }
+
+  private def check(name: String): Unit = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+    val got = df.collect()
+      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))): Seq[String])
+      .toSet
+    val want = fixture(name)
+    assert(got == want,
+      s"$name drifted from golden fixture: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)} " +
+        s"(${got.size} vs ${want.size} rows)")
+    spark.catalog.clearCache()
+  }
+
+  test("q_bpe_vocab matches its committed sf0.01 golden output") {
+    check("q_bpe_vocab")
+  }
+  test("q_doc_bpe_apply matches its committed sf0.01 golden output") {
+    check("q_doc_bpe_apply")
+  }
+}

@@ -352,4 +352,38 @@ class TemporalJoinsSpec extends SparkTestBase {
       .select("id").as[Int].collect().toSet
     assert(flat == strat)
   }
+
+  test("mixtureSample solves rates that hit the target mixture") {
+    // skewed corpus: a=8000, b=1500, c=500 under target 50/25/25 —
+    // c binds (500/0.25 = 2000 achievable total), so c keeps whole,
+    // a rates 0.5·2000/8000 = 32/256, b rates ⌊256/3⌋ = 85/256
+    val df = ((1 to 8000).map(i => (i, "a")) ++
+        (8001 to 9500).map(i => (i, "b")) ++
+        (9501 to 10000).map(i => (i, "c")))
+      .toDF("id", "s")
+    val targets = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    val rates = Sampling.mixtureRates(df, col("s"), targets)
+    assert(rates == Map("a" -> 32, "b" -> 85, "c" -> 256))
+    val kept = Sampling.mixtureSample(df, col("id"), col("s"), targets)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(kept("c") == 500L)                 // binding stratum whole
+    // achieved mixture within hash-sampling noise of 2:1:1
+    assert(kept("a") > 700 && kept("a") < 1300)
+    assert(kept("b") > 350 && kept("b") < 650)
+    // untargeted strata drop entirely
+    val withJunk = df.union(Seq((10001, "z"), (10002, "z")).toDF("id", "s"))
+    assert(Sampling.mixtureSample(withJunk, col("id"), col("s"), targets)
+      .filter(col("s") === "z").count() == 0)
+    // layout-independent: identical rows on a repartitioned input
+    val again = Sampling
+      .mixtureSample(df.repartition(17), col("id"), col("s"), targets)
+      .select("id").as[Int].collect().toSet
+    val first = Sampling.mixtureSample(df, col("id"), col("s"), targets)
+      .select("id").as[Int].collect().toSet
+    assert(first == again)
+    // unachievable target (stratum absent) → everything rates 0
+    val absent = Sampling.mixtureRates(df, col("s"),
+      Map("a" -> 0.5, "nope" -> 0.5))
+    assert(absent.values.forall(_ == 0))
+  }
 }
