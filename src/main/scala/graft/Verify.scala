@@ -5,12 +5,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [queryName...] — trailing names restrict the
+    // dump to those queries (builder-side targeted runs; the driver
+    // always passes exactly two args and gets the full sweep)
+    val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -24,7 +30,7 @@ object Verify {
     // Verify stays a best-effort artifact dump — floor violations are
     // shouted, recorded in recall.json, and enforced by Recall.main /
     // RecallSpec, but never zero out the correctness artifacts.
-    try Recall.write(spark, sfDir, s"$outDir/recall.json")
+    try if (only.isEmpty) Recall.write(spark, sfDir, s"$outDir/recall.json")
       .filter(!_.pass).foreach { m =>
         System.err.println(
           f"[verify] RECALL FLOOR VIOLATED: ${m.query} " +

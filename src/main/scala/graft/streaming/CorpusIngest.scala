@@ -43,16 +43,24 @@ object CorpusIngest {
     StructField("fp", StringType),
     StructField("ingest_batch", StringType)))
 
-  /** The stateless+stateful streaming prefix: quality gate, then
-    * first-seen exact dedup on the content fingerprint. Exposed for
-    * tests and for callers wiring their own sink.
+  /** The stateless+stateful streaming prefix: rule quality gate, an
+    * optional learned-model score gate (a [[graft.text.QualityModel]]
+    * `scoreColumn` with its minimum — stateless, so it composes into
+    * the stream exactly like the rule gate), then first-seen exact
+    * dedup on the content fingerprint. Exposed for tests and for
+    * callers wiring their own sink.
     */
   def cleanStream(
       spark: SparkSession,
-      docs: DataFrame): Dataset[(String, Long, String)] = {
+      docs: DataFrame,
+      scoreGate: Option[(org.apache.spark.sql.Column, Double)] = None)
+      : Dataset[(String, Long, String)] = {
     import spark.implicits._
-    val gated = docs
-      .filter(TextOps.qualityOk(col("text")))
+    val ruleGated = docs.filter(TextOps.qualityOk(col("text")))
+    val gated = scoreGate
+      .fold(ruleGated) { case (score, min) =>
+        ruleGated.filter(score >= lit(min))
+      }
       .select(TextOps.fingerprint(col("text")).as("fp"),
         col("doc_id").cast("long").as("doc_id"), col("text"))
       .as[(String, Long, String)]
@@ -71,8 +79,10 @@ object CorpusIngest {
       store: TableStore,
       table: String,
       checkpointDir: String,
-      shingleLen: Int = 4): StreamingQuery =
-    cleanStream(spark, docs).writeStream
+      shingleLen: Int = 4,
+      scoreGate: Option[(org.apache.spark.sql.Column, Double)] = None)
+      : StreamingQuery =
+    cleanStream(spark, docs, scoreGate).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[(String, Long, String)], epoch: Long) =>

@@ -72,6 +72,52 @@ class CorpusIngestSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("a learned score gate composes into the streaming prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.text.QualityModel
+
+    // train a long-form discriminator on a synthetic batch frame —
+    // same weak-label bootstrap as q_quality_model
+    val trainDocs = (1 to 120).map { i =>
+      val n = 5 + (i % 56)
+      (i.toLong, (0 until n).map(j => s"w${(i + j) % 7}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val feats = QualityModel.features(col("text"))
+    val w = QualityModel.train(trainDocs, feats,
+      (graft.text.TextOps.tokenCount(col("text")) >= 30).cast("double"),
+      iters = 15, lr = 0.8)
+    val score = QualityModel.scoreColumn(feats, w)
+
+    // drawn from the training generator's distribution (a learned
+    // gate is only meaningful in-distribution); 12 tokens passes the
+    // ≥10-token RULE gate but is far below the ≥30 long-form boundary
+    val shortish = (0 until 12).map(j => s"w${(3 + j) % 7}").mkString(" ")
+    val longform = (0 until 45).map(j => s"w${(5 + j) % 7}").mkString(" ")
+    val ms = MemoryStream[(Long, String)]
+    val out = CorpusIngest.cleanStream(
+      spark, ms.toDF().toDF("doc_id", "text"), Some((score, 0.5)))
+    val q = out.toDF("fp", "doc_id", "text").writeStream
+      .format("memory").queryName("score_gated")
+      .option("checkpointLocation", tmp("score_gate_ckpt"))
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, shortish), (2L, longform))
+      q.processAllAvailable()
+      val got = spark.table("score_gated")
+        .select("doc_id").as[Long].collect().toSet
+      // the 12-token doc passes the ≥10-token RULE gate but scores low;
+      // only the long-form doc survives the model gate — and the
+      // streaming outcome equals the batch filter on the same column
+      assert(got == Set(2L), s"score gate kept $got")
+      val batchKept = Seq((1L, shortish), (2L, longform))
+        .toDF("doc_id", "text")
+        .filter(graft.text.TextOps.qualityOk(col("text")) && score >= 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchKept == got, "stream and batch gates disagree")
+    } finally q.stop()
+  }
+
   test("an all-dropped batch leaves the corpus unchanged and replayable") {
     val store = new TableStore(tmp("corpus_store2"))
     val bench = Seq((900L, "a b c d")).toDF("doc_id", "text")

@@ -135,4 +135,28 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"boilerplate anti-join degenerated:\n$plan")
   }
+
+  test("q_doc_bpe_apply segments shuffle-free inside codegen") {
+    // the apply side of BPE is a map-only pass: the learned merge
+    // table rides in the expression, so the corpus scan never
+    // exchanges and the projection stays a WholeStageCodegen span
+    val plan = finalPlan(q("q_doc_bpe_apply"))
+    assert(shuffles(plan) == 0,
+      s"BPE apply must not shuffle, got ${shuffles(plan)}:\n$plan")
+    // codegen stages render as "*(n)" node prefixes in the tree string
+    assert("""\*\(\d+\) Project \[doc_id""".r.findFirstIn(plan).isDefined,
+      s"BPE apply fell out of codegen:\n$plan")
+  }
+
+  test("q_domain_mix applies solved rates as a join-free scan filter") {
+    // the solver collects ≤|targets| counts up front; the applied
+    // sample must then be a literal CASE filter + ONE aggregation
+    // shuffle — never a join of the corpus against a rates table
+    val plan = finalPlan(q("q_domain_mix"))
+    assert(!plan.contains("Join"),
+      s"mixture rates leaked into a join:\n$plan")
+    assert(shuffles(plan) == 1,
+      s"expected exactly 1 Exchange (the mixture groupBy), " +
+        s"got ${shuffles(plan)}:\n$plan")
+  }
 }
