@@ -1231,7 +1231,10 @@ object SparkEntry {
             .as("toks"))
         .select(col("doc_id"),
           size(col("toks")).as("n_bpe_vocab_tokens"),
-          element_at(col("toks"), 1).as("first_token"))
+          // get(), not element_at(): a whitespace-only doc tokenizes to
+          // [] and element_at([], 1) THROWS under ANSI mode (Spark 4
+          // default); get is null-safe (0-based)
+          get(col("toks"), lit(0)).as("first_token"))
     }),
 
     // ---- domain mixing: solve per-source keep rates for a target
@@ -2404,20 +2407,25 @@ object SparkEntry {
     // Mirrors Sampling.mixtureRates double-for-double: targets sum to
     // 1.0 so the Scala p/total normalization is exact; every literal is
     // CAST AS DOUBLE because DuckDB types bare decimals as DECIMAL and
-    // decimal division would diverge from the Scala double math.
+    // decimal division would diverge from the Scala double math; the
+    // +1e-9 replays the binding-stratum floor guard; targets drive the
+    // frame (LEFT JOIN counts, COALESCE 0) so a target stratum absent
+    // from the data binds T to 0 exactly like the Scala solver.
     "q_domain_mix" ->
-      """WITH counts AS (
+      """WITH tgt(s, p) AS (VALUES
+           ('src0', CAST(0.5 AS DOUBLE)),
+           ('src1', CAST(0.25 AS DOUBLE)),
+           ('src2', CAST(0.25 AS DOUBLE))),
+         counts AS (
            SELECT source AS s, count(*) AS c FROM documents
-           WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
-         p AS (SELECT s, c,
-             CASE s WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
-               ELSE CAST(0.25 AS DOUBLE) END AS p
-           FROM counts),
+           WHERE source IN (SELECT s FROM tgt) GROUP BY 1),
+         p AS (SELECT tgt.s, COALESCE(counts.c, 0) AS c, tgt.p AS p
+           FROM tgt LEFT JOIN counts ON tgt.s = counts.s),
          rates AS (SELECT s,
              LEAST(256, GREATEST(0, CAST(floor(
-               CAST(256 AS DOUBLE) * p * (SELECT min(c / p) FROM p) / c)
-               AS INTEGER))) AS r
-           FROM p)
+               CAST(256 AS DOUBLE) * p * (SELECT min(c / p) FROM p) / c
+               + 1e-9) AS INTEGER))) AS r
+           FROM p WHERE c > 0)
          SELECT d.source, count(*) AS n_docs,
            CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
          FROM documents d JOIN rates ON d.source = rates.s

@@ -13,6 +13,10 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — a typo here would " +
+        "otherwise produce an empty dump with exit code 0")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap

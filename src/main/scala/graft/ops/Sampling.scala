@@ -119,9 +119,14 @@ object Sampling {
     }.min
     targets.map { case (s, p) =>
       val c = counts.getOrElse(s, 0L)
+      // +1e-9 before the floor: the binding stratum's keep fraction is
+      // exactly 1 algebraically but x·(c/x)/c can round a hair under 1
+      // in doubles, which would floor the promised keep-whole rate to
+      // 255/256. The epsilon is far above double rounding error and far
+      // below the 1/256 grid, and the oracle SQL replays it verbatim.
       val rate =
         if (c == 0L) 0
-        else math.floor(256.0 * (p / total) * t / c).toInt
+        else math.floor(256.0 * (p / total) * t / c + 1e-9).toInt
       s -> math.min(256, math.max(0, rate))
     }
   }

@@ -84,16 +84,24 @@ object QualityModel {
     require(iters > 0, s"iters must be positive, got $iters")
     val d = feats.size
     val cols = feats.zipWithIndex.map { case ((_, c), i) => c.as(s"x$i") }
-    val frame = df.select(cols :+ label.cast("double").as("y"): _*).persist()
+    // drop rows with any null feature or label BEFORE counting: the
+    // decimal sums would silently skip them while n still counted
+    // them, biasing every mean/gradient by the wrong denominator
+    val frame = df.select(cols :+ label.cast("double").as("y"): _*)
+      .na.drop().persist()
     try {
-      // n is needed to scale the gradient; one count pass up front
-      val n = frame.count().toDouble
       // standardization stats in the same exact-decimal discipline as
-      // the gradients: Σx and Σx² per feature, one pass
+      // the gradients: Σx and Σx² per feature — n rides in the SAME
+      // pass (a separate count() would be one more scheduled job, and
+      // on small data the fixed job cost dominates; see PLANS_r6)
       val statCols = (0 until d).flatMap(i => Seq(
         sum(col(s"x$i").cast("decimal(28,12)")).as(s"s$i"),
         sum((col(s"x$i") * col(s"x$i")).cast("decimal(28,12)")).as(s"q$i")))
-      val st = frame.agg(statCols.head, statCols.tail: _*).head()
+      val st = frame
+        .agg(statCols.head, statCols.tail :+ count(lit(1)).as("n"): _*)
+        .head()
+      val n = st.getLong(2 * d).toDouble
+      if (n == 0) return new Array[Double](d) // nothing to learn from
       val mean = new Array[Double](d)
       val scale = new Array[Double](d)
       var i = 0

@@ -1,7 +1,6 @@
 package graft
 
 import scala.collection.mutable
-import scala.io.Source
 
 import org.apache.spark.sql.functions._
 
@@ -124,34 +123,12 @@ class BpeSpec extends SparkTestBase {
     assert(viaExpr == viaDriver)
   }
 
-  // ---- committed sf0.01 goldens for the no-oracle queries ----
-
-  private def fixture(name: String): Set[Seq[String]] = {
-    val in = getClass.getResourceAsStream(s"/golden/${name}_sf0.01.tsv")
-    assert(in != null, s"missing golden fixture for $name")
-    val src = Source.fromInputStream(in, "UTF-8")
-    try src.getLines().drop(1)
-      .map(_.split('\t').toSeq).toSet
-    finally src.close()
-  }
-
-  private def check(name: String): Unit = {
-    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
-    val got = df.collect()
-      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))): Seq[String])
-      .toSet
-    val want = fixture(name)
-    assert(got == want,
-      s"$name drifted from golden fixture: " +
-        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)} " +
-        s"(${got.size} vs ${want.size} rows)")
-    spark.catalog.clearCache()
-  }
-
+  // committed sf0.01 goldens for the no-oracle queries — shared TSV
+  // mechanism in SparkTestBase
   test("q_bpe_vocab matches its committed sf0.01 golden output") {
-    check("q_bpe_vocab")
+    checkGoldenTsv("q_bpe_vocab")
   }
   test("q_doc_bpe_apply matches its committed sf0.01 golden output") {
-    check("q_doc_bpe_apply")
+    checkGoldenTsv("q_doc_bpe_apply")
   }
 }

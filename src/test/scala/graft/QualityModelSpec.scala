@@ -1,6 +1,5 @@
 package graft
 
-import scala.io.Source
 
 import org.apache.spark.sql.functions._
 
@@ -36,6 +35,7 @@ class QualityModelSpec extends SparkTestBase {
     val d = feats.size
     val rows = docs
       .select(feats.map(_._2) :+ label.as("y"): _*)
+      .na.drop() // mirror train()'s null-row exclusion
       .collect()
       .map(r => ((0 until d).map(r.getDouble).toArray, r.getDouble(d)))
     val n = rows.length.toDouble
@@ -101,40 +101,12 @@ class QualityModelSpec extends SparkTestBase {
       s"no separation: en=${means(1.0)} other=${means(0.0)}")
   }
 
-  // ---- committed sf0.01 goldens (no SQL oracle: training is
-  //      iterative-global). Mixed-type rows: cells parse as double
-  //      when possible (repr-independent) and compare as strings
-  //      otherwise.
-  private def cell(s: String): Any =
-    try java.lang.Double.valueOf(s.toDouble)
-    catch { case _: NumberFormatException => s }
-
-  private def fixture(name: String): Set[Seq[Any]] = {
-    val in = getClass.getResourceAsStream(s"/golden/${name}_sf0.01.tsv")
-    assert(in != null, s"missing golden fixture for $name")
-    val src = Source.fromInputStream(in, "UTF-8")
-    try src.getLines().drop(1).map(_.split('\t').map(cell).toSeq).toSet
-    finally src.close()
-  }
-
-  private def check(name: String): Unit = {
-    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
-    val got = df.collect()
-      .map(r => (0 until r.length)
-        .map(i => cell(String.valueOf(r.get(i)))): Seq[Any])
-      .toSet
-    val want = fixture(name)
-    assert(got == want,
-      s"$name drifted from golden fixture: " +
-        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)} " +
-        s"(${got.size} vs ${want.size} rows)")
-    spark.catalog.clearCache()
-  }
-
+  // committed sf0.01 goldens (no SQL oracle: training is
+  // iterative-global) — shared TSV mechanism in SparkTestBase
   test("q_quality_model matches its committed sf0.01 golden output") {
-    check("q_quality_model")
+    checkGoldenTsv("q_quality_model")
   }
   test("q_quality_scores matches its committed sf0.01 golden output") {
-    check("q_quality_scores")
+    checkGoldenTsv("q_quality_scores")
   }
 }
