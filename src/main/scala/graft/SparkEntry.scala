@@ -1266,6 +1266,17 @@ object SparkEntry {
             .scoreColumn(feats, qualityWeights(s, d)).as("score"))
     }),
 
+    // ---- deterministic corpus shuffle: the stable pseudo-random
+    //      TRAINING ORDER (same sequence every rebuild, any layout,
+    //      any md5-agreeing engine); sort+limit plans as distributed
+    //      top-k (TakeOrderedAndProject), never a global single-
+    //      partition sort ----
+    "q_corpus_shuffle" -> ((s, d) =>
+      graft.ops.Sampling.deterministicShuffle(
+          t("documents")(s, d).select(col("doc_id"), col("source")),
+          col("doc_id"))
+        .limit(50)),
+
     // ---- JSON-lines round trip: documents written as JSONL (the LLM
     //      corpus interchange format) and read back under the explicit
     //      schema; the content-sensitive aggregate (distinct md5 of
@@ -2432,6 +2443,10 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))
              AS INTEGER) < rates.r
          GROUP BY d.source""",
+
+    "q_corpus_shuffle" ->
+      """SELECT doc_id, source FROM documents
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50""",
 
     "q_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

@@ -146,6 +146,18 @@ object Sampling {
     stratifiedHashSample(df, key, stratum,
       mixtureRates(df, stratum, targets), defaultRate256 = 0)
 
+  /** Deterministic corpus shuffle: a stable pseudo-random TRAINING
+    * ORDER (what a pretraining run actually needs — the same "random"
+    * sequence on every rebuild, resumable mid-epoch, identical across
+    * cluster layouts and engines) as `ORDER BY md5(key), key` — the
+    * key tie-break makes the order total even under md5 collisions.
+    * One range exchange (Spark samples range bounds, then sorts
+    * partitions independently) — the scale-sane global sort; reading
+    * the result back in file order replays the epoch.
+    */
+  def deterministicShuffle(df: DataFrame, key: Column): DataFrame =
+    df.orderBy(md5(key.cast("string")), key)
+
   /** Per-stratum hash sampling: `rates` maps values of `stratum` to
     * keep-rates in 1/256ths; unlisted strata use `defaultRate256`.
     * The standard rebalancing move (e.g. downsample boilerplate-heavy

@@ -148,6 +148,14 @@ class PlanSpec extends SparkTestBase {
       s"BPE apply fell out of codegen:\n$plan")
   }
 
+  test("q_corpus_shuffle takes its epoch prefix as distributed top-k") {
+    // sort+limit must plan as TakeOrderedAndProject — a global
+    // single-partition Sort here would be the 100 TB failure mode
+    val plan = finalPlan(q("q_corpus_shuffle"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"epoch-order prefix lost TakeOrderedAndProject:\n$plan")
+  }
+
   test("q_domain_mix applies solved rates as a join-free scan filter") {
     // the solver collects ≤|targets| counts up front; the applied
     // sample must then be a literal CASE filter + ONE aggregation

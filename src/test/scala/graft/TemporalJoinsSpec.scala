@@ -386,4 +386,26 @@ class TemporalJoinsSpec extends SparkTestBase {
       Map("a" -> 0.5, "nope" -> 0.5))
     assert(absent.values.forall(_ == 0))
   }
+
+  test("deterministicShuffle is a stable total order on any layout") {
+    val df = (1 to 500).map(i => (i, s"p$i")).toDF("id", "payload")
+    val order = Sampling.deterministicShuffle(df, col("id"))
+      .select("id").as[Int].collect().toSeq
+    // total: a permutation of the input
+    assert(order.sorted == (1 to 500))
+    // pseudo-random: far from the natural key order
+    assert(order != (1 to 500).toSeq && order != (1 to 500).reverse)
+    // the driver-side expectation: sort by (md5(id), id)
+    val expect = (1 to 500).sortBy { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (h, i)
+    }
+    assert(order == expect)
+    // identical sequence on a different physical layout
+    val again = Sampling.deterministicShuffle(df.repartition(17), col("id"))
+      .select("id").as[Int].collect().toSeq
+    assert(order == again)
+  }
 }
