@@ -39,6 +39,24 @@ object Bpe {
     */
   val EndOfWord = "</w>"
 
+  /** Initial symbol split — CODEPOINTS, not UTF-16 chars: a
+    * `word.map(_.toString)` split would cut surrogate pairs (emoji,
+    * supplementary CJK) into lone-surrogate "symbols" that are not
+    * valid strings — UTF8String.fromString replaces them in the
+    * expression path, silently corrupting non-BMP text.
+    */
+  private[text] def symbols(word: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.toArray
+  }
+
   /** Learn `numMerges` BPE merges from the corpus. One shuffle
     * (word-type counts) + one distributed top-k; the merge loop is
     * driver-side over ≤ `maxWordTypes` rows. Text is lowercased and
@@ -89,9 +107,8 @@ object Bpe {
   def learn(
       wordCounts: Seq[(String, Long)],
       numMerges: Int): Seq[(String, String)] = {
-    val words: Array[Array[String]] = wordCounts.map { case (w, _) =>
-      (w.map(_.toString) :+ EndOfWord).toArray
-    }.toArray
+    val words: Array[Array[String]] =
+      wordCounts.map { case (w, _) => symbols(w) }.toArray
     val counts: Array[Long] = wordCounts.map(_._2).toArray
 
     val stats = mutable.HashMap.empty[(String, String), Long]
@@ -179,7 +196,7 @@ object Bpe {
       * within a rank) until none applies — the standard BPE encode.
       */
     def encodeWord(word: String): Array[String] = {
-      var syms: Array[String] = (word.map(_.toString) :+ EndOfWord).toArray
+      var syms: Array[String] = symbols(word)
       var continue = syms.length > 1
       while (continue) {
         var bestRank = Int.MaxValue; var j = 0

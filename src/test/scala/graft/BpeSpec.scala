@@ -31,7 +31,9 @@ class BpeSpec extends SparkTestBase {
       wordCounts: Seq[(String, Long)],
       numMerges: Int): (Seq[(String, String)], Seq[(Vector[String], Long)]) = {
     var words: Seq[(Vector[String], Long)] = wordCounts.map { case (w, c) =>
-      ((w.map(_.toString) :+ Bpe.EndOfWord).toVector, c)
+      // codepoint split + marker, same initial alphabet as Bpe.learn
+      (w.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp))) :+ Bpe.EndOfWord, c)
     }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var m = 0
@@ -94,6 +96,30 @@ class BpeSpec extends SparkTestBase {
       // faithful: encode-time greedy == train-time evolution
       assert(enc == syms, s"'$w': encoded $enc but trained to $syms")
     }
+  }
+
+  test("non-BMP text survives both the codec and the expression path") {
+    import spark.implicits._
+    // emoji + supplementary CJK are surrogate PAIRS in UTF-16: a
+    // char-level symbol split would cut them into lone surrogates,
+    // which UTF8String silently replaces — symbols() splits codepoints
+    val nasty = "café 😀😀naïve 𤭢 ab"
+    val codec = new Bpe.Codec(Bpe.learn(
+      Seq("café" -> 5L, "😀😀naïve" -> 3L,
+        "𤭢" -> 2L, "ab" -> 8L), 6))
+    val viaCodec = codec.encodeText(nasty).toSeq
+    // lossless: concatenation restores the lowercased words + markers
+    assert(viaCodec.mkString ==
+      nasty.toLowerCase(java.util.Locale.ROOT).split(' ')
+        .map(_ + Bpe.EndOfWord).mkString)
+    // every symbol is a VALID string (no lone surrogates — a char
+    // split would leave codepoints in the D800–DFFF surrogate range)
+    assert(viaCodec.forall(s =>
+      s.codePoints().toArray.forall(cp => cp < 0xD800 || cp > 0xDFFF)))
+    val viaExpr = Seq(Tuple1(nasty)).toDF("text")
+      .select(graft.functions.GraftFunctions.bpeTokens(col("text"), codec))
+      .as[Seq[String]].head()
+    assert(viaExpr == viaCodec, "expression path corrupted non-BMP symbols")
   }
 
   test("learnBpe is deterministic and layout-independent") {
