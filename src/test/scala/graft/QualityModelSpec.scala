@@ -101,6 +101,33 @@ class QualityModelSpec extends SparkTestBase {
       s"no separation: en=${means(1.0)} other=${means(0.0)}")
   }
 
+  test("model artifacts persist and reload through the table store") {
+    // weights and vocab are just small tables: store them in the
+    // engine's own versioned TableStore and rebuild the scorer from
+    // the reloaded frame — the deployment story for trained filters
+    val docs = Tables.load(spark, sfDir, "documents")
+    val w = QualityModel.train(docs, feats, label, iters = 5)
+    val store = new graft.streaming.TableStore(
+      java.nio.file.Files.createTempDirectory("qm_store").toString)
+    store.overwrite("quality_weights",
+      QualityModel.weightsDf(spark, feats, w))
+    val reloadSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("feature",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("weight",
+        org.apache.spark.sql.types.DoubleType)))
+    val reloaded = store.read(spark, "quality_weights", reloadSchema)
+      .orderBy("idx").collect().map(_.getDouble(2))
+    assert(reloaded.toSeq == w.toSeq, "weights drifted through the store")
+    val a = docs.select(QualityModel.scoreColumn(feats, w).as("s"))
+      .agg(sum("s")).head().getDouble(0)
+    val b = docs.select(QualityModel.scoreColumn(feats, reloaded).as("s"))
+      .agg(sum("s")).head().getDouble(0)
+    assert(a == b, "reloaded scorer disagrees with the in-memory one")
+  }
+
   // committed sf0.01 goldens (no SQL oracle: training is
   // iterative-global) — shared TSV mechanism in SparkTestBase
   test("q_quality_model matches its committed sf0.01 golden output") {
