@@ -154,9 +154,16 @@ object Sampling {
     * One range exchange (Spark samples range bounds, then sorts
     * partitions independently) — the scale-sane global sort; reading
     * the result back in file order replays the epoch.
+    *
+    * `key` must be a UNIQUE, NON-NULL row identifier (compose
+    * multi-column keys with `concat_ws`, same contract as
+    * [[hashSample]]) for the order to be total. Null keys are pinned
+    * AFTER every hash (coalesce to `"~"` > any hex char, identically
+    * in any engine — engines disagree on bare NULL placement), but
+    * their order among themselves is undefined.
     */
   def deterministicShuffle(df: DataFrame, key: Column): DataFrame =
-    df.orderBy(md5(key.cast("string")), key)
+    df.orderBy(coalesce(md5(key.cast("string")), lit("~")), key)
 
   /** Per-stratum hash sampling: `rates` maps values of `stratum` to
     * keep-rates in 1/256ths; unlisted strata use `defaultRate256`.

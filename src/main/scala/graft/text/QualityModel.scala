@@ -167,6 +167,18 @@ object QualityModel {
     lit(1.0) / (lit(1.0) + exp(-margin))
   }
 
+  /** Schema of [[weightsDf]] — the persistence contract; shared with
+    * store round-trip readers so it can't drift from the frame.
+    */
+  val weightsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("feature",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("weight",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+
   /** Weights as a small DataFrame for persistence / inspection. */
   def weightsDf(
       spark: org.apache.spark.sql.SparkSession,
@@ -176,13 +188,6 @@ object QualityModel {
       case ((name, wi), i) => org.apache.spark.sql.Row(i, name, wi)
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("idx",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("feature",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("weight",
-          org.apache.spark.sql.types.DoubleType, nullable = false))))
+      spark.sparkContext.parallelize(rows, 1), weightsSchema)
   }
 }

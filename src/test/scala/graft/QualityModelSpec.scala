@@ -111,15 +111,10 @@ class QualityModelSpec extends SparkTestBase {
       java.nio.file.Files.createTempDirectory("qm_store").toString)
     store.overwrite("quality_weights",
       QualityModel.weightsDf(spark, feats, w))
-    val reloadSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("idx",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("feature",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("weight",
-        org.apache.spark.sql.types.DoubleType)))
-    val reloaded = store.read(spark, "quality_weights", reloadSchema)
-      .orderBy("idx").collect().map(_.getDouble(2))
+    val reloaded = store
+      .read(spark, "quality_weights", QualityModel.weightsSchema)
+      .orderBy("idx").collect()
+      .map(_.getAs[Double]("weight"))
     assert(reloaded.toSeq == w.toSeq, "weights drifted through the store")
     val a = docs.select(QualityModel.scoreColumn(feats, w).as("s"))
       .agg(sum("s")).head().getDouble(0)
