@@ -118,6 +118,20 @@ object SparkEntry {
       dir
     })
 
+  /** ORC twin of the documents table (the other columnar interchange
+    * format Spark ships a native reader for), memoized per (JVM, sf
+    * dir) — fixture for q_orc_roundtrip.
+    */
+  private val orcFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def orcFixture(s: SparkSession, d: String): String =
+    orcFixtureCache.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_orc_${java.lang.Integer.toHexString(d.hashCode)}"
+      t("documents")(s, d).write.mode("overwrite").orc(dir)
+      dir
+    })
+
   private val storeFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def storeFixture(s: SparkSession, d: String): String =
@@ -149,6 +163,7 @@ object SparkEntry {
     Tables.csvFixture(s, d)
     storeFixture(s, d)
     jsonlFixture(s, d)
+    orcFixture(s, d)
     ()
   }
 
@@ -1276,6 +1291,22 @@ object SparkEntry {
           t("documents")(s, d).select(col("doc_id"), col("source")),
           col("doc_id"))
         .limit(50)),
+
+    // ---- ORC round trip: the OTHER native columnar format, same
+    //      lossless-transport proof shape as the JSONL twin; predicate
+    //      pushdown and column pruning work on ORC scans exactly as on
+    //      parquet, so corpora stored either way read identically ----
+    "q_orc_roundtrip" -> ((s, d) => {
+      val schema = t("documents")(s, d).schema
+      s.read.schema(schema).orc(orcFixture(s, d))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          countDistinct(md5(col("text").cast("binary")))
+            .as("n_unique_texts"))
+    }),
 
     // ---- JSON-lines round trip: documents written as JSONL (the LLM
     //      corpus interchange format) and read back under the explicit
@@ -2452,6 +2483,13 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
-         FROM documents GROUP BY lang"""
+         FROM documents GROUP BY lang""",
+
+    "q_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+         FROM documents GROUP BY source"""
   )
 }
