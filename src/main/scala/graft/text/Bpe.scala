@@ -62,7 +62,11 @@ object Bpe {
     * driver-side over ≤ `maxWordTypes` rows. Text is lowercased and
     * tokenized on whitespace runs (the same `\S+` rule as
     * [[TextOps.tokens]]) so the vocab composes with the rest of the
-    * text stack.
+    * text stack. Lowercasing here uses Spark's `lower()` while
+    * [[Codec.encodeText]] uses `Locale.ROOT` — BpeSpec's locale probe
+    * asserts the two rules agree in this environment, so a
+    * locale-sensitive divergence (Turkish dotted I et al.) fails CI
+    * loudly instead of drifting goldens.
     */
   def learnBpe(
       docs: DataFrame,
@@ -188,8 +192,17 @@ object Bpe {
     * the same pattern as the MinHash parameter arrays.
     */
   final class Codec(val merges: Seq[(String, String)]) extends Serializable {
+    // earliest-wins: a pair can re-form during training (merge (a,b)
+    // can create fresh (ab,c) adjacencies after (ab,c) was already
+    // merged) and be selected a second time, so `merges` may contain
+    // duplicates; keeping the LOWEST rank per pair makes the greedy
+    // lowest-rank encode below replay the training order exactly —
+    // `.toMap` alone would keep the last (highest) rank and let an
+    // intermediate-rank merge jump the queue
     private val rank: Map[(String, String), Int] =
-      merges.zipWithIndex.toMap
+      merges.zipWithIndex.foldLeft(Map.empty[(String, String), Int]) {
+        case (m, (p, i)) => if (m.contains(p)) m else m.updated(p, i)
+      }
 
     /** Segment one word: start from characters + `</w>`, repeatedly
       * apply the LOWEST-RANK applicable merge (greedy left-to-right

@@ -122,6 +122,28 @@ class BpeSpec extends SparkTestBase {
     assert(viaExpr == viaCodec, "expression path corrupted non-BMP symbols")
   }
 
+  test("learn-side lower() and apply-side Locale.ROOT lowercase agree") {
+    import spark.implicits._
+    // learnBpe lowercases with Spark's lower(); Codec.encodeText with
+    // String.toLowerCase(Locale.ROOT). If the two rules ever diverge in
+    // this environment (e.g. a locale-sensitive JVM path on dotted/
+    // dotless I under a Turkish default locale), learn-time and
+    // apply-time tokenizations split and goldens drift silently — this
+    // probe makes that failure loud in CI instead
+    val probes = Seq(
+      "İstanbul ISTANBUL ıı", // Turkish dotted/dotless I, the classic
+      "ΣΑΣ ΟΔΟΣ",            // Greek final sigma
+      "STRASSE ß",           // sharp s
+      "ﬃ ﬆ",                 // ligatures
+      "CAFÉ NAÏVE À 𤭢 😀")  // accents + non-BMP
+    val viaSpark = probes.toDF("t").select(lower(col("t")))
+      .as[String].collect().toSeq
+    val viaRoot = probes.map(_.toLowerCase(java.util.Locale.ROOT))
+    assert(viaSpark == viaRoot,
+      s"Spark lower() diverged from Locale.ROOT: ${
+        viaSpark.zip(viaRoot).filter(p => p._1 != p._2)}")
+  }
+
   test("learnBpe is deterministic and layout-independent") {
     val docs = Tables.load(spark, sfDir, "documents")
     val m1 = Bpe.learnBpe(docs, col("text"), numMerges = 32,

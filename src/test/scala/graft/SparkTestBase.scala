@@ -31,21 +31,37 @@ trait SparkTestBase extends AnyFunSuite {
     def cell(s: String): Any =
       try java.lang.Double.valueOf(s.toDouble)
       catch { case _: NumberFormatException => s }
+    // multiset compare, not Set: a regression that DUPLICATES an
+    // already-golden row (e.g. a join fan-out) must fail, not vanish
+    // into set semantics
+    def multiset(rows: Iterator[Seq[Any]]): Map[Seq[Any], Int] =
+      rows.foldLeft(Map.empty[Seq[Any], Int]) { (m, r) =>
+        m.updated(r, m.getOrElse(r, 0) + 1)
+      }
     val in = getClass.getResourceAsStream(s"/golden/${name}_sf0.01.tsv")
     assert(in != null, s"missing golden fixture for $name")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    val want =
-      try src.getLines().drop(1).map(_.split('\t').map(cell).toSeq).toSet
-      finally src.close()
+    val (want, wantRows) =
+      try {
+        val rows = src.getLines().drop(1)
+          .map(_.split('\t').map(cell).toSeq).toSeq
+        (multiset(rows.iterator), rows.size)
+      } finally src.close()
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
-    val got = df.collect()
+    val gotRows = df.collect()
       .map(r => (0 until r.length)
         .map(i => cell(String.valueOf(r.get(i)))): Seq[Any])
-      .toSet
+    val got = multiset(gotRows.iterator)
+    assert(gotRows.length == wantRows,
+      s"$name row count drifted from golden fixture: " +
+        s"${gotRows.length} vs $wantRows")
     assert(got == want,
       s"$name drifted from golden fixture: " +
-        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)} " +
-        s"(${got.size} vs ${want.size} rows)")
+        s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- want.keySet).take(3)} " +
+        s"countDrift=${
+          (want.keySet & got.keySet).filter(k => want(k) != got(k)).take(3)
+        } (${gotRows.length} vs $wantRows rows)")
     spark.catalog.clearCache()
   }
 }
