@@ -118,6 +118,25 @@ object SparkEntry {
       dir
     })
 
+  /** gzip-compressed JSONL twin — real corpora ship compressed
+    * (.jsonl.gz / .jsonl.zst; the same `compression` option takes
+    * "zstd"). gzip is NOT splittable: each shard decompresses as one
+    * read task, so at 100 TB the write-side partition count (file
+    * count) IS the read parallelism — the writer controls shard size,
+    * keep shards ~100-500 MB compressed. Fixture for
+    * q_jsonl_gz_roundtrip.
+    */
+  private val jsonlGzFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jsonlGzFixture(s: SparkSession, d: String): String =
+    jsonlGzFixtureCache.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_jsonl_gz_${java.lang.Integer.toHexString(d.hashCode)}"
+      t("documents")(s, d).write.mode("overwrite")
+        .option("compression", "gzip").json(dir)
+      dir
+    })
+
   /** ORC twin of the documents table (the other columnar interchange
     * format Spark ships a native reader for), memoized per (JVM, sf
     * dir) — fixture for q_orc_roundtrip.
@@ -163,6 +182,7 @@ object SparkEntry {
     Tables.csvFixture(s, d)
     storeFixture(s, d)
     jsonlFixture(s, d)
+    jsonlGzFixture(s, d)
     orcFixture(s, d)
     ()
   }
@@ -309,6 +329,16 @@ object SparkEntry {
           col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice") * col("l_quantity"), 2).as("gross"),
           col("l_returnflag"))
+    }),
+
+    // ---- width-aware clean-load: output-equal to cleanLoad, but
+    //      unique rows pass map-side (broadcast anti-join of the
+    //      duplicated-fingerprint set) and only true duplicates
+    //      shuffle — the full-corpus-over-the-wire cost of
+    //      dropDuplicates() on wide document rows never happens ----
+    "q_clean_load_wide" -> ((s, d) => {
+      PosOps.cleanLoadWide(
+        t("documents")(s, d).select("text", "lang", "source", "n_chars"))
     }),
 
     // ---- O1 keyed sort (deterministic subset) ----
@@ -1320,6 +1350,20 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(md5(col("text").cast("binary")))
             .as("n_unique_texts"))
+    }),
+
+    // ---- compressed JSONL round trip: the shipping format of real
+    //      corpora (.jsonl.gz); same content-sensitive lossless-
+    //      transport proof as the plain twin, read back through
+    //      Hadoop's codec layer under the explicit schema ----
+    "q_jsonl_gz_roundtrip" -> ((s, d) => {
+      val schema = t("documents")(s, d).schema
+      s.read.schema(schema).json(jsonlGzFixture(s, d))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text").cast("binary")))
+            .as("n_unique_texts"))
     })
   )
 
@@ -1453,6 +1497,11 @@ object SparkEntry {
                  AND l_discount IS NOT NULL AND l_tax IS NOT NULL
                  AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
                  AND l_shipdate IS NOT NULL)""",
+
+    "q_clean_load_wide" ->
+      """SELECT DISTINCT text, lang, source, n_chars FROM documents
+         WHERE text IS NOT NULL AND lang IS NOT NULL
+           AND source IS NOT NULL AND n_chars IS NOT NULL""",
 
     "q_order_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -2489,6 +2538,12 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+         FROM documents GROUP BY source""",
+
+    "q_jsonl_gz_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
          FROM documents GROUP BY source"""
   )

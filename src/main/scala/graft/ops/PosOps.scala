@@ -169,9 +169,68 @@ object PosOps {
     * any null (P8), full-row dedup (D1), derive. Explicit schema at read
     * time replaces the reference's cast chain (P2) and its
     * `inferSchema=true` extra pass (never infer at scale).
+    *
+    * `dropDuplicates()` here shuffles ENTIRE rows — harmless at POS
+    * fact widths, the whole corpus over the wire at document widths:
+    * wide-row callers should use [[cleanLoadWide]], which is
+    * output-equal but shuffles only 16-byte fingerprints plus the true
+    * duplicates.
     */
   def cleanLoad(raw: DataFrame): DataFrame =
     raw.na.drop().dropDuplicates()
+
+  /** Width-aware clean-load for WIDE rows (documents, not POS facts):
+    * output-equal to [[cleanLoad]], but the full-row shuffle that
+    * `dropDuplicates()` costs — the whole corpus over the wire at
+    * 100 TB — is replaced by
+    *
+    *  1. one fingerprint-only pass (16-byte md5 per row, no row bytes
+    *     shuffled) that finds the fingerprints appearing more than
+    *     once — in a real corpus a small minority;
+    *  2. a broadcast of that duplicated-fingerprint set: unique rows
+    *     pass through MAP-SIDE (broadcast anti-join, zero shuffle),
+    *     and only the duplicated rows — bounded by the true dup
+    *     volume, not the corpus — shuffle to pick one representative
+    *     per fingerprint (content-identical rows, so any
+    *     representative is the same row value).
+    *
+    * The input is scanned three times instead of once; at wide-row
+    * scale, columnar re-scans are an order cheaper than a full-row
+    * shuffle (and the fingerprint pass prunes to nothing under
+    * parquet column pruning — it reads all columns but writes only
+    * 16-byte hashes to the exchange). If the duplicated-fingerprint
+    * set exceeds `maxDupKeys` (degenerate mostly-duplicate input,
+    * where a broadcast would not fit), falls back to fingerprint-keyed
+    * `dropDuplicates` — still one full shuffle, but hash-map state
+    * keyed on 16 bytes rather than whole rows.
+    *
+    * Rows are fingerprinted as md5 of their JSON encoding (unambiguous
+    * across column boundaries, deterministic within a Spark version);
+    * distinct rows colliding on the 128-bit md5 are merged wrongly —
+    * the same negligible-at-any-scale assumption
+    * [[graft.dedup.Dedup.exactDedup]] documents.
+    */
+  def cleanLoadWide(raw: DataFrame, maxDupKeys: Long = 2000000L): DataFrame = {
+    val clean = raw.na.drop()
+    val fpCol = "__graft_row_fp"
+    val withFp = clean.withColumn(fpCol,
+      md5(to_json(struct(clean.columns.map(col).toIndexedSeq: _*))))
+    val dupFps = withFp.groupBy(col(fpCol))
+      .agg(count(lit(1)).as("__graft_fp_n"))
+      .filter(col("__graft_fp_n") > 1)
+      .select(col(fpCol))
+    if (dupFps.count() > maxDupKeys) {
+      // degenerate mostly-duplicate input: broadcast would not fit
+      withFp.dropDuplicates(fpCol).drop(fpCol)
+    } else {
+      val uniques = withFp
+        .join(broadcast(dupFps), Seq(fpCol), "left_anti")
+      val dupReps = withFp
+        .join(broadcast(dupFps), Seq(fpCol), "left_semi")
+        .dropDuplicates(fpCol)
+      uniques.unionByName(dupReps).drop(fpCol)
+    }
+  }
 
   /** Stock decrement (A5, `kafka_consumer.py:110–117`) as a batch
     * operator: current stock minus total sold per product. Map-side

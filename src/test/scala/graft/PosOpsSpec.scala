@@ -78,6 +78,64 @@ class PosOpsSpec extends SparkTestBase {
     assert(got == Set((1, "x"), (3, "z")))
   }
 
+  test("cleanLoadWide equals cleanLoad, on both paths") {
+    val df = Seq(
+      (Some(1), Some("x")), (Some(1), Some("x")),
+      (None, Some("y")), (Some(2), None),
+      (Some(3), Some("z")), (Some(3), Some("z")), (Some(4), Some("w")))
+      .toDF("id", "v")
+    val want = PosOps.cleanLoad(df).as[(Int, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val gotBroadcast = PosOps.cleanLoadWide(df).as[(Int, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // maxDupKeys = 0 forces the degenerate-input fallback branch
+    val gotFallback = PosOps.cleanLoadWide(df, maxDupKeys = 0L)
+      .as[(Int, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(gotBroadcast == want)
+    assert(gotFallback == want)
+  }
+
+  test("cleanLoadWide shuffles a fraction of cleanLoad's bytes on wide rows") {
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // 2000 wide (~1 KB) rows, 2% planted exact duplicates — the
+    // document-corpus shape where full-row dropDuplicates() ships the
+    // whole corpus over the wire. Text must be INCOMPRESSIBLE like real
+    // prose: constant filler compresses ~1000x in the lz4 shuffle and
+    // hides the full-row cost this test exists to expose
+    def randText(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      val sb = new StringBuilder
+      (0 until 1000).foreach(_ => sb += ('a' + r.nextInt(26)).toChar)
+      sb.toString
+    }
+    val wide = ((1 to 1960).map(i => (i, randText(i))) ++
+      (1 to 40).map(i => (5000 + i % 20, randText(100000 + i % 20))))
+      .toDF("id", "text")
+    val bytes = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          bytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    def measure(f: => Long): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        bytes.set(0L); f
+        org.apache.spark.GraftCoreShims.drainListenerBus(spark.sparkContext)
+        bytes.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val fullRows = measure(PosOps.cleanLoad(wide).count())
+    val fingerprint = measure(PosOps.cleanLoadWide(wide).count())
+    // same answer…
+    assert(PosOps.cleanLoadWide(wide).count() == PosOps.cleanLoad(wide).count())
+    // …at a fraction of the wire bytes: fingerprints + true dups only
+    assert(fingerprint * 3 < fullRows,
+      s"expected <1/3 of the full-row shuffle, got $fingerprint vs $fullRows")
+  }
+
   test("stockDecrement subtracts sold qty, 0 for unsold") {
     val products = Seq((1, 100.0), (2, 50.0)).toDF("product_id", "stock")
     val sales = Seq((1, 3.0), (1, 4.0)).toDF("product_id", "qty")
