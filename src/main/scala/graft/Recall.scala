@@ -115,7 +115,35 @@ object Recall {
         "query_id", "vec_id"),
       floor = 0.75)
 
-    Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf)
+    // -- learned quality filter: predictive floor for the no-oracle
+    //    model queries (q_quality_model / q_quality_scores). Same
+    //    training config as SparkEntry; "recall" here is TRAIN-SET
+    //    ACCURACY of the 0.5-thresholded sigmoid against the weak
+    //    label, "precision" the class-mean score separation — a
+    //    silently degenerate learner (all-one-class, zero weights)
+    //    fails this floor at the driver gate, not just in the local
+    //    suite (VERDICT r6 ask #8).
+    val qmFeats = graft.text.QualityModel.features(col("text"))
+    val qmLabel =
+      (graft.text.TextOps.tokenCount(col("text")) >= 60).cast("double")
+    val qmW = graft.text.QualityModel.train(
+      docs, qmFeats, qmLabel, iters = 15, lr = 0.8)
+    val qmScored = docs.select(qmLabel.as("y"),
+      graft.text.QualityModel.scoreColumn(qmFeats, qmW).as("s"))
+    val qmRow = qmScored.agg(
+      avg(((col("s") >= 0.5).cast("double") === col("y")).cast("double"))
+        .as("acc"),
+      avg(when(col("y") === 1.0, col("s"))).as("m1"),
+      avg(when(col("y") === 0.0, col("s"))).as("m0"),
+      count(lit(1)).as("n")).head()
+    val qm = Metric("q_quality_model",
+      recall = qmRow.getDouble(0),
+      precision = Some(qmRow.getDouble(1) - qmRow.getDouble(2)),
+      recallFloor = 0.9,
+      truth = qmRow.getLong(3),
+      emitted = qmRow.getLong(3))
+
+    Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf, qm)
   }
 
   def toJson(ms: Seq[Metric]): String =

@@ -2490,10 +2490,88 @@ object SparkEntry {
            min(k) AS min_k, max(k) AS max_k
          FROM e WHERE k IS NOT NULL GROUP BY event_type""",
 
-    // q_bpe_vocab / q_doc_bpe_apply: no SQL oracle — BPE's merge loop
-    // is iterative-global (each merge changes the statistics the next
-    // ranks on); pinned instead by BpeSpec's sequential-reference model
-    // test and committed sf0.01 goldens.
+    // q_bpe_vocab: no SQL oracle — BPE's merge LOOP is iterative-global
+    // (each merge changes the statistics the next ranks on); pinned by
+    // BpeSpec's sequential-reference model test and a committed sf0.01
+    // golden.
+    //
+    // q_doc_bpe_apply: the APPLY side does have a SQL form. The merge
+    // table is deterministic and bounded (64 merges, separately pinned
+    // by the q_bpe_vocab golden), so it is inlined below as VALUES —
+    // the correctness pass always runs at sf0.01, the scale it was
+    // induced at. DuckDB then replays Codec.encodeWord exactly: each
+    // word is encoded as a doubled-space symbol string ('  s1  s2  ';
+    // space can never occur inside a \S+ token), and each recursion
+    // step applies ALL left-to-right non-overlapping occurrences of the
+    // LOWEST-rank applicable pair via replace() on the pattern
+    // ' l  r ' — the single-space flanks keep a match from consuming
+    // its neighbor's boundary, which is what makes adjacent
+    // occurrences ('a a a' under (a,a)) merge greedily like the codec.
+    "q_doc_bpe_apply" ->
+      """WITH RECURSIVE
+           merges(rnk, l, r) AS (VALUES
+             (0,'e','r'),(1,'e','</w>'),(2,'n','</w>'),(3,'er','</w>'),
+             (4,'o','w'),(5,'ow','</w>'),(6,'o','r'),(7,'s','t'),(8,'h','</w>'),
+             (9,'a','t'),(10,'l','u'),(11,'i','n'),(12,'a','</w>'),
+             (13,'g','</w>'),(14,'y','</w>'),(15,'a','r'),(16,'p','ar'),
+             (17,'t','</w>'),(18,'i','n</w>'),(19,'j','o'),(20,'jo','in</w>'),
+             (21,'a','s'),(22,'as','h</w>'),(23,'h','ash</w>'),
+             (24,'r','ow</w>'),(25,'at','c'),(26,'atc','h</w>'),
+             (27,'b','atch</w>'),(28,'a','n</w>'),(29,'c','an</w>'),
+             (30,'s','can</w>'),(31,'c','o'),(32,'c','u'),(33,'co','lu'),
+             (34,'colu','m'),(35,'colum','n</w>'),(36,'cu','st'),
+             (37,'cust','o'),(38,'custo','m'),(39,'custom','er</w>'),
+             (40,'f','i'),(41,'fi','l'),(42,'fil','t'),(43,'filt','er</w>'),
+             (44,'a','l'),(45,'al','l'),(46,'all','</w>'),(47,'m','all</w>'),
+             (48,'s','mall</w>'),(49,'er','g'),(50,'erg','e</w>'),
+             (51,'l','ow</w>'),(52,'m','erge</w>'),(53,'s','low</w>'),
+             (54,'c','t'),(55,'ct','or'),(56,'ctor','</w>'),(57,'d','er</w>'),
+             (58,'e','ctor</w>'),(59,'or','der</w>'),(60,'v','ector</w>'),
+             (61,'in','e</w>'),(62,'l','ine</w>'),(63,'a','b')),
+           doc_tokens AS (
+             SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+             FROM documents),
+           word_freq AS (
+             SELECT doc_id, w, count(*) AS n FROM doc_tokens GROUP BY doc_id, w),
+           words AS (SELECT DISTINCT w FROM doc_tokens),
+           enc0 AS (
+             SELECT w, '  ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+                      || '  </w>  ' AS enc
+             FROM words),
+           rec AS (
+             SELECT w, enc, 0 AS step FROM enc0
+             UNION ALL
+             SELECT q.w,
+               replace(q.enc, ' ' || q.l || '  ' || q.r || ' ',
+                       ' ' || q.l || q.r || ' ') AS enc,
+               q.step + 1
+             FROM (
+               SELECT rc.w, rc.enc, rc.step, m.l, m.r,
+                 row_number() OVER (PARTITION BY rc.w ORDER BY m.rnk) AS rn
+               FROM rec rc JOIN merges m
+                 ON position(' ' || m.l || '  ' || m.r || ' ' IN rc.enc) > 0) q
+             WHERE q.rn = 1),
+           final AS (
+             SELECT w, enc FROM rec
+             QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1),
+           enc_stats AS (
+             SELECT w, len(regexp_extract_all(enc, '[^ ]+')) AS k,
+               regexp_extract(enc, '[^ ]+') AS first_sym
+             FROM final),
+           per_doc AS (
+             SELECT f.doc_id, CAST(sum(f.n * e.k) AS BIGINT) AS n_tok
+             FROM word_freq f JOIN enc_stats e ON f.w = e.w GROUP BY f.doc_id),
+           first_tok AS (
+             SELECT d.doc_id, e.first_sym AS first_token
+             FROM (SELECT doc_id, regexp_extract(lower(text), '\S+') AS w0
+                   FROM documents WHERE regexp_matches(lower(text), '\S')) d
+             JOIN enc_stats e ON d.w0 = e.w)
+         SELECT d.doc_id,
+           CAST(COALESCE(p.n_tok, 0) AS INTEGER) AS n_bpe_vocab_tokens,
+           ft.first_token
+         FROM documents d
+         LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+         LEFT JOIN first_tok ft ON d.doc_id = ft.doc_id""",
 
     // Mirrors Sampling.mixtureRates double-for-double: targets sum to
     // 1.0 so the Scala p/total normalization is exact; every literal is
