@@ -148,6 +148,22 @@ class PlanSpec extends SparkTestBase {
       s"BPE apply fell out of codegen:\n$plan")
   }
 
+  test("full deterministicShuffle is ONE range exchange, never a single-partition sort") {
+    // the whole-epoch write path (EpochLayoutSpec): a global order at
+    // 100 TB must plan as rangepartitioning — each partition sorts
+    // independently inside its range — not as a funnel through one
+    // partition
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val plan = finalPlan(graft.ops.Sampling.deterministicShuffle(
+      docs, org.apache.spark.sql.functions.col("doc_id")))
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"full shuffle lost its range exchange:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"full shuffle funnels through a single partition:\n$plan")
+    assert(shuffles(plan) == 1,
+      s"full shuffle should be exactly one exchange:\n$plan")
+  }
+
   test("q_corpus_shuffle takes its epoch prefix as distributed top-k") {
     // sort+limit must plan as TakeOrderedAndProject — a global
     // single-partition Sort here would be the 100 TB failure mode
