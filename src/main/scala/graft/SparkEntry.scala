@@ -908,6 +908,15 @@ object SparkEntry {
       graft.text.TextOps.stripBoilerplate(
         t("documents")(s, d), "doc_id", "text")),
 
+    // ---- exact substring dedup (Lee et al. 2022 ExactSubstr at
+    //      8-token granularity): any 8-token window recurring anywhere
+    //      in the corpus is cut from every occurrence but the globally
+    //      first; overlapping windows coalesce into maximal spans;
+    //      row count stays = |documents| ----
+    "q_substring_dedup" -> ((s, d) =>
+      graft.dedup.Dedup.substringDedup(
+        t("documents")(s, d), "doc_id", "text", k = 8)),
+
     // ---- sequence packing: greedy fill of 256-token context windows
     //      within 8 deterministic pack buckets — the padding-free
     //      pretraining batch layout; parallel across buckets, native
@@ -2015,6 +2024,48 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
            CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept_segments
          FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id""",
+
+    // replays substringDedup on window TEXT (the Spark side keys on
+    // xxhash64 of the same text — equal modulo 64-bit collisions):
+    // k-token windows in position order, row_number over (doc, pos)
+    // per window marks every instance after the global first, covered
+    // positions union via range expansion, survivors reassemble with
+    // single-space joins; docs with < 8 tokens have no window and pass
+    // through (whitespace-normalized like the Spark side)
+    "q_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+             unnest(range(len(arr) - 8 + 1)) AS pos,
+             unnest(list_transform(range(len(arr) - 8 + 1),
+               p -> array_to_string(arr[p+1:p+8], ' '))) AS gram
+           FROM d WHERE len(arr) >= 8),
+         marked AS (
+           SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+           FROM grams),
+         removed AS (
+           SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS rp
+           FROM marked WHERE rn > 1),
+         toks AS (
+           SELECT doc_id, unnest(arr) AS tok,
+             unnest(range(len(arr))) AS pos
+           FROM d),
+         kept AS (
+           SELECT t.doc_id, t.pos, t.tok
+           FROM toks t LEFT JOIN removed r
+             ON t.doc_id = r.doc_id AND t.pos = r.rp
+           WHERE r.rp IS NULL),
+         re AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS dedup_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(re.dedup_text, '') AS dedup_text,
+           CAST(len(d.arr) - coalesce(re.n_kept, 0) AS INTEGER)
+             AS n_removed_tokens
+         FROM d LEFT JOIN re ON d.doc_id = re.doc_id""",
 
     // chunks = ceil(n/32) aligned windows per doc (≥1 even for empty
     // docs, chunk 0 always exists), chunk token count = least(32,

@@ -894,4 +894,76 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .transform(bestCorpusMatch)
   }
+
+  /** Exact substring dedup — the Lee et al. 2022 ExactSubstr modality
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) at k-token granularity: any k-token window
+    * whose text recurs ANYWHERE in the corpus is removed from every
+    * occurrence except the globally first (ordered by (doc, position)
+    * — "keep one copy", deterministic). Overlapping duplicate windows
+    * coalesce into maximal spans by construction, so a shared
+    * 200-token passage disappears from all but one document as one
+    * contiguous cut, and the survivors reassemble in order with
+    * canonical single-space joins.
+    *
+    * The Spark shape replaces the paper's monolithic suffix array with
+    * relational passes that scale horizontally:
+    *
+    *  1. anchor pass — [[graft.functions.PositionalShingleHashes]]
+    *     emits each document's k-token window hashes in position
+    *     order, map-side;
+    *  2. first-owner pass — `min(struct(doc, pos))` per window hash,
+    *     with map-side partial aggregation, so a degenerate hot window
+    *     (boilerplate repeated millions of times) combines before the
+    *     exchange instead of skewing a sort the way a `row_number`
+    *     window would; windows seen once are pruned HERE (`count > 1`)
+    *     so the join below only ever touches true duplicates;
+    *  3. mark pass — re-join the anchors against the surviving
+    *     (window → first owner) table on the 8-byte hash and keep the
+    *     instances that are not the owner; both shuffles move ~20-byte
+    *     tuples, never text;
+    *  4. cut-and-reassemble — duplicate start positions gather per
+    *     document (bounded by the document's own token count, the
+    *     stripBoilerplate precedent), the text crosses the wire ONCE
+    *     keyed by id, and [[graft.functions.RemoveTokenSpans]] drops
+    *     covered tokens in one linear two-pointer pass.
+    *
+    * Window identity is the xxhash64 of the window text: two DIFFERENT
+    * k-token windows colliding on 64 bits would be spuriously removed
+    * — at 10¹¹ windows that is a few hundred 8-token spans corpus-wide,
+    * noise at training scale (the oracle twin compares window TEXT, so
+    * the correctness gate would catch any systematic divergence).
+    */
+  def substringDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k > 0, s"window length must be positive, got $k")
+    import graft.functions.GraftFunctions.{positionalShingleHashes, removeTokenSpans}
+    val grams = docs
+      .select(col(idCol), posexplode(positionalShingleHashes(col(textCol), k)))
+      .toDF(idCol, "pos", "h")
+    val firsts = grams
+      .groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("first"),
+        count(lit(1)).as("n_inst"))
+      .filter(col("n_inst") > 1)
+      .select(col("h"), col("first"))
+    val dupStarts = grams
+      .join(firsts, Seq("h"))
+      .filter(struct(col(idCol), col("pos")) =!= col("first"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("dup_starts"))
+    docs
+      .join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        removeTokenSpans(col(textCol),
+          coalesce(col("dup_starts"),
+            array().cast("array<int>")), k).as("dedup_text"),
+        TextOps.tokenCount(col(textCol)).as("__n_orig"))
+      .select(col(idCol), col("dedup_text"),
+        (col("__n_orig") - TextOps.tokenCount(col("dedup_text")))
+          .cast("int").as("n_removed_tokens"))
+  }
 }

@@ -351,6 +351,192 @@ object ShingleStrings {
   }
 }
 
+/** Word n-gram shingle hashes IN POSITION ORDER — element i is the
+  * xxhash64 (same bytes walk and seed as [[ShingleHashes]], so values
+  * are bit-compatible) of the n-token window starting at token i.
+  * The positional form is the anchor pass of exact substring dedup
+  * ([[graft.dedup.Dedup.substringDedup]]): duplicate-span detection
+  * needs to know WHERE a shared window sits, so neither the distinct
+  * nor the sorted normalization of [[ShingleHashes]] applies here.
+  * Documents with fewer than n tokens return an EMPTY array — no
+  * window, no anchor (whole-document duplicates are
+  * [[graft.dedup.Dedup.exactDedup]]'s job, not a substring matter).
+  */
+case class PositionalShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "shingle length must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_shingle_hashes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"positional_shingle_hashes requires string, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PositionalShingleHashes.eval(bytes, n))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PositionalShingleHashes$$.MODULE$$.eval($s.getBytes(), $n));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PositionalShingleHashes =
+    copy(child = newChild)
+}
+
+object PositionalShingleHashes {
+  private val Seed = 42L // Spark's xxhash64 default seed
+
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def eval(bytes: Array[Byte], n: Int): Array[Long] = {
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < bytes.length) {
+      if (!isSpace(bytes(i))) {
+        val s = i
+        while (i < bytes.length && !isSpace(bytes(i))) i += 1
+        starts.add(s); ends.add(i)
+      } else i += 1
+    }
+    val m = starts.size()
+    if (m < n) return Array.emptyLongArray
+    val scratch = new Array[Byte](bytes.length + 1)
+
+    def hashWindow(from: Int, count: Int): Long = {
+      var len = 0
+      var t = from
+      val until = from + count
+      while (t < until) {
+        if (t > from) { scratch(len) = ' '; len += 1 }
+        val s = starts.get(t); val e = ends.get(t)
+        System.arraycopy(bytes, s, scratch, len, e - s)
+        len += e - s
+        t += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed)
+    }
+
+    val out = new Array[Long](m - n + 1)
+    var w = 0
+    while (w <= m - n) { out(w) = hashWindow(w, n); w += 1 }
+    out
+  }
+}
+
+/** Reassembly pass of exact substring dedup: given the original text
+  * and the ASCENDING token-index start positions of duplicate k-token
+  * windows, drop every covered token and join the kept tokens with
+  * single spaces (the same canonical-whitespace output contract as the
+  * chunking/boilerplate reassembly in [[graft.text.TextOps]]). One
+  * linear two-pointer pass over token offsets — O(tokens + starts)
+  * regardless of how densely the spans overlap, where the HOF form
+  * (`exists` per token over the start set) would be O(tokens·starts)
+  * and quadratic on boilerplate-heavy documents.
+  */
+case class RemoveTokenSpans(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k > 0, "span length must be positive")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "remove_token_spans"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.StringType,
+            ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"remove_token_spans requires (string, array<int>), " +
+            s"got (${l.catalogString}, ${r.catalogString})")
+    }
+  }
+
+  override def nullSafeEval(t: Any, s: Any): Any =
+    RemoveTokenSpans.eval(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes,
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"""${ev.value} = graft.functions.RemoveTokenSpans$$.MODULE$$.eval(
+         |  $t.getBytes(), $s, $k);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveTokenSpans =
+    copy(left = newLeft, right = newRight)
+}
+
+object RemoveTokenSpans {
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def eval(
+      bytes: Array[Byte],
+      spanStarts: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < bytes.length) {
+      if (!isSpace(bytes(i))) {
+        val s = i
+        while (i < bytes.length && !isSpace(bytes(i))) i += 1
+        starts.add(s); ends.add(i)
+      } else i += 1
+    }
+    val m = starts.size()
+    val ns = spanStarts.numElements()
+    // kept-token bytes + single-space joins never exceed the original
+    val scratch = new Array[Byte](bytes.length)
+    var len = 0
+    var si = 0
+    var coveredUntil = -1 // highest token index covered by spans seen
+    var t = 0
+    while (t < m) {
+      while (si < ns && spanStarts.getInt(si) <= t) {
+        val e = spanStarts.getInt(si) + k - 1
+        if (e > coveredUntil) coveredUntil = e
+        si += 1
+      }
+      if (t > coveredUntil) {
+        if (len > 0) { scratch(len) = ' '; len += 1 }
+        val s = starts.get(t); val e = ends.get(t)
+        System.arraycopy(bytes, s, scratch, len, e - s)
+        len += e - s
+      }
+      t += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      java.util.Arrays.copyOf(scratch, len))
+  }
+}
+
 /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
   * SIGMOD'03): hash every k-byte gram with a multiplicative rolling
   * hash, slide a w-gram window, keep each window's minimum; the
@@ -1004,6 +1190,12 @@ object GraftFunctions {
   def shingleStrings(text: Column, n: Int): Column =
     toColumn(ShingleStrings(exprOf(text), n))
 
+  def positionalShingleHashes(text: Column, n: Int): Column =
+    toColumn(PositionalShingleHashes(exprOf(text), n))
+
+  def removeTokenSpans(text: Column, spanStarts: Column, k: Int): Column =
+    toColumn(RemoveTokenSpans(exprOf(text), exprOf(spanStarts), k))
+
   def packWindows(tokenCounts: Column, capacity: Long): Column =
     toColumn(PackWindows(exprOf(tokenCounts), capacity))
 
@@ -1038,7 +1230,11 @@ object GraftFunctions {
       Winnow(exprs.head, intArg(exprs(1)), intArg(exprs(2)))),
     "pack_windows" -> (exprs =>
       PackWindows(exprs.head, intArg(exprs(1)).toLong)),
-    "char_entropy" -> (exprs => CharEntropy(exprs.head)))
+    "char_entropy" -> (exprs => CharEntropy(exprs.head)),
+    "positional_shingle_hashes" -> (exprs =>
+      PositionalShingleHashes(exprs.head, intArg(exprs(1)))),
+    "remove_token_spans" -> (exprs =>
+      RemoveTokenSpans(exprs.head, exprs(1), intArg(exprs(2)))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -397,4 +397,61 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == exact,
       s"banded form diverged: missing ${exact -- lsh}, extra ${lsh -- exact}")
   }
+
+  test("substringDedup cuts a planted cross-doc span from all but the first") {
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, s"unique one text $span tail one"),
+      (2L, s"two starts here $span and continues uniquely"),
+      (3L, "completely unrelated text with no duplicate content at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    // the globally-first occurrence (doc 1) keeps its copy untouched
+    assert(got(1L) == (s"unique one text $span tail one", 0))
+    // doc 2 loses exactly the 10 span tokens, context survives in order
+    assert(got(2L) == ("two starts here and continues uniquely", 10))
+    // an unrelated doc passes through (whitespace-canonical)
+    assert(got(3L) ==
+      ("completely unrelated text with no duplicate content at all", 0))
+  }
+
+  test("substringDedup cuts a within-doc repeat, keeping the first occurrence") {
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq((7L, s"$span mid gap $span")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getString(1), r.getInt(2))).head
+    assert(got == (s"$span mid gap", 10))
+  }
+
+  test("substringDedup coalesces overlapping duplicate windows into one span") {
+    // doc 2 embeds a 12-token shared run: duplicate 8-gram starts
+    // {3,4,5,6,7} must merge into ONE maximal cut of 12 tokens, not
+    // five separate 8-token cuts
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+    val docs = Seq(
+      (1L, s"a b c $span x y z"),
+      (2L, s"p q r $span u v w")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(got(1L) == (s"a b c $span x y z", 0))
+    assert(got(2L) == ("p q r u v w", 12))
+  }
+
+  test("substringDedup leaves short documents (< k tokens) unanchored") {
+    val docs = Seq(
+      (1L, "tiny dup doc"), (2L, "tiny dup doc"),
+      (3L, "  spaced\tout   tokens here  "))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    // whole-doc dups below the window length are exactDedup's job
+    assert(got(1L) == ("tiny dup doc", 0))
+    assert(got(2L) == ("tiny dup doc", 0))
+    // pass-through is whitespace-canonical, like every reassembly op
+    assert(got(3L) == ("spaced out tokens here", 0))
+  }
 }
