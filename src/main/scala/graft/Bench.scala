@@ -74,7 +74,8 @@ object Bench {
     if (warmDir != sfDir && Files.isDirectory(Paths.get(warmDir))) {
       SparkEntry.warmFixtures(spark, warmDir)
       names.foreach { n =>
-        SparkEntry.queries(n)(spark, warmDir).count()
+        SparkEntry.queries(n)(spark, warmDir)
+          .write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
       }
     }
@@ -90,9 +91,22 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val samples = (1 to Runs).map { _ =>
+        // induction queries re-train EVERY sample (the memo would turn
+        // the median into a cache-hit timing); apply queries keep the
+        // memo — they score with already-induced artifacts by design
+        if (name == "q_quality_model" || name == "q_bpe_vocab")
+          SparkEntry.clearInductionMemos(sfDir)
         shuffle.reset()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop-write, NOT count(): count() lets Catalyst prune every
+        // column and even eliminate row-preserving joins (a left join
+        // against an aggregate on the join key is provably 1:1 and
+        // gets removed), so a map-shaped query "benches" as a
+        // metadata-only parquet count — q_substring_dedup timed 0.25 s
+        // with 59 shuffle bytes that way. The noop sink materializes
+        // every output column through the full plan, which is what a
+        // real consumer pays.
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
         // task-end events are async; drain before snapshotting so each
         // query's shuffle bytes land on the query that caused them

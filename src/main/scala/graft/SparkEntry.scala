@@ -92,6 +92,21 @@ object SparkEntry {
     */
   private val qualityModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  /** Drop the memoized INDUCTION results for one sf dir so a bench
+    * sample of q_quality_model / q_bpe_vocab re-trains for real:
+    * under median-of-N timing the first sample would otherwise
+    * populate the memo and the median would report a cache hit —
+    * training cost would vanish from the tracked artifact. The APPLY
+    * queries (q_quality_scores, q_doc_bpe_apply) deliberately keep
+    * the memo: a production scorer loads persisted weights rather
+    * than retraining, and that is the cost they should report.
+    */
+  private[graft] def clearInductionMemos(d: String): Unit = {
+    bpeCache.remove(d)
+    qualityModelCache.remove(d)
+    ()
+  }
   private def qualityWeights(s: SparkSession, d: String): Array[Double] =
     qualityModelCache.computeIfAbsent(d, { _ =>
       graft.text.QualityModel.train(
@@ -601,14 +616,22 @@ object SparkEntry {
     //      n/10000 checked at 5% + 0.5 absolute); the oracle emits
     //      TRUE, so a sketch drifting out of tolerance hash-fails ----
     "q_sketch_accuracy" -> ((s, d) => {
-      t("events")(s, d)
+      val ev = t("events")(s, d)
         .filter(col("user_id").isNotNull && col("value").isNotNull)
-        .groupBy(col("event_type"))
+      // the DISTINCT aggregate runs in its own pass: mixed with the
+      // regular aggregates Catalyst plans an Expand that duplicates
+      // every input row through the hash aggregate (measured 8.9 s vs
+      // 5.0 s for the passes run separately at sf0.1) — two narrow
+      // column-pruned scans joined on the handful of group keys beat
+      // 2× the row volume through one wide aggregate, at any scale
+      val exactNd = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("nd_exact"))
+      val sketches = ev.groupBy(col("event_type"))
         .agg(
-          countDistinct(col("user_id")).as("nd_exact"),
           approx_count_distinct(col("user_id"), 0.01).as("nd_hll"),
           expr("percentile(value, 0.5D)").as("p50_exact"),
           expr("approx_percentile(value, 0.5D, 10000)").as("p50_sketch"))
+      exactNd.join(sketches, Seq("event_type"))
         .select(col("event_type"), col("nd_exact"),
           (abs(col("nd_hll") - col("nd_exact")) <=
             col("nd_exact") * 0.05).as("hll_ok"),
