@@ -931,6 +931,18 @@ object SparkEntry {
       graft.text.TextOps.stripBoilerplate(
         t("documents")(s, d), "doc_id", "text")),
 
+    // ---- bigram-LM perplexity scoring (the CCNet/KenLM quality-
+    //      filter stage, counting form): train unigram+bigram counts
+    //      over the corpus (two count shuffles), score every document
+    //      by its mean add-half-smoothed bigram log-probability;
+    //      per-term logs rounded to 9 dp then decimal-summed, so
+    //      scores are exact on any layout and oracle-replayable ----
+    "q_lm_score" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val lm = graft.text.LangModel.train(docs, col("text"))
+      graft.text.LangModel.scoreDocs(docs, "doc_id", "text", lm)
+    }),
+
     // ---- exact substring dedup (Lee et al. 2022 ExactSubstr at
     //      8-token granularity): any 8-token window recurring anywhere
     //      in the corpus is cut from every occurrence but the globally
@@ -2047,6 +2059,46 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
            CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept_segments
          FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id""",
+
+    // replays LangModel.scoreDocs arithmetic exactly: identical
+    // operation order inside the per-term expression, ln agreeing
+    // bit-for-bit with JVM Math.log, round-to-9dp before the decimal
+    // cast (unrounded scale-12 casts diverge between shortest-repr
+    // and exact-binary rounding), DECIMAL(28,12) sums → DECIMAL(38,12)
+    "q_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr
+           FROM documents),
+         uni AS (
+           SELECT w, count(*) AS c_uni
+           FROM (SELECT unnest(arr) AS w FROM toks) GROUP BY w),
+         v AS (SELECT count(*) AS v FROM uni),
+         bigr AS (
+           SELECT doc_id, arr[pos+1] || ' ' || arr[pos+2] AS b,
+             arr[pos+1] AS prefix
+           FROM (SELECT doc_id, arr, unnest(range(len(arr) - 1)) AS pos
+                 FROM toks WHERE len(arr) >= 2)),
+         bc AS (SELECT b, count(*) AS c_bi FROM bigr GROUP BY b),
+         terms AS (
+           SELECT g.doc_id,
+             CAST(round(ln(
+               (COALESCE(bc.c_bi, 0) + CAST(0.5 AS DOUBLE)) /
+               (COALESCE(u.c_uni, 0) +
+                 (CAST(0.5 AS DOUBLE) * CAST(v.v AS DOUBLE)))), 9)
+               AS DECIMAL(28,12)) AS lp
+           FROM bigr g
+           LEFT JOIN bc ON g.b = bc.b
+           LEFT JOIN uni u ON g.prefix = u.w
+           CROSS JOIN v),
+         per_doc AS (
+           SELECT doc_id, sum(lp) AS logp_sum, count(*) AS n_bigrams
+           FROM terms GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.logp_sum, CAST(0 AS DECIMAL(38,12))) AS logp_sum,
+           CASE WHEN p.n_bigrams > 0
+             THEN CAST(p.logp_sum AS DOUBLE) / p.n_bigrams END AS lm_score
+         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
 
     // replays substringDedup on window TEXT (the Spark side keys on
     // xxhash64 of the same text — equal modulo 64-bit collisions):

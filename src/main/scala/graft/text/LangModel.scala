@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language model for perplexity-style quality
+  * filtering — the CCNet/Gopher pipeline stage that ranks documents by
+  * how "language-like" they are under a corpus LM (CCNet uses KenLM
+  * perplexity; the counting form here is its exact-arithmetic,
+  * engine-native analogue).
+  *
+  * Training is two count aggregations (ONE shuffle each, map-side
+  * partial counts): unigram and bigram frequencies over lowercased
+  * `\S+` tokens. Scoring attaches add-½ smoothed conditional
+  * probabilities to every adjacent token pair and averages their log:
+  *
+  * {{{ score(doc) = mean_i  ln( (C(w_i, w_{i+1}) + ½) / (C(w_i) + ½·V) ) }}}
+  *
+  * Determinism discipline (the [[QualityModel]] rules, extended to an
+  * oracle-checkable form):
+  *
+  *  - each per-term log-probability is computed in double with a FIXED
+  *    operation order and rounded to 9 decimals — after which Spark's
+  *    shortest-repr rounding and an exact-binary engine (DuckDB)
+  *    agree bit-for-bit (raw scale-12 casts of unrounded doubles do
+  *    NOT: the two expansions diverge past the 12th digit);
+  *  - per-document totals sum those terms as DECIMAL(28,12) — exact,
+  *    order-free, so scores are identical on any partitioning;
+  *  - the mean is one decimal→double cast and one division at the end.
+  *
+  * 100 TB shape: [[scoreDocs]] joins term tables keyed by the bigram
+  * string — the oracle-exact twin (a DuckDB oracle must replay the
+  * join on text). The production path is the same code over a PRUNED
+  * model ([[prune]]): vocab-bounded tables broadcast, scoring becomes
+  * two broadcast joins plus one integer-keyed per-document
+  * aggregation; absent bigrams fall to the smoothing floor, which is
+  * exactly how a count-pruned LM degrades.
+  */
+object LangModel {
+
+  /** Learned model: unigram counts `(w, c_uni)`, bigram counts
+    * `(b, c_bi)` with `b = "w1 w2"`, and the smoothing vocabulary size
+    * (distinct unigrams at TRAIN time — pruning must not change it, or
+    * scores silently re-scale).
+    */
+  final case class BigramLm(
+      unigrams: DataFrame,
+      bigrams: DataFrame,
+      vocabSize: Long)
+
+  /** Adjacent-token-pair strings per document in position order
+    * (empty below two tokens). Evaluated over a projected token
+    * array, so the tokenizer regex runs once per document, not once
+    * per window.
+    */
+  private[text] def bigramsCol(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  private def termFrame(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(TextOps.tokens(lower(textCol)).as("__toks"))
+      .select(explode(bigramsCol(col("__toks"))).as("b"))
+
+  /** Count the model: one unigram and one bigram aggregation pass. */
+  def train(docs: DataFrame, textCol: Column): BigramLm = {
+    val uni = docs
+      .select(explode(TextOps.tokens(lower(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_uni"))
+    val bi = termFrame(docs, textCol)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_bi"))
+    BigramLm(uni, bi, uni.count())
+  }
+
+  /** Production-path model: drop bigrams below `minBigramCount` (the
+    * long tail is most of the table; a pruned model broadcasts).
+    * Unigrams and V are kept — they are the smoothing denominator, and
+    * scoring degrades exactly as count-pruning should: missing pairs
+    * fall to the add-½ floor.
+    */
+  def prune(lm: BigramLm, minBigramCount: Long): BigramLm =
+    lm.copy(bigrams = lm.bigrams.filter(col("c_bi") >= minBigramCount))
+
+  /** Per-document mean bigram log-probability under `lm`:
+    * `(id, n_bigrams, logp_sum, lm_score)`; documents with fewer than
+    * two tokens score null (no bigram evidence), with `n_bigrams` 0
+    * and an exact zero sum.
+    */
+  def scoreDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lm: BigramLm): DataFrame = {
+    val v = lm.vocabSize.toDouble
+    val terms = docs
+      .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), explode(bigramsCol(col("__toks"))).as("b"))
+      .withColumn("prefix", substring_index(col("b"), " ", 1))
+    val lp = round(
+      log((coalesce(col("c_bi"), lit(0L)) + lit(0.5)) /
+        (coalesce(col("c_uni"), lit(0L)) + (lit(0.5) * lit(v)))), 9)
+    val perDoc = terms
+      .join(lm.bigrams, Seq("b"), "left")
+      .join(lm.unigrams, terms("prefix") === lm.unigrams("w"), "left")
+      .select(col(idCol), lp.cast("decimal(28,12)").as("lp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("lp")).as("logp_sum"), count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logp_sum"),
+          lit(BigDecimal(0)).cast("decimal(38,12)")).as("logp_sum"),
+        when(col("n_bigrams") > 0,
+          col("logp_sum").cast("double") / col("n_bigrams"))
+          .as("lm_score"))
+  }
+}
