@@ -148,6 +148,34 @@ class PlanSpec extends SparkTestBase {
       s"BPE apply fell out of codegen:\n$plan")
   }
 
+  test("q_substring_dedup anchors shuffle hashes, never a cartesian form") {
+    val plan = finalPlan(q("q_substring_dedup"))
+    assert(!plan.contains("CartesianProduct"),
+      s"substring dedup degenerated to a cartesian:\n$plan")
+    // anchor agg + mark join + per-doc gather: tuple-sized exchanges
+    // only — text rides a join, not an exchange, at this scale
+    assert(shuffles(plan) <= 4,
+      s"substring dedup grew unexpected exchanges:\n$plan")
+  }
+
+  test("q_clean_load_wide on a dup-free input collapses to a bare scan") {
+    // sf0.01 documents have no duplicated rows, so AQE sees the EMPTY
+    // duplicated-fingerprint broadcast and erases both joins: the
+    // whole wide clean-load executes as scan+filter, zero exchanges —
+    // the dup-present join shape is pinned on planted data in
+    // PosOpsSpec
+    val plan = finalPlan(q("q_clean_load_wide"))
+    assert(shuffles(plan) == 0,
+      s"dup-free wide clean-load should be exchange-free:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_lm_score never degenerates to a cartesian form") {
+    val plan = finalPlan(q("q_lm_score"))
+    assert(!plan.contains("CartesianProduct"),
+      s"LM scoring degenerated to a cartesian:\n$plan")
+  }
+
   test("full deterministicShuffle is ONE range exchange, never a single-partition sort") {
     // the whole-epoch write path (EpochLayoutSpec): a global order at
     // 100 TB must plan as rangepartitioning — each partition sorts

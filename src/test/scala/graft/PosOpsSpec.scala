@@ -134,6 +134,16 @@ class PosOpsSpec extends SparkTestBase {
     // …at a fraction of the wire bytes: fingerprints + true dups only
     assert(fingerprint * 3 < fullRows,
       s"expected <1/3 of the full-row shuffle, got $fingerprint vs $fullRows")
+    // with dups PRESENT the joins survive AQE and take the broadcast
+    // form: uniques pass map-side (anti), dups gather via semi —
+    // the dup-free collapse twin is pinned in PlanSpec
+    val deduped = PosOps.cleanLoadWide(wide)
+    deduped.collect()
+    val plan = deduped.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"uniques path lost its broadcast anti-join:\n$plan")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"duplicate path lost its broadcast semi-join:\n$plan")
   }
 
   test("stockDecrement subtracts sold qty, 0 for unsold") {
