@@ -19,9 +19,12 @@ import graft.text.TextOps
   *      document seen in ANY earlier batch is dropped without ever
   *      scanning the stored corpus (the O(1)-per-doc incremental
   *      form of the batch fingerprint groupBy);
-  *   3. decontamination   — [[graft.dedup.Dedup.decontaminate]]
+  *   3. LM perplexity gate (optional) — [[graft.text.LangModel
+  *      .scoreDocs]] against an offline-trained (usually pruned →
+  *      broadcastable) bigram LM, per micro-batch, stateless;
+  *   4. decontamination   — [[graft.dedup.Dedup.decontaminate]]
   *      against a static benchmark set, broadcast per micro-batch;
-  *   4. partition-scoped persist — survivors land in a
+  *   5. partition-scoped persist — survivors land in a
   *      [[TableStore]] partition keyed by the micro-batch epoch via
   *      `overwritePartitions`: write cost O(|batch|), and a replayed
   *      epoch (failure/restart) rewrites ITS OWN partition rather
@@ -70,7 +73,12 @@ object CorpusIngest {
 
   /** Start the ingest query. `bench` is the static benchmark set
     * (doc_id, text) scrubbed against; `store`/`table` receive the
-    * surviving documents partitioned by epoch.
+    * surviving documents partitioned by epoch. `lmGate` is an
+    * OFFLINE-trained bigram LM with a minimum mean log-probability —
+    * the CCNet deployment shape (the perplexity model is trained on a
+    * trusted corpus beforehand, typically [[graft.text.LangModel
+    * .prune]]d so its tables broadcast; per micro-batch the gate is
+    * two broadcast joins, no state).
     */
   def start(
       spark: SparkSession,
@@ -80,19 +88,23 @@ object CorpusIngest {
       table: String,
       checkpointDir: String,
       shingleLen: Int = 4,
-      scoreGate: Option[(org.apache.spark.sql.Column, Double)] = None)
+      scoreGate: Option[(org.apache.spark.sql.Column, Double)] = None,
+      lmGate: Option[(graft.text.LangModel.BigramLm, Double)] = None)
       : StreamingQuery =
     cleanStream(spark, docs, scoreGate).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[(String, Long, String)], epoch: Long) =>
         applyBatch(spark, batch.toDF("fp", "doc_id", "text"),
-          bench, store, table, epoch, shingleLen)
+          bench, store, table, epoch, shingleLen, lmGate)
       }
       .start()
 
-  /** One micro-batch: decontaminate, then persist survivors into the
-    * epoch's own partition (idempotent under replay).
+  /** One micro-batch: LM-score gate (if configured), decontaminate,
+    * then persist survivors into the epoch's own partition
+    * (idempotent under replay — the gates are deterministic functions
+    * of the batch and static model state, so a replayed epoch
+    * recomputes the identical survivor set).
     */
   def applyBatch(
       spark: SparkSession,
@@ -101,11 +113,19 @@ object CorpusIngest {
       store: TableStore,
       table: String,
       epoch: Long,
-      shingleLen: Int = 4): Unit = {
+      shingleLen: Int = 4,
+      lmGate: Option[(graft.text.LangModel.BigramLm, Double)] = None): Unit = {
+    val gated = lmGate.fold(batch) { case (lm, min) =>
+      val keep = graft.text.LangModel
+        .scoreDocs(batch, "doc_id", "text", lm)
+        .filter(col("lm_score") >= lit(min))
+        .select(col("doc_id"))
+      batch.join(keep, Seq("doc_id"), "left_semi")
+    }
     val leaked = graft.dedup.Dedup
-      .decontaminate(batch, bench, "doc_id", "text", shingleLen)
+      .decontaminate(gated, bench, "doc_id", "text", shingleLen)
       .select(col("doc_id"))
-    val clean = batch.join(leaked, Seq("doc_id"), "left_anti")
+    val clean = gated.join(leaked, Seq("doc_id"), "left_anti")
     val part = epoch.toString
     val out = clean.select(
       col("doc_id"), col("text"), col("fp"),

@@ -140,4 +140,49 @@ class CorpusIngestSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSeq
     assert(got == Seq(1L))
   }
+
+  test("an offline-trained LM gate composes into the micro-batch path") {
+    import graft.text.LangModel
+    // train the perplexity model on a trusted seed corpus — the CCNet
+    // deployment shape (the gate model is NOT trained on the feed)
+    val seed = (1 to 40).map { i =>
+      (i.toLong, (0 until 20).map(j => s"w${(i + j) % 5}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val lm = LangModel.train(seed, col("text"))
+
+    // in-distribution doc: every bigram is a counted (w_i, w_{i+1})
+    // pair; gibberish doc: tokens the LM has never seen, every pair
+    // falls to the smoothing floor
+    val fluent = (0 until 15).map(j => s"w${(2 + j) % 5}").mkString(" ")
+    val gibberish = (0 until 15).map(j => s"zzq$j").mkString(" ")
+    val batch = Seq(
+      ("fp1", 1L, fluent), ("fp2", 2L, gibberish))
+      .toDF("fp", "doc_id", "text")
+
+    // threshold between the two scores: fluent must clear it,
+    // gibberish must not (scores are deterministic, so the midpoint
+    // is a stable separator)
+    val scores = LangModel.scoreDocs(batch, "doc_id", "text", lm)
+      .select("doc_id", "lm_score")
+      .as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(2L), s"LM failed to separate: $scores")
+    val cut = (scores(1L) + scores(2L)) / 2
+
+    val store = new TableStore(tmp("corpus_store3"))
+    val bench = Seq((900L, "a b c d")).toDF("doc_id", "text")
+    CorpusIngest.applyBatch(spark, batch, bench, store, "corpus", 0L,
+      lmGate = Some((lm, cut)))
+    val got = CorpusIngest.corpus(spark, store, "corpus")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"LM gate kept $got")
+
+    // replay the epoch with the same gate: identical survivor set,
+    // no duplicates — the gate is a deterministic function of batch
+    // and static model state
+    CorpusIngest.applyBatch(spark, batch, bench, store, "corpus", 0L,
+      lmGate = Some((lm, cut)))
+    val replayed = CorpusIngest.corpus(spark, store, "corpus")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(replayed == Seq(1L), s"replay broke idempotence: $replayed")
+  }
 }
