@@ -99,4 +99,59 @@ class FunctionsSpec extends SparkTestBase {
       .as[(Double, Option[Double])].head()
     assert(math.abs(got._1 - ln2) < 1e-15 && got._2.isEmpty)
   }
+
+  test("positional_shingle_hashes: order, bit-compat, short-doc, SQL, null") {
+    import org.apache.spark.sql.functions._
+    // element i == xxhash64 of the window starting at token i — the
+    // composed-HOF form is the semantic reference
+    val text = "alpha beta\tgamma  delta\nepsilon"
+    val viaExpr = spark.sql(
+      s"SELECT positional_shingle_hashes('$text', 3) v")
+      .as[Seq[Long]].head()
+    val viaHof = Seq(text).toDF("t").select(
+      expr("transform(sequence(1, size(split(trim(t), '\\\\s+')) - 2), " +
+        "i -> xxhash64(array_join(slice(split(trim(t), '\\\\s+'), i, 3), ' ')))")
+        .as("v")).as[Seq[Long]].head()
+    assert(viaExpr == viaHof, s"$viaExpr vs $viaHof")
+    // sorted distinct of the positional form == shingle_hashes when
+    // the document has at least n tokens
+    val viaSet = spark.sql(s"SELECT shingle_hashes('$text', 3) v")
+      .as[Seq[Long]].head()
+    assert(viaExpr.distinct.sorted == viaSet.sorted)
+    // below n tokens: positional has no anchor (EMPTY — shingle_hashes
+    // falls back to the whole-text shingle instead); null propagates
+    val (short, nul) = spark.sql(
+      "SELECT positional_shingle_hashes('a b', 3) s, " +
+        "positional_shingle_hashes(CAST(NULL AS STRING), 3) n")
+      .as[(Seq[Long], Option[Seq[Long]])].head()
+    assert(short.isEmpty && nul.isEmpty)
+  }
+
+  test("remove_token_spans equals the naive filter on random inputs") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 60) {
+      val m = rnd.nextInt(30)
+      val toks = (0 until m).map(i => s"t${rnd.nextInt(9)}x$i")
+      val text = toks.mkString(
+        Seq(" ", "  ", "\t", " \n ")(rnd.nextInt(4)))
+      val k = 1 + rnd.nextInt(5)
+      val starts = (0 until rnd.nextInt(6))
+        .map(_ => rnd.nextInt(math.max(1, m))).distinct.sorted
+      val naive = toks.zipWithIndex.collect {
+        case (t, i) if !starts.exists(s => s <= i && i < s + k) => t
+      }.mkString(" ")
+      val got = Seq((text, starts)).toDF("t", "s")
+        .select(graft.functions.GraftFunctions
+          .removeTokenSpans(col("t"), col("s"), k).as("v"))
+        .as[String].head()
+      assert(got == naive, s"m=$m k=$k starts=$starts: '$got' vs '$naive'")
+    }
+    // SQL registration + null propagation
+    val viaSql = spark.sql(
+      "SELECT remove_token_spans('a b c d e', array(1), 2) v, " +
+        "remove_token_spans(CAST(NULL AS STRING), array(1), 2) n")
+      .as[(String, Option[String])].head()
+    assert(viaSql == (("a d e", None)))
+  }
 }
