@@ -79,6 +79,32 @@ class LangModelSpec extends SparkTestBase {
     assert(s1 == s2, "logp sums depend on partitioning")
   }
 
+  test("the LM persists and reloads through the table store") {
+    // deployment loop: train offline → persist the count tables →
+    // reload in the ingest job (the streaming LM gate's model source)
+    import org.apache.spark.sql.types._
+    val docs = corpus.toDF("doc_id", "text")
+    val lm = LangModel.train(docs, col("text"))
+    val store = new graft.streaming.TableStore(
+      java.nio.file.Files.createTempDirectory("lm_store").toString)
+    store.overwrite("lm_unigrams", lm.unigrams)
+    store.overwrite("lm_bigrams", lm.bigrams)
+    store.overwrite("lm_meta",
+      Seq(lm.vocabSize).toDF("vocab_size"))
+    val reloaded = LangModel.BigramLm(
+      store.read(spark, "lm_unigrams", StructType(Seq(
+        StructField("w", StringType), StructField("c_uni", LongType)))),
+      store.read(spark, "lm_bigrams", StructType(Seq(
+        StructField("b", StringType), StructField("c_bi", LongType)))),
+      store.read(spark, "lm_meta", StructType(Seq(
+        StructField("vocab_size", LongType)))).head().getLong(0))
+    val direct = LangModel.scoreDocs(docs, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> String.valueOf(r.get(2))).toMap
+    val fromStore = LangModel.scoreDocs(docs, "doc_id", "text", reloaded)
+      .collect().map(r => r.getLong(0) -> String.valueOf(r.get(2))).toMap
+    assert(fromStore == direct, "scores drifted through the store")
+  }
+
   test("pruning only lowers scores, and min-count 1 is the identity") {
     val docs = Tables.load(spark, sfDir, "documents")
     val lm = LangModel.train(docs, col("text"))
