@@ -952,6 +952,19 @@ object SparkEntry {
       graft.dedup.Dedup.substringDedup(
         t("documents")(s, d), "doc_id", "text", k = 8)),
 
+    // ---- incremental substring dedup: the cross-corpus form — cut
+    //      from the batch every 8-token window already present in the
+    //      stored corpus's anchor index (corpus always wins); same
+    //      batch/corpus split as q_dedup_incremental ----
+    "q_substring_dedup_incremental" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val anchors = graft.dedup.Dedup.substringAnchorIndex(
+        docs.filter(col("doc_id") % 5 === 0), "text", k = 8)
+      graft.dedup.Dedup.substringDedupAgainstCorpus(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", anchors,
+        k = 8)
+    }),
+
     // ---- sequence packing: greedy fill of 256-token context windows
     //      within 8 deterministic pack buckets — the padding-free
     //      pretraining batch layout; parallel across buckets, native
@@ -2141,6 +2154,46 @@ object SparkEntry {
            CAST(len(d.arr) - coalesce(re.n_kept, 0) AS INTEGER)
              AS n_removed_tokens
          FROM d LEFT JOIN re ON d.doc_id = re.doc_id""",
+
+    // cross-corpus replay on window TEXT: the corpus side contributes
+    // only its DISTINCT grams; batch windows present there are cut
+    // (membership, no ownership ranking — the corpus always wins)
+    "q_substring_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+           FROM documents),
+         corpus_grams AS (
+           SELECT DISTINCT
+             unnest(list_transform(range(len(arr) - 8 + 1),
+               p -> array_to_string(arr[p+1:p+8], ' '))) AS gram
+           FROM d WHERE doc_id % 5 = 0 AND len(arr) >= 8),
+         b AS (SELECT doc_id, arr FROM d WHERE doc_id % 5 <> 0),
+         grams AS (
+           SELECT doc_id,
+             unnest(range(len(arr) - 8 + 1)) AS pos,
+             unnest(list_transform(range(len(arr) - 8 + 1),
+               p -> array_to_string(arr[p+1:p+8], ' '))) AS gram
+           FROM b WHERE len(arr) >= 8),
+         removed AS (
+           SELECT DISTINCT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS rp
+           FROM grams g JOIN corpus_grams cg ON g.gram = cg.gram),
+         toks AS (
+           SELECT doc_id, unnest(arr) AS tok,
+             unnest(range(len(arr))) AS pos
+           FROM b),
+         kept AS (
+           SELECT t.doc_id, t.pos, t.tok
+           FROM toks t LEFT JOIN removed r
+             ON t.doc_id = r.doc_id AND t.pos = r.rp
+           WHERE r.rp IS NULL),
+         re AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS dedup_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT b.doc_id,
+           coalesce(re.dedup_text, '') AS dedup_text,
+           CAST(len(b.arr) - coalesce(re.n_kept, 0) AS INTEGER)
+             AS n_removed_tokens
+         FROM b LEFT JOIN re ON b.doc_id = re.doc_id""",
 
     // chunks = ceil(n/32) aligned windows per doc (≥1 even for empty
     // docs, chunk 0 always exists), chunk token count = least(32,

@@ -966,4 +966,61 @@ object Dedup {
         (col("__n_orig") - TextOps.tokenCount(col("dedup_text")))
           .cast("int").as("n_removed_tokens"))
   }
+
+  /** The stored corpus's substring-anchor index: the DISTINCT k-token
+    * window hashes it contains — one map-side pass plus one hash
+    * aggregation; 8 bytes per distinct window, no text, no positions.
+    * Persist it (a [[graft.streaming.TableStore]] table) and refresh
+    * incrementally: new batches only ever APPEND distinct hashes.
+    */
+  def substringAnchorIndex(
+      corpus: DataFrame,
+      textCol: String,
+      k: Int = 8): DataFrame =
+    corpus
+      .select(explode(
+        graft.functions.GraftFunctions
+          .positionalShingleHashes(col(textCol), k)).as("h"))
+      .distinct()
+
+  /** Incremental exact substring dedup — [[substringDedup]]'s
+    * cross-corpus form, the same division as [[dedupAgainstCorpus]]:
+    * cut from `batch` every k-token window whose hash already exists
+    * in the stored corpus's [[substringAnchorIndex]]. The corpus
+    * always wins (its copy is already stored); batch-INTERNAL repeats
+    * are deliberately out of scope — run [[substringDedup]] over the
+    * batch first if they matter.
+    *
+    * Work is O(|batch|): the batch's anchor tuples semi-join the
+    * index on the 8-byte hash (never text), span starts gather per
+    * document, and the batch text crosses the wire once for the
+    * [[graft.functions.RemoveTokenSpans]] cut. The index side carries
+    * no skew risk — a hot anchor is ONE row of a distinct set.
+    */
+  def substringDedupAgainstCorpus(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      anchors: DataFrame,
+      k: Int = 8): DataFrame = {
+    require(k > 0, s"window length must be positive, got $k")
+    import graft.functions.GraftFunctions.{positionalShingleHashes, removeTokenSpans}
+    val grams = batch
+      .select(col(idCol), posexplode(positionalShingleHashes(col(textCol), k)))
+      .toDF(idCol, "pos", "h")
+    val dupStarts = grams
+      .join(anchors.select(col("h")), Seq("h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("dup_starts"))
+    batch
+      .join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        removeTokenSpans(col(textCol),
+          coalesce(col("dup_starts"),
+            array().cast("array<int>")), k).as("dedup_text"),
+        TextOps.tokenCount(col(textCol)).as("__n_orig"))
+      .select(col(idCol), col("dedup_text"),
+        (col("__n_orig") - TextOps.tokenCount(col("dedup_text")))
+          .cast("int").as("n_removed_tokens"))
+  }
 }

@@ -440,6 +440,28 @@ class DedupSpec extends SparkTestBase {
     assert(got(2L) == ("p q r u v w", 12))
   }
 
+  test("substringDedupAgainstCorpus cuts corpus-known spans, batch keeps its own") {
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val own = "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10"
+    val corpus = Seq((100L, s"stored document containing $span here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // shares the 10-token span with the CORPUS → cut
+      (1L, s"batch one has $span trailing"),
+      // repeats a span WITHIN the batch only → out of scope, kept
+      (2L, s"two with $own middle"),
+      (3L, s"three with $own ending"))
+      .toDF("doc_id", "text")
+    val anchors = Dedup.substringAnchorIndex(corpus, "text", k = 8)
+    val got = Dedup
+      .substringDedupAgainstCorpus(batch, "doc_id", "text", anchors, k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(got(1L) == ("batch one has trailing", 10))
+    assert(got(2L) == (s"two with $own middle", 0))
+    assert(got(3L) == (s"three with $own ending", 0))
+  }
+
   test("substringDedup leaves short documents (< k tokens) unanchored") {
     val docs = Seq(
       (1L, "tiny dup doc"), (2L, "tiny dup doc"),
