@@ -138,4 +138,27 @@ object CorpusIngest {
   /** Read the full ingested corpus back. */
   def corpus(spark: SparkSession, store: TableStore, table: String): DataFrame =
     store.read(spark, table, storedSchema)
+
+  /** The periodic compaction the per-batch path defers to (see the
+    * class note): collapse near-duplicate clusters across the WHOLE
+    * stored corpus — cross-epoch, which the per-batch gates cannot
+    * see — to their minimum-id representative
+    * ([[graft.dedup.Dedup.dedupCorpus]]: LSH candidates, exact
+    * verification, clustering, broadcast anti-join of the loser set),
+    * and rewrite the table as ONE new version. The rewrite also folds
+    * the read fan-out back down: every incremental epoch write grows
+    * [[TableStore.liveVersionCount]] by one, and compaction returns it
+    * to 1 while keeping the epoch lineage column intact. Returns the
+    * number of documents dropped.
+    */
+  def compactNearDups(
+      spark: SparkSession,
+      store: TableStore,
+      table: String): Long = {
+    val cur = corpus(spark, store, table)
+    val kept = graft.dedup.Dedup.dedupCorpus(cur, "doc_id", "text")
+    val dropped = cur.count() - kept.count()
+    store.overwrite(table, kept, partitionBy = Seq("ingest_batch"))
+    dropped
+  }
 }

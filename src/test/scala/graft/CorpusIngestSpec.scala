@@ -141,6 +141,46 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(got == Seq(1L))
   }
 
+  test("periodic compaction collapses cross-epoch near-dups and folds versions") {
+    val store = new TableStore(tmp("corpus_store4"))
+    val bench = Seq((900L, "a b c d")).toDF("doc_id", "text")
+    val base = (1 to 30).map(j => s"tok$j").mkString(" ")
+    // epoch 0: the original; epoch 1: a near-copy (one token edited —
+    // far above the 0.8 jaccard bar) plus an unrelated doc. The
+    // per-batch gates CANNOT see this pair: exact fingerprints differ
+    // and the docs arrived in different epochs
+    CorpusIngest.applyBatch(spark,
+      Seq(("fp1", 1L, base)).toDF("fp", "doc_id", "text"),
+      bench, store, "corpus", 0L)
+    CorpusIngest.applyBatch(spark,
+      Seq(
+        ("fp2", 2L, base.replace("tok7", "edited")),
+        ("fp3", 3L, (1 to 30).map(j => s"other$j").mkString(" ")))
+        .toDF("fp", "doc_id", "text"),
+      bench, store, "corpus", 1L)
+    assert(store.liveVersionCount("corpus") == 2,
+      "incremental epochs should fan out versions")
+
+    val dropped = CorpusIngest.compactNearDups(spark, store, "corpus")
+    assert(dropped == 1L, s"expected the near-copy dropped, got $dropped")
+    val got = CorpusIngest.corpus(spark, store, "corpus")
+      .select("doc_id", "ingest_batch")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // min-id representative survives; epoch lineage intact
+    assert(got == Seq((1L, "0"), (3L, "1")), s"got $got")
+    assert(store.liveVersionCount("corpus") == 1,
+      "compaction should fold the read fan-out to one version")
+
+    // ingest continues normally after compaction
+    CorpusIngest.applyBatch(spark,
+      Seq(("fp4", 4L, (1 to 30).map(j => s"fresh$j").mkString(" ")))
+        .toDF("fp", "doc_id", "text"),
+      bench, store, "corpus", 2L)
+    val after = CorpusIngest.corpus(spark, store, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after == Seq(1L, 3L, 4L))
+  }
+
   test("an offline-trained LM gate composes into the micro-batch path") {
     import graft.text.LangModel
     // train the perplexity model on a trusted seed corpus — the CCNet
