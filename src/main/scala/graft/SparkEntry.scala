@@ -1350,6 +1350,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))),
 
+    // ---- token-budget mixing: the token-weighted form of q_domain_mix
+    //      (pretraining mixtures are specified in tokens) — per source,
+    //      keep the deterministic-shuffle-order prefix of documents
+    //      whose exclusive token prefix sum is under the budget; only
+    //      the single boundary hash band flows through a window ----
+    "q_token_budget_mix" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+        .withColumn("n_tokens", graft.text.TextOps.tokenCount(col("text")))
+      graft.ops.Sampling.tokenBudgetSample(
+          docs, col("doc_id"), col("source"), col("n_tokens"),
+          Map("src0" -> 800L, "src1" -> 500L, "src2" -> 1000000L))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+
     // ---- trainable quality filter (fastText-style): logistic weights
     //      by batch GD — one aggregation pass per iteration, exact
     //      decimal gradient sums (layout-independent, golden-pinned) --
@@ -2780,6 +2794,29 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))
              AS INTEGER) < rates.r
          GROUP BY d.source""",
+
+    // Replays the NAIVE one-window-per-stratum form the two-pass Scala
+    // plan is row-identical to (TemporalJoinsSpec pins the equality):
+    // exclusive prefix sum of tokens in (md5(key), key) order, keep
+    // while still under the budget — the crossing doc is kept.
+    "q_token_budget_mix" ->
+      """WITH b(s, budget) AS (VALUES
+           ('src0', 800), ('src1', 500), ('src2', 1000000)),
+         d AS (
+           SELECT doc_id, source,
+             len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents WHERE source IN (SELECT s FROM b)),
+         w AS (
+           SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prior
+           FROM d)
+         SELECT doc_id, source, n_tokens
+         FROM w JOIN b ON w.source = b.s
+         WHERE prior < budget""",
 
     "q_corpus_shuffle" ->
       """SELECT doc_id, source FROM documents

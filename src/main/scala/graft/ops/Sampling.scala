@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -145,6 +146,102 @@ object Sampling {
       targets: Map[String, Double]): DataFrame =
     stratifiedHashSample(df, key, stratum,
       mixtureRates(df, stratum, targets), defaultRate256 = 0)
+
+  /** Token-budget mixture sampling: keep, per stratum, the prefix of
+    * documents in the deterministic-shuffle order (`md5(key), key` —
+    * same order as [[deterministicShuffle]]) whose EXCLUSIVE running
+    * `weight` total is still under that stratum's budget — i.e. take
+    * documents "at random" (but stably) until the token budget is
+    * reached; the document that crosses the budget is the last one
+    * kept. Strata outside `budgets` drop. This is the token-weighted
+    * form of [[mixtureSample]]: pretraining mixtures are specified in
+    * TOKENS, not document counts, and per-document keep rates only hit
+    * a token target in expectation — this hits it exactly (to within
+    * one document), deterministically on any layout.
+    *
+    * 100 TB shape, two passes:
+    *  1. per-(stratum, hash-band) weight totals — ONE partial-agg
+    *     shuffle whose result (and the driver collect) is bounded by
+    *     256·|budgets| rows regardless of corpus size. Because the
+    *     order is `md5(key) asc`, a band boundary is also an order
+    *     boundary: the driver locates, per stratum, the band the
+    *     budget lands in.
+    *  2. bands below the cut are kept whole by a shuffle-free scan
+    *     filter (no window, no sort — the bulk of the kept data moves
+    *     zero times); ONLY the single boundary band (~1/256 of one
+    *     stratum) flows through the exact prefix-sum window, offset by
+    *     the tokens accumulated before it.
+    * The result is row-identical to the naive one-window-per-stratum
+    * form (the DuckDB oracle replays that form), without ever sorting
+    * a whole stratum on one task.
+    *
+    * `key` must be unique and non-null within targeted strata for the
+    * order to be total; `weight` NULLs count as 0.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      weight: Column,
+      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0L),
+      s"budgets must be non-negative, got $budgets")
+    val strat = stratum.cast("string")
+    val w = coalesce(weight.cast("long"), lit(0L))
+    val band = hashByte(key)
+    // pass 1: per-(stratum, band) weight totals
+    val perBand = df.filter(strat.isin(budgets.keys.toSeq: _*))
+      .groupBy(strat.as("s"), band.as("b"))
+      .agg(sum(w).as("tw"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // driver: per stratum, the first band whose running total crosses
+    // the budget (bands below it keep whole, bands above drop) and the
+    // weight accumulated before it. cut=256 ⇔ budget ≥ stratum total.
+    val cuts: Map[String, (Int, Long)] = budgets.map { case (st, budget) =>
+      var cum = 0L
+      var cut = 256
+      var off = 0L
+      var b = 0
+      while (b < 256 && cut == 256) {
+        val bw = perBand.getOrElse((st, b), 0L)
+        if (cum + bw > budget) { cut = b; off = cum }
+        cum += bw
+        b += 1
+      }
+      st -> (cut -> off)
+    }
+    val whole = df.filter(cuts.map { case (st, (cut, _)) =>
+      strat === lit(st) && band < lit(cut)
+    }.reduce(_ || _))
+    val boundary = cuts.filter { case (_, (cut, _)) => cut < 256 }
+    if (boundary.isEmpty) whole
+    else {
+      val offset = boundary.foldLeft(lit(0L)) {
+        case (els, (st, (_, off))) =>
+          when(strat === lit(st), lit(off)).otherwise(els)
+      }
+      val budget = budgets.foldLeft(lit(0L)) {
+        case (els, (st, b)) => when(strat === lit(st), lit(b)).otherwise(els)
+      }
+      // within one band, md5-string order refines band order, so the
+      // in-band prefix sum + the pre-band offset IS the in-stratum
+      // exclusive prefix sum. NULL keys land in band 255 and sort
+      // after every hex digest ('~' > 'f'), same rule as
+      // deterministicShuffle.
+      val wnd = Window.partitionBy(strat)
+        .orderBy(coalesce(md5(key.cast("string")), lit("~")), key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val kept = df.filter(boundary.map { case (st, (cut, _)) =>
+          strat === lit(st) && band === lit(cut)
+        }.reduce(_ || _))
+        .withColumn("__graft_prior", coalesce(sum(w).over(wnd), lit(0L)))
+        .filter(offset + col("__graft_prior") < budget)
+        .drop("__graft_prior")
+      whole.union(kept)
+    }
+  }
 
   /** Deterministic corpus shuffle: a stable pseudo-random TRAINING
     * ORDER (what a pretraining run actually needs — the same "random"

@@ -387,6 +387,69 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(absent.values.forall(_ == 0))
   }
 
+  test("tokenBudgetSample equals the naive per-stratum prefix window") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // strata: a partial-keep, b budget ≥ total (whole), c budget 0,
+    // d untargeted, zz targeted but absent from the data
+    val df = (1 to 3000)
+      .map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4), 1 + rnd.nextInt(20)))
+      .toDF("id", "s", "w")
+    val budgets = Map("a" -> 2000L, "b" -> 10000000L, "c" -> 0L, "zz" -> 50L)
+    val sampled = Sampling.tokenBudgetSample(
+      df, col("id"), col("s"), col("w"), budgets)
+    val got = sampled.select("id").as[Long].collect().toSet
+    // the semantics the DuckDB oracle replays: one prefix window per
+    // whole stratum, keep while the exclusive running total < budget
+    val wnd = Window.partitionBy("s")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budgetExpr = budgets.foldLeft(lit(-1L)) { case (els, (st, b)) =>
+      when(col("s") === lit(st), lit(b)).otherwise(els)
+    }
+    val expected = df
+      .withColumn("prior", coalesce(sum(col("w")).over(wnd), lit(0L)))
+      .filter(col("prior") < budgetExpr)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    // greedy-until-crossed: kept tokens reach the budget, and removing
+    // the last kept doc drops back under it
+    val keptA = sampled.filter(col("s") === "a")
+      .select("w").as[Int].collect().map(_.toLong)
+    assert(keptA.sum >= 2000L && keptA.sum < 2000L + 21L)
+    val byStratum = sampled.groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(byStratum("b") == 750L)            // budget ≥ total: whole
+    assert(!byStratum.contains("c"))          // budget 0: dropped
+    assert(!byStratum.contains("d"))          // untargeted: dropped
+    // layout-independent: identical rows on a repartitioned input
+    val again = Sampling.tokenBudgetSample(
+        df.repartition(17), col("id"), col("s"), col("w"), budgets)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
+  test("tokenBudgetSample windows only the boundary band") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = (1 to 2000).map(i => (i.toLong, "a", 3)).toDF("id", "s", "w")
+    val partial = Sampling.tokenBudgetSample(
+      df, col("id"), col("s"), col("w"), Map("a" -> 3000L))
+    // ONE window in the whole plan, and the union's kept-whole branch
+    // (the bulk of the data) has none — it's a plain scan filter
+    val plan = partial.queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.size == 1)
+    val union = plan.collectFirst {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.get
+    assert(union.children.head.collect { case w: LWindow => w }.isEmpty)
+    // budget ≥ every stratum total plans NO window at all
+    val whole = Sampling.tokenBudgetSample(
+      df, col("id"), col("s"), col("w"), Map("a" -> 10000000L))
+    assert(whole.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }.isEmpty)
+    assert(whole.count() == 2000L)
+  }
+
   test("deterministicShuffle is a stable total order on any layout") {
     val df = (1 to 500).map(i => (i, s"p$i")).toDF("id", "payload")
     val order = Sampling.deterministicShuffle(df, col("id"))
