@@ -88,6 +88,7 @@ object Bench {
     // (disproven on re-run); the median absorbs one bad sample while
     // still letting a real regression through
     val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(Runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $Runs")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val samples = (1 to Runs).map { _ =>

@@ -136,9 +136,15 @@ object Recall {
       avg(when(col("y") === 1.0, col("s"))).as("m1"),
       avg(when(col("y") === 0.0, col("s"))).as("m0"),
       count(lit(1)).as("n")).head()
+    // a one-class fixture leaves the other class mean NULL — report
+    // zero separation (a failing-floor signal the artifact can carry)
+    // instead of NPE-ing the whole driver recall gate
+    val sep =
+      if (qmRow.isNullAt(1) || qmRow.isNullAt(2)) 0.0
+      else qmRow.getDouble(1) - qmRow.getDouble(2)
     val qm = Metric("q_quality_model",
       recall = qmRow.getDouble(0),
-      precision = Some(qmRow.getDouble(1) - qmRow.getDouble(2)),
+      precision = Some(sep),
       recallFloor = 0.9,
       truth = qmRow.getLong(3),
       emitted = qmRow.getLong(3))

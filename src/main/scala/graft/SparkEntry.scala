@@ -631,7 +631,12 @@ object SparkEntry {
           approx_count_distinct(col("user_id"), 0.01).as("nd_hll"),
           expr("percentile(value, 0.5D)").as("p50_exact"),
           expr("approx_percentile(value, 0.5D, 10000)").as("p50_sketch"))
-      exactNd.join(sketches, Seq("event_type"))
+      // null-safe join key: a NULL event_type forms a group in both
+      // aggregation passes (and in the oracle's GROUP BY); a plain
+      // equi-join would silently drop it when rejoining the passes
+      exactNd.join(sketches,
+          exactNd("event_type") <=> sketches("event_type"))
+        .drop(sketches("event_type"))
         .select(col("event_type"), col("nd_exact"),
           (abs(col("nd_hll") - col("nd_exact")) <=
             col("nd_exact") * 0.05).as("hll_ok"),

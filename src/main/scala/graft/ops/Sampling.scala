@@ -177,6 +177,15 @@ object Sampling {
     *
     * `key` must be unique and non-null within targeted strata for the
     * order to be total; `weight` NULLs count as 0.
+    *
+    * Composition caveat (deliberately different from the rate
+    * samplers): the kept set is a budget-length PREFIX of a global
+    * hash order, so ingesting new documents re-divides the budget —
+    * a new document can hash into the prefix and displace the last
+    * previously-kept one. Rate samplers compose with incremental
+    * ingest; a budget sample is a statement about ONE corpus
+    * snapshot. Resolve it against a pinned TableStore version when
+    * the kept set must be reproducible later.
     */
   def tokenBudgetSample(
       df: DataFrame,
@@ -196,9 +205,13 @@ object Sampling {
       .agg(sum(w).as("tw"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
       .toMap
-    // driver: per stratum, the first band whose running total crosses
+    // driver: per stratum, the first band whose running total REACHES
     // the budget (bands below it keep whole, bands above drop) and the
-    // weight accumulated before it. cut=256 ⇔ budget ≥ stratum total.
+    // weight accumulated before it. cut=256 ⇔ budget > stratum total.
+    // `>=`, not `>`: a band whose cumulative total lands EXACTLY on the
+    // budget may end with zero-weight rows whose exclusive prefix
+    // equals the budget — the naive form drops those, so the band must
+    // go through the window, not be kept whole.
     val cuts: Map[String, (Int, Long)] = budgets.map { case (st, budget) =>
       var cum = 0L
       var cut = 256
@@ -206,7 +219,7 @@ object Sampling {
       var b = 0
       while (b < 256 && cut == 256) {
         val bw = perBand.getOrElse((st, b), 0L)
-        if (cum + bw > budget) { cut = b; off = cum }
+        if (cum + bw >= budget) { cut = b; off = cum }
         cum += bw
         b += 1
       }

@@ -115,6 +115,10 @@ object CorpusIngest {
       epoch: Long,
       shingleLen: Int = 4,
       lmGate: Option[(graft.text.LangModel.BigramLm, Double)] = None): Unit = {
+    // no-evidence-means-drop: a document too short to form a bigram
+    // scores NULL, and `NULL >= min` filters it out at ANY threshold —
+    // deliberate (a quality gate should not pass documents it cannot
+    // score), pinned in CorpusIngestSpec
     val gated = lmGate.fold(batch) { case (lm, min) =>
       val keep = graft.text.LangModel
         .scoreDocs(batch, "doc_id", "text", lm)
@@ -150,15 +154,33 @@ object CorpusIngest {
     * [[TableStore.liveVersionCount]] by one, and compaction returns it
     * to 1 while keeping the epoch lineage column intact. Returns the
     * number of documents dropped.
+    *
+    * Single-writer contract: run with the ingest stream QUIESCED
+    * (stopped, or between `foreachBatch` invocations under external
+    * scheduling) — the TableStore is single-writer, and a compaction
+    * racing an epoch write would rewrite a stale snapshot over the
+    * new epoch. As a backstop the method re-checks the table version
+    * before publishing and aborts (nothing flipped, no data lost) if
+    * an epoch landed while it was deduplicating.
     */
   def compactNearDups(
       spark: SparkSession,
       store: TableStore,
       table: String): Long = {
+    val v0 = store.currentVersion(table)
     val cur = corpus(spark, store, table)
+    // cache the survivor set: it is consumed twice (count + rewrite),
+    // and each uncached pass would re-run the whole LSH/verify/cluster
+    // dedup lineage over the stored corpus
     val kept = graft.dedup.Dedup.dedupCorpus(cur, "doc_id", "text")
-    val dropped = cur.count() - kept.count()
-    store.overwrite(table, kept, partitionBy = Seq("ingest_batch"))
-    dropped
+      .persist()
+    try {
+      val dropped = cur.count() - kept.count()
+      require(store.currentVersion(table) == v0,
+        s"table '$table' advanced past version $v0 during compaction " +
+          "— an ingest epoch raced the rewrite; compaction aborted")
+      store.overwrite(table, kept, partitionBy = Seq("ingest_batch"))
+      dropped
+    } finally kept.unpersist()
   }
 }

@@ -224,5 +224,17 @@ class CorpusIngestSpec extends SparkTestBase {
     val replayed = CorpusIngest.corpus(spark, store, "corpus")
       .select("doc_id").as[Long].collect().toSeq
     assert(replayed == Seq(1L), s"replay broke idempotence: $replayed")
+
+    // no-evidence-means-drop: a doc too short to form a bigram scores
+    // NULL and is dropped at ANY threshold, even a wildly permissive
+    // one — the gate never passes documents it cannot score
+    CorpusIngest.applyBatch(spark,
+      Seq(("fp3", 3L, "solo"), ("fp4", 4L, fluent))
+        .toDF("fp", "doc_id", "text"),
+      bench, store, "corpus", 1L, lmGate = Some((lm, -1e9)))
+    val afterShort = CorpusIngest.corpus(spark, store, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(afterShort == Seq(1L, 4L),
+      s"unscoreable doc must drop at any threshold, got $afterShort")
   }
 }

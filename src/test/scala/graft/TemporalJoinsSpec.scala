@@ -429,6 +429,30 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("tokenBudgetSample drops a zero-weight row landing exactly on the budget") {
+    // adversarial construction: a zero-weight document whose exclusive
+    // prefix sum EQUALS the budget, sitting at the end of a hash band
+    // whose cumulative total also equals the budget. The naive window
+    // form drops it (prior < budget is strict); a band-keep rule of
+    // cum ≤ budget would keep the whole band and diverge.
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ids = (1L to 200L).toVector
+    val order = ids.sortBy(i => (md5hex(i.toString), i))
+    val bands = order.groupBy(i => md5hex(i.toString).take(2))
+    val band = bands.filter(_._2.size >= 2).keys.min
+    val zeroId = bands(band).last // last in hash order within its band
+    val budget = order.indexOf(zeroId).toLong // = its exclusive prefix
+    val df = ids.map(i => (i, "x", if (i == zeroId) 0 else 1))
+      .toDF("id", "s", "w")
+    val got = Sampling.tokenBudgetSample(
+        df, col("id"), col("s"), col("w"), Map("x" -> budget))
+      .select("id").as[Long].collect().toSet
+    assert(got == order.take(budget.toInt).toSet)
+    assert(!got.contains(zeroId))
+  }
+
   test("tokenBudgetSample windows only the boundary band") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = (1 to 2000).map(i => (i.toLong, "a", 3)).toDF("id", "s", "w")
