@@ -417,6 +417,46 @@ class DedupSpec extends SparkTestBase {
       ("completely unrelated text with no duplicate content at all", 0))
   }
 
+  test("substringDedup matches a sequential reference on collision-heavy corpora") {
+    // randomized model test (the ReplayModelSpec pattern): tiny vocab
+    // so k-token windows recur constantly — cross-doc, within-doc,
+    // overlapping, nested — and every removal decision is checked
+    // against a direct sequential execution of the Lee et al.
+    // semantics: the globally-first (doc, pos) occurrence of each
+    // window text keeps its tokens; every other occurrence's k tokens
+    // are covered and cut; kept tokens reassemble in order
+    val k = 3
+    val ord = Ordering.Tuple2[Long, Int]
+    for (seed <- Seq(11, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d")
+      val corpus = (1L to 15L).map { id =>
+        id -> Vector.fill(5 + rnd.nextInt(26))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val owner = scala.collection.mutable.Map[Seq[String], (Long, Int)]()
+      for ((id, toks) <- corpus; p <- 0 to toks.size - k) {
+        val w = toks.slice(p, p + k)
+        if (owner.get(w).forall(cur => ord.lt((id, p), cur)))
+          owner(w) = (id, p)
+      }
+      val expected = corpus.map { case (id, toks) =>
+        val covered = Array.fill(toks.size)(false)
+        for (p <- 0 to toks.size - k) {
+          if (owner(toks.slice(p, p + k)) != ((id, p)))
+            (p until p + k).foreach(covered(_) = true)
+        }
+        val kept = toks.indices.filterNot(covered).map(toks)
+        (id, kept.mkString(" "), covered.count(identity))
+      }
+      val got = Dedup.substringDedup(
+          corpus.map { case (id, toks) => (id, toks.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          "doc_id", "text", k = k)
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      assert(got == expected.sortBy(_._1).toSeq, s"seed $seed diverged")
+    }
+  }
+
   test("substringDedup cuts a within-doc repeat, keeping the first occurrence") {
     val span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val docs = Seq((7L, s"$span mid gap $span")).toDF("doc_id", "text")
