@@ -1069,6 +1069,13 @@ object SparkEntry {
       graft.dedup.Dedup.dedupCorpus(t("documents")(s, d), "doc_id", "text")
         .select("doc_id")),
 
+    // ---- quality-aware variant: per near-dup cluster keep the
+    //      LONGEST member (the C4/RefinedWeb rule), ties → min id ----
+    "q_dedup_corpus_best" -> ((s, d) =>
+      graft.dedup.Dedup.dedupCorpus(t("documents")(s, d), "doc_id", "text",
+          keepBy = Some(col("n_chars")))
+        .select("doc_id", "n_chars")),
+
     // ---- SimHash near-dup pairs (rows-only; custom Catalyst expr) ----
     "q_simhash_pairs" -> ((s, d) =>
       graft.dedup.Dedup.simhashPairs(t("documents")(s, d), "doc_id", "text", 7)),
@@ -1367,6 +1374,21 @@ object SparkEntry {
           docs, col("doc_id"), col("source"), col("n_tokens"),
           Map("src0" -> 800L, "src1" -> 500L, "src2" -> 1000000L))
         .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+
+    // ---- the full mixture spec a pretraining build starts from:
+    //      "2000 tokens at 50/25/25" — solve per-source token budgets
+    //      (binding stratum caps the total), apply as the banded
+    //      budget sample; achieved mixture is the output ----
+    "q_token_mixture" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+        .withColumn("n_tokens", graft.text.TextOps.tokenCount(col("text")))
+      graft.ops.Sampling.tokenMixtureSample(
+          docs, col("doc_id"), col("source"), col("n_tokens"), 2000L,
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("kept_tokens"))
     }),
 
     // ---- trainable quality filter (fastText-style): logistic weights
@@ -2467,6 +2489,48 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM cl
            WHERE cl.doc_id = d.doc_id AND cl.cluster_id <> cl.doc_id)""",
 
+    // same cluster derivation; representative = the member with max
+    // n_chars (min doc_id among ties) instead of min doc_id. The
+    // max-equality compare is on the UNCOMPUTED n_chars column, so
+    // double discipline is not in play.
+    "q_dedup_corpus_best" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]
+             ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) s FROM g),
+         p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(sh) n_sh FROM g),
+         pp AS (SELECT p.doc_a, p.doc_b FROM p
+                JOIN sz la ON la.doc_id = p.doc_a
+                JOIN sz lb ON lb.doc_id = p.doc_b
+                WHERE CAST(p.common AS DOUBLE)
+                  / CAST(la.n_sh + lb.n_sh - p.common AS DOUBLE) >= 0.8),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pp
+                   UNION SELECT doc_b, doc_a FROM pp),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION SELECT a, a FROM edges
+           UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         m AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+               FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+         best AS (SELECT cluster_id, max(n_chars) AS mx FROM m GROUP BY 1),
+         win AS (SELECT m.cluster_id, min(m.doc_id) AS winner
+                 FROM m JOIN best ON m.cluster_id = best.cluster_id
+                   AND m.n_chars = best.mx
+                 GROUP BY 1),
+         losers AS (SELECT m.doc_id FROM m
+                    JOIN win ON m.cluster_id = win.cluster_id
+                    WHERE m.doc_id <> win.winner)
+         SELECT d.doc_id, d.n_chars FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM losers
+           WHERE losers.doc_id = d.doc_id)""",
+
     // transitive closure over the same ≥0.8 exact-Jaccard pair
     // derivation; cluster_id = min reachable doc_id
     "q_doc_neardup_clusters" ->
@@ -2822,6 +2886,43 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens
          FROM w JOIN b ON w.source = b.s
          WHERE prior < budget""",
+
+    // Replays tokenMixtureBudgets double-for-double (the q_domain_mix
+    // discipline: targets sum to exactly 1.0 so the Scala p/total
+    // normalization is a no-op; every literal CAST AS DOUBLE; the
+    // +1e-9 replays the binding-stratum floor guard; LEFT JOIN +
+    // COALESCE 0 binds an absent stratum to T=0), then the naive
+    // prefix window of q_token_budget_mix.
+    "q_token_mixture" ->
+      """WITH tgt(s, p) AS (VALUES
+           ('src0', CAST(0.5 AS DOUBLE)),
+           ('src1', CAST(0.25 AS DOUBLE)),
+           ('src2', CAST(0.25 AS DOUBLE))),
+         d AS (
+           SELECT doc_id, source,
+             len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents WHERE source IN (SELECT s FROM tgt)),
+         av AS (SELECT source AS s, CAST(sum(n_tokens) AS DOUBLE) AS a
+                FROM d GROUP BY 1),
+         j AS (SELECT tgt.s, tgt.p, COALESCE(av.a, CAST(0 AS DOUBLE)) AS a
+               FROM tgt LEFT JOIN av ON tgt.s = av.s),
+         b AS (SELECT s, CAST(floor(p * LEAST(
+                 (SELECT min(a / p) FROM j),
+                 CAST(2000 AS DOUBLE)) + 1e-9) AS BIGINT) AS budget
+               FROM j),
+         w AS (
+           SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prior
+           FROM d)
+         SELECT w.source, count(*) AS n_docs,
+           CAST(sum(w.n_tokens) AS BIGINT) AS kept_tokens
+         FROM w JOIN b ON w.source = b.s
+         WHERE w.prior < b.budget
+         GROUP BY w.source""",
 
     "q_corpus_shuffle" ->
       """SELECT doc_id, source FROM documents

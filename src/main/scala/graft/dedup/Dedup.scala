@@ -407,19 +407,51 @@ object Dedup {
   }
 
   /** Collapse a corpus to one canonical document per near-dup cluster:
-    * every cluster member except its minimum-id representative is
-    * dropped. The end-to-end dedup semantic — candidates from LSH,
-    * exact verification, clustering, then an anti-join that scales as
-    * a broadcast of the (small) removal set.
+    * every cluster member except its representative is dropped. The
+    * end-to-end dedup semantic — candidates from LSH, exact
+    * verification, clustering, then an anti-join that scales as a
+    * broadcast of the (small) removal set.
+    *
+    * Representative selection: by default the minimum-id member
+    * (stable, content-blind). Pass `keepBy` (a numeric column over
+    * `docs`, higher = better; NULL loses to any value; ties keep the
+    * smallest id) to keep the BEST copy instead — the C4/RefinedWeb
+    * rule of keeping the longest or highest-quality near-duplicate
+    * rather than an arbitrary one. The selection aggregations run
+    * over the cluster-membership table (bounded by the near-dup
+    * volume, the same set the anti-join broadcasts), never the
+    * corpus.
     */
   def dedupCorpus(
       docs: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      keepBy: Option[Column] = None): DataFrame = {
     val clusters = nearDupClusters(
       minhashLshVerified(docs, idCol, textCol).select("doc_a", "doc_b"))
-    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as(idCol))
+    val losers = keepBy match {
+      case None =>
+        clusters.filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as(idCol))
+      case Some(k) =>
+        val scored = clusters.join(
+          docs.select(col(idCol).as("doc_id"),
+            coalesce(k.cast("double"), lit(Double.NegativeInfinity))
+              .as("__graft_keep")),
+          Seq("doc_id"))
+        // exact equality on an UNCOMPUTED double (the column value
+        // round-trips both joins untouched) is engine-safe
+        val winners = scored
+          .join(scored.groupBy("cluster_id")
+            .agg(max(col("__graft_keep")).as("__graft_best")),
+            Seq("cluster_id"))
+          .filter(col("__graft_keep") === col("__graft_best"))
+          .groupBy(col("cluster_id"))
+          .agg(min(col("doc_id")).as("__graft_winner"))
+        scored.join(winners, Seq("cluster_id"))
+          .filter(col("doc_id") =!= col("__graft_winner"))
+          .select(col("doc_id").as(idCol))
+    }
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

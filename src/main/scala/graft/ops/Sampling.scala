@@ -256,6 +256,60 @@ object Sampling {
     }
   }
 
+  /** Solve per-stratum TOKEN budgets for a target mixture under a
+    * total token budget — the form a pretraining data spec actually
+    * takes ("N tokens at 60/30/10 across sources"). The achievable
+    * total is `T = min(totalBudget, min_s avail(s)/target(s))` (the
+    * binding stratum caps the whole mixture, exactly like
+    * [[mixtureRates]]; a targeted stratum absent from the data binds
+    * T to 0 — surfaced loudly, not renormalized), and each stratum's
+    * budget is `floor(target(s)·T + 1e-9)` (the epsilon replays
+    * [[mixtureRates]]' binding-stratum floor guard: share·T is
+    * algebraically integral for the binding stratum but can round a
+    * hair under in doubles).
+    *
+    * One aggregation pass filtered to the targeted strata; the
+    * collect is bounded by `targets.size` rows. Compose with
+    * [[tokenBudgetSample]] (or call [[tokenMixtureSample]]).
+    */
+  def tokenMixtureBudgets(
+      df: DataFrame,
+      stratum: Column,
+      weight: Column,
+      totalBudget: Long,
+      targets: Map[String, Double]): Map[String, Long] = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0.0),
+      s"target proportions must be positive, got $targets")
+    require(totalBudget >= 0L, s"totalBudget must be >= 0, got $totalBudget")
+    val total = targets.values.sum
+    val avail = df
+      .filter(stratum.isin(targets.keys.toSeq: _*))
+      .groupBy(stratum.cast("string").as("s"))
+      .agg(sum(coalesce(weight.cast("long"), lit(0L))).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = (targets.map { case (s, p) =>
+      avail.getOrElse(s, 0L) / (p / total)
+    } ++ Seq(totalBudget.toDouble)).min
+    targets.map { case (s, p) =>
+      s -> math.floor((p / total) * t + 1e-9).toLong
+    }
+  }
+
+  /** [[tokenMixtureBudgets]] solved on the data and applied with
+    * [[tokenBudgetSample]]: resample `df` to the target token mixture
+    * under `totalBudget`, deterministically on any layout.
+    */
+  def tokenMixtureSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      weight: Column,
+      totalBudget: Long,
+      targets: Map[String, Double]): DataFrame =
+    tokenBudgetSample(df, key, stratum, weight,
+      tokenMixtureBudgets(df, stratum, weight, totalBudget, targets))
+
   /** Deterministic corpus shuffle: a stable pseudo-random TRAINING
     * ORDER (what a pretraining run actually needs — the same "random"
     * sequence on every rebuild, resumable mid-epoch, identical across

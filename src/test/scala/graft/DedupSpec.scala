@@ -153,6 +153,31 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 2L, 3L))
   }
 
+  test("dedupCorpus keepBy keeps the best cluster member, min id on ties") {
+    val family = "a fully duplicated document body long enough to shingle " +
+      "with plenty of overlapping trigrams in every copy of it"
+    val other = "a second clone family with its own shared trigram " +
+      "content repeated across each of its member documents verbatim"
+    val df = Seq(
+      // family 1: doc 5 is the best copy — must beat min-id doc 1
+      (1L, family, 10), (5L, family, 99), (9L, family, 50),
+      // family 2: quality tie between 6 and 8 → smallest id (6) wins;
+      // doc 7's NULL quality loses to any value
+      (6L, other, 40), (8L, other, 40), (7L, other, Integer.MIN_VALUE),
+      (2L, "an unrelated document about completely different things", 1))
+      .toDF("doc_id", "text", "q")
+      .withColumn("q",
+        when(col("q") === Integer.MIN_VALUE, lit(null)).otherwise(col("q")))
+    val kept = Dedup.dedupCorpus(df, "doc_id", "text",
+        keepBy = Some(col("q")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 6L, 2L), s"got $kept")
+    // default stays min-id (back-compat with the oracle)
+    val minId = Dedup.dedupCorpus(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 6L, 2L))
+  }
+
   test("maxBucket skew guard drops degenerate buckets, keeps normal ones") {
     // 6 identical docs → every band bucket has 6 members
     val clones = (1L to 6L).map(i => (i, "the same boilerplate text repeated " +

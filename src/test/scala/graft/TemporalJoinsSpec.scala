@@ -429,6 +429,37 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("tokenMixtureBudgets solves token budgets; binding stratum caps the total") {
+    // tokens: a=8000, b=1500, c=500 under target 50/25/25 — c binds
+    // (500/0.25 = 2000 achievable), so c keeps every token and the
+    // others scale to keep the mixture exact
+    val df = ((1 to 100).map(i => (i, "a", 80)) ++
+        (101 to 130).map(i => (i, "b", 50)) ++
+        (131 to 140).map(i => (i, "c", 50)))
+      .toDF("id", "s", "w")
+    val targets = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    val unbounded = Sampling.tokenMixtureBudgets(
+      df, col("s"), col("w"), 100000L, targets)
+    assert(unbounded == Map("a" -> 1000L, "b" -> 500L, "c" -> 500L))
+    // a tighter total budget takes over from the binding stratum
+    val capped = Sampling.tokenMixtureBudgets(
+      df, col("s"), col("w"), 1000L, targets)
+    assert(capped == Map("a" -> 500L, "b" -> 250L, "c" -> 250L))
+    // absent targeted stratum binds T to 0 — loud, not renormalized
+    val absent = Sampling.tokenMixtureBudgets(
+      df, col("s"), col("w"), 1000L, Map("a" -> 0.5, "nope" -> 0.5))
+    assert(absent.values.forall(_ == 0L))
+    // composition: kept token mass per stratum reaches its budget (to
+    // within the crossing document) and the binding stratum is whole
+    val kept = Sampling.tokenMixtureSample(
+        df, col("id"), col("s"), col("w"), 100000L, targets)
+      .groupBy("s").agg(sum(col("w")).as("kt"))
+      .as[(String, Long)].collect().toMap
+    assert(kept("c") == 500L, s"binding stratum must keep whole: $kept")
+    assert(kept("a") >= 1000L && kept("a") < 1080L, s"got $kept")
+    assert(kept("b") >= 500L && kept("b") < 550L, s"got $kept")
+  }
+
   test("tokenBudgetSample drops a zero-weight row landing exactly on the budget") {
     // adversarial construction: a zero-weight document whose exclusive
     // prefix sum EQUALS the budget, sitting at the end of a hash band
