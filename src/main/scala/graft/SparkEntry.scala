@@ -904,6 +904,17 @@ object SparkEntry {
         "doc_id", "text", shingleLen = 4)
     }),
 
+    // ---- contamination fraction report: hit counts over every
+    //      training doc with its own shingle count and contaminated
+    //      fraction — the PaLM-style fraction-threshold scrub input --
+    "q_contamination_report" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      graft.dedup.Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleLen = 4)
+    }),
+
     // ---- semantic decontamination: train embeddings within cosine
     //      0.4 of a held-out benchmark item (vec_id % 25 == 0 plays
     //      the eval suite) — the paraphrase-robust complement to the
@@ -2026,6 +2037,31 @@ object SparkEntry {
            WHERE doc_id % 20 <> 0)
          SELECT train.doc_id, count(*) AS n_contaminated
          FROM train JOIN bench USING (s) GROUP BY 1""",
+
+    // q_decontaminate's derivation extended over every train doc:
+    // LEFT JOIN the hit counts, denominator = the SAME list_distinct
+    // shingle set, fraction rounded 6dp (the repetitionSignals
+    // discipline for int/int→double ratios)
+    "q_contamination_report" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 4
+             THEN [array_to_string(toks[i:i+3], ' ')
+                   for i in range(1, len(toks) - 2)]
+             ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         bench AS (SELECT DISTINCT unnest(sh) s FROM g
+           WHERE doc_id % 20 = 0),
+         train AS (SELECT doc_id, unnest(sh) s FROM g
+           WHERE doc_id % 20 <> 0),
+         hits AS (SELECT train.doc_id, count(*) AS n
+           FROM train JOIN bench USING (s) GROUP BY 1),
+         sz AS (SELECT doc_id, len(sh) AS n_shingles FROM g
+           WHERE doc_id % 20 <> 0)
+         SELECT sz.doc_id, sz.n_shingles,
+           COALESCE(hits.n, 0) AS n_contaminated,
+           round(CAST(COALESCE(hits.n, 0) AS DOUBLE) / sz.n_shingles, 6)
+             AS contaminated_frac
+         FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id""",
 
     // same cosine algebra as q_embedding_neardup, cross-set; best
     // bench match per train item via row_number on the UNROUNDED cos;

@@ -753,6 +753,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Per-document contamination REPORT — [[decontaminate]]'s hit
+    * counts joined back over the whole training set with each
+    * document's own distinct-shingle count and the contaminated
+    * FRACTION (round(6) for engine-identical hashing): the form a
+    * fraction-threshold scrub consumes (drop when more than X% of a
+    * document's n-grams appear in any benchmark — the PaLM-style
+    * rule — rather than on any single hit; thresholding is the
+    * caller's one extra filter).
+    *
+    * Same 100 TB shape as [[decontaminate]] (broadcast benchmark
+    * index, map-side scan, only hits shuffle); the per-document
+    * shingle count is a shuffle-free map-side `size` of the same
+    * distinct-shingle expression the hit counts are built from, so
+    * numerator and denominator can never disagree on shingling.
+    */
+  def contaminationReport(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 4): DataFrame = {
+    val hits = decontaminate(train, bench, idCol, textCol, shingleLen)
+    train
+      .select(col(idCol),
+        size(shingleHashes(col(textCol), shingleLen)).as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("contaminated_frac"))
+  }
+
   /** Semantic (embedding-level) decontamination: flag every training
     * item whose embedding sits within cosine `threshold` of ANY
     * benchmark item — the paraphrase-robust complement to the n-gram

@@ -153,6 +153,28 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 2L, 3L))
   }
 
+  test("contaminationReport fractions: full copy 1.0, clean 0.0, partial in between") {
+    val leaked = "the exact benchmark question text appears verbatim here today"
+    val bench = Seq((100L, leaked)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, leaked),                                     // full copy
+      (2L, s"some original prefix then $leaked"),       // partial
+      (3L, "entirely unrelated content with zero overlap whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, bench, "doc_id", "text", 4)
+      .select("doc_id", "contaminated_frac")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) > 0.0 && got(2L) < 1.0, s"got ${got(2L)}")
+    assert(got(3L) == 0.0)
+    // the PaLM-style consumption: one filter away from a clean set
+    val clean = Dedup.contaminationReport(train, bench, "doc_id", "text", 4)
+      .filter(col("contaminated_frac") <= 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(3L))
+    assert(got(2L) > 0.5) // the partial doc is mostly the leaked span
+  }
+
   test("dedupCorpus keepBy keeps the best cluster member, min id on ties") {
     val family = "a fully duplicated document body long enough to shingle " +
       "with plenty of overlapping trigrams in every copy of it"
