@@ -1387,6 +1387,19 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tokens"))
     }),
 
+    // ---- quality-first budget fill: per source keep the LONGEST
+    //      documents (score = n_chars) until the token budget; the
+    //      boundary score band is the only window ----
+    "q_best_under_budget" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+        .withColumn("n_tokens", graft.text.TextOps.tokenCount(col("text")))
+      graft.ops.Sampling.bestUnderBudget(
+          docs, col("doc_id"), col("source"), col("n_tokens"),
+          col("n_chars"), Map("src0" -> 800L, "src1" -> 1000000L))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("n_chars"))
+    }),
+
     // ---- the full mixture spec a pretraining build starts from:
     //      "2000 tokens at 50/25/25" — solve per-source token budgets
     //      (binding stratum caps the total), apply as the banded
@@ -2920,6 +2933,28 @@ object SparkEntry {
                0) AS prior
            FROM d)
          SELECT doc_id, source, n_tokens
+         FROM w JOIN b ON w.source = b.s
+         WHERE prior < budget""",
+
+    // The naive quality-window twin of bestUnderBudget: exclusive
+    // token prefix in (n_chars DESC, md5, doc_id) order, keep while
+    // under budget — the banded plan is row-identical
+    // (TemporalJoinsSpec pins the equality and the plan shape).
+    "q_best_under_budget" ->
+      """WITH b(s, budget) AS (VALUES ('src0', 800), ('src1', 1000000)),
+         d AS (
+           SELECT doc_id, source, n_chars,
+             len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents WHERE source IN (SELECT s FROM b)),
+         w AS (
+           SELECT doc_id, source, n_tokens, n_chars,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prior
+           FROM d)
+         SELECT doc_id, source, n_tokens, n_chars
          FROM w JOIN b ON w.source = b.s
          WHERE prior < budget""",
 

@@ -256,6 +256,118 @@ object Sampling {
     }
   }
 
+  /** Quality-first budget fill: per stratum, keep the BEST documents
+    * — highest `scoreBy` first — until the token budget is reached
+    * (the FineWeb-style "top-quality under budget" selection;
+    * [[tokenBudgetSample]] is the unbiased-random counterpart). The
+    * fill order is `(scoreBy DESC NULLS LAST, md5(key), key)` — the
+    * hash tie-break keeps the order total and layout-independent when
+    * scores tie — and the exclusive running token total must stay
+    * under the budget, so the document that crosses it is kept.
+    *
+    * Scale shape mirrors [[tokenBudgetSample]], with score bands in
+    * place of hash bands: `width_bucket` over the stratum's observed
+    * score range is ORDER-ALIGNED (a higher bucket is entirely
+    * better-scored than a lower one, ties share a bucket), so
+    *  - pass A: per-stratum score ranges (one agg, ≤ |budgets| rows);
+    *  - pass B: per-(stratum, bucket) token totals (one partial-agg
+    *    shuffle, ≤ (buckets+2)·|budgets| rows collected) — the driver
+    *    walks buckets best-first to find each budget's boundary;
+    *  - bands above the boundary keep whole via a shuffle-free scan
+    *    filter; ONLY the boundary band flows through the exact
+    *    prefix-sum window.
+    * Uniform buckets degrade gracefully: a score distribution massed
+    * into one bucket routes that bucket (at worst the stratum)
+    * through the window — never wrong, just less pruned. NULL scores
+    * fill last; `weight` NULLs count as 0; `key` must be unique and
+    * non-null within targeted strata.
+    */
+  def bestUnderBudget(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      weight: Column,
+      scoreBy: Column,
+      budgets: Map[String, Long],
+      buckets: Int = 254): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0L),
+      s"budgets must be non-negative, got $budgets")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val strat = stratum.cast("string")
+    val w = coalesce(weight.cast("long"), lit(0L))
+    val score = scoreBy.cast("double")
+    val targeted = df.filter(strat.isin(budgets.keys.toSeq: _*))
+    // pass A: per-stratum score ranges
+    val ranges = targeted.groupBy(strat.as("s"))
+      .agg(min(score).as("lo"), max(score).as("hi"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getDouble(2)))))
+      .toMap
+    // bucket 0 = NULL scores only (lo is the observed min, nothing
+    // sits below it); constant-score or all-null strata collapse to a
+    // single non-null bucket — the graceful-degradation path
+    def bucketFor(st: String): Column = ranges.get(st).flatten match {
+      case Some((lo, hi)) if lo < hi =>
+        coalesce(width_bucket(score, lit(lo), lit(hi), lit(buckets)),
+          lit(0L))
+      case _ =>
+        when(score.isNotNull, lit(1L)).otherwise(lit(0L))
+    }
+    val bucket = budgets.keys.foldLeft(lit(0L)) { (els, st) =>
+      when(strat === lit(st), bucketFor(st)).otherwise(els)
+    }
+    // pass B: per-(stratum, bucket) weight totals
+    val perBucket = targeted
+      .groupBy(strat.as("s"), bucket.as("b"))
+      .agg(sum(w).as("tw"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // driver walk, BEST bucket first; cut = -1 ⇔ budget > stratum
+    // total (keep all). Same >= boundary rule as tokenBudgetSample:
+    // a bucket whose cumulative total lands exactly on the budget
+    // may end with zero-weight rows the strict prior<budget drops.
+    val cuts: Map[String, (Long, Long)] = budgets.map { case (st, budget) =>
+      var cum = 0L
+      var cut = -1L
+      var off = 0L
+      var b = buckets.toLong + 1
+      while (b >= 0 && cut == -1L) {
+        val bw = perBucket.getOrElse((st, b), 0L)
+        if (cum + bw >= budget) { cut = b; off = cum }
+        cum += bw
+        b -= 1
+      }
+      st -> (cut -> off)
+    }
+    val whole = df.filter(cuts.map { case (st, (cut, _)) =>
+      strat === lit(st) && bucket > lit(cut)
+    }.reduce(_ || _))
+    val boundary = cuts.filter { case (_, (cut, _)) => cut >= 0L }
+    if (boundary.isEmpty) whole
+    else {
+      val offset = boundary.foldLeft(lit(0L)) {
+        case (els, (st, (_, off))) =>
+          when(strat === lit(st), lit(off)).otherwise(els)
+      }
+      val budget = budgets.foldLeft(lit(0L)) {
+        case (els, (st, b)) => when(strat === lit(st), lit(b)).otherwise(els)
+      }
+      val wnd = Window.partitionBy(strat)
+        .orderBy(score.desc_nulls_last,
+          coalesce(md5(key.cast("string")), lit("~")), key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val kept = df.filter(boundary.map { case (st, (cut, _)) =>
+          strat === lit(st) && bucket === lit(cut)
+        }.reduce(_ || _))
+        .withColumn("__graft_prior", coalesce(sum(w).over(wnd), lit(0L)))
+        .filter(offset + col("__graft_prior") < budget)
+        .drop("__graft_prior")
+      whole.union(kept)
+    }
+  }
+
   /** Solve per-stratum TOKEN budgets for a target mixture under a
     * total token budget — the form a pretraining data spec actually
     * takes ("N tokens at 60/30/10 across sources"). The achievable

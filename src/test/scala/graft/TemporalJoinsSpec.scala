@@ -505,6 +505,72 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(whole.count() == 2000L)
   }
 
+  test("bestUnderBudget fills best-first and equals the naive quality window") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    // heavy score ties (10 distinct values), zero weights, NULL scores
+    // sprinkled in, and one constant-score stratum (the degenerate
+    // single-bucket path); d untargeted
+    val df = (1 to 2000).map { i =>
+      val s = Seq("a", "b", "c", "d")(i % 4)
+      val score: Option[Double] =
+        if (i % 17 == 0) None
+        else if (s == "c") Some(5.0)
+        else Some(rnd.nextInt(10).toDouble)
+      (i.toLong, s, rnd.nextInt(20), score)
+    }.toDF("id", "s", "w", "score")
+    val budgets = Map("a" -> 3000L, "b" -> 10000000L, "c" -> 1000L)
+    val got = Sampling.bestUnderBudget(
+        df, col("id"), col("s"), col("w"), col("score"), budgets)
+      .select("id").as[Long].collect().toSet
+    val wnd = Window.partitionBy("s")
+      .orderBy(col("score").desc_nulls_last,
+        md5(col("id").cast("string")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budgetExpr = budgets.foldLeft(lit(-1L)) { case (els, (st, b)) =>
+      when(col("s") === lit(st), lit(b)).otherwise(els)
+    }
+    val expected = df
+      .withColumn("prior", coalesce(sum(col("w")).over(wnd), lit(0L)))
+      .filter(col("prior") < budgetExpr)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    // best-first invariant: within a stratum, every kept document
+    // scores at least as high as every dropped one
+    val aScores = df.filter(col("s") === "a" && col("score").isNotNull)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    val (keptA, dropA) = aScores.partition { case (id, _) => got(id) }
+    assert(keptA.nonEmpty && dropA.nonEmpty, "budget should split stratum a")
+    assert(keptA.values.min >= dropA.values.max)
+    // layout-independent
+    val again = Sampling.bestUnderBudget(
+        df.repartition(17), col("id"), col("s"), col("w"), col("score"),
+        budgets)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
+  test("bestUnderBudget windows only the boundary score band") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = (1 to 2000).map(i => (i.toLong, "a", 3, (i % 7).toDouble))
+      .toDF("id", "s", "w", "score")
+    val partial = Sampling.bestUnderBudget(
+      df, col("id"), col("s"), col("w"), col("score"), Map("a" -> 3000L))
+    val plan = partial.queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.size == 1)
+    val union = plan.collectFirst {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.get
+    assert(union.children.head.collect { case w: LWindow => w }.isEmpty)
+    // budget above the stratum total: no window anywhere, all kept
+    val whole = Sampling.bestUnderBudget(
+      df, col("id"), col("s"), col("w"), col("score"),
+      Map("a" -> 10000000L))
+    assert(whole.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }.isEmpty)
+    assert(whole.count() == 2000L)
+  }
+
   test("deterministicShuffle is a stable total order on any layout") {
     val df = (1 to 500).map(i => (i, s"p$i")).toDF("id", "payload")
     val order = Sampling.deterministicShuffle(df, col("id"))
