@@ -2566,12 +2566,18 @@ object SparkEntry {
            UNION SELECT a, a FROM edges
            UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
          cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
-         m AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+         -- COALESCE to -infinity replays the Scala NULL-loses rule: a
+         -- cluster whose members are ALL null-scored must still elect
+         -- its min-id winner (a bare max(n_chars)=NULL would match no
+         -- one and keep the whole cluster)
+         m AS (SELECT cl.doc_id, cl.cluster_id,
+                 COALESCE(CAST(d.n_chars AS DOUBLE),
+                   CAST('-infinity' AS DOUBLE)) AS k
                FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
-         best AS (SELECT cluster_id, max(n_chars) AS mx FROM m GROUP BY 1),
+         best AS (SELECT cluster_id, max(k) AS mx FROM m GROUP BY 1),
          win AS (SELECT m.cluster_id, min(m.doc_id) AS winner
                  FROM m JOIN best ON m.cluster_id = best.cluster_id
-                   AND m.n_chars = best.mx
+                   AND m.k = best.mx
                  GROUP BY 1),
          losers AS (SELECT m.doc_id FROM m
                     JOIN win ON m.cluster_id = win.cluster_id

@@ -434,11 +434,14 @@ object Dedup {
         clusters.filter(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id").as(idCol))
       case Some(k) =>
+        // persisted: the membership-bounded table feeds three joins
+        // (max per cluster, the tie filter, the winner anti-filter) —
+        // uncached, each would rescan the corpus side of this join
         val scored = clusters.join(
           docs.select(col(idCol).as("doc_id"),
             coalesce(k.cast("double"), lit(Double.NegativeInfinity))
               .as("__graft_keep")),
-          Seq("doc_id"))
+          Seq("doc_id")).persist()
         // exact equality on an UNCOMPUTED double (the column value
         // round-trips both joins untouched) is engine-safe
         val winners = scored

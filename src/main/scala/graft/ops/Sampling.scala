@@ -196,39 +196,80 @@ object Sampling {
     require(budgets.nonEmpty, "budgets must be non-empty")
     require(budgets.values.forall(_ >= 0L),
       s"budgets must be non-negative, got $budgets")
-    val strat = stratum.cast("string")
-    val w = coalesce(weight.cast("long"), lit(0L))
-    val band = hashByte(key)
+    // within one band, md5-string order refines band order, so a band
+    // boundary is an order boundary. NULL keys land in band 255 and
+    // sort after every hex digest ('~' > 'f'), same rule as
+    // deterministicShuffle.
+    bandedBudgetFill(df,
+      strat = stratum.cast("string"),
+      weight = coalesce(weight.cast("long"), lit(0L)),
+      band = hashByte(key).cast("long"),
+      bandWalk = 0L to 255L,
+      noCut = 256L,
+      earlier = (band, cut) => band < lit(cut),
+      windowOrder = Seq(coalesce(md5(key.cast("string")), lit("~")), key),
+      budgets = budgets)
+  }
+
+  /** Shared core of [[tokenBudgetSample]] and [[bestUnderBudget]] —
+    * the banded budget fill. Preconditions the callers guarantee:
+    * `band` is ORDER-ALIGNED with `windowOrder` (every row of an
+    * earlier-walked band precedes every row of a later one, and
+    * `bandWalk` lists the band ids in fill order), `strat` is already
+    * a string, `weight` a non-null long.
+    *
+    * Pass 1 aggregates per-(stratum, band) weight totals (ONE
+    * partial-agg shuffle; the collect is bounded by
+    * |bandWalk|·|budgets| rows regardless of corpus size); the driver
+    * walks each stratum's bands in fill order to find the band its
+    * budget lands in. Bands walked before the cut are kept whole by a
+    * shuffle-free scan filter — the bulk of the kept data moves zero
+    * times; ONLY the boundary band flows through the exact exclusive
+    * prefix-sum window, offset by the weight accumulated before it.
+    * Row-identical to the naive one-window-per-stratum form the
+    * DuckDB oracles replay, without ever sorting a whole stratum on
+    * one task.
+    */
+  private def bandedBudgetFill(
+      df: DataFrame,
+      strat: Column,
+      weight: Column,
+      band: Column,
+      bandWalk: Seq[Long],
+      noCut: Long,
+      earlier: (Column, Long) => Column,
+      windowOrder: Seq[Column],
+      budgets: Map[String, Long]): DataFrame = {
     // pass 1: per-(stratum, band) weight totals
     val perBand = df.filter(strat.isin(budgets.keys.toSeq: _*))
       .groupBy(strat.as("s"), band.as("b"))
-      .agg(sum(w).as("tw"))
-      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .agg(sum(weight).as("tw"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
       .toMap
-    // driver: per stratum, the first band whose running total REACHES
-    // the budget (bands below it keep whole, bands above drop) and the
-    // weight accumulated before it. cut=256 ⇔ budget > stratum total.
-    // `>=`, not `>`: a band whose cumulative total lands EXACTLY on the
-    // budget may end with zero-weight rows whose exclusive prefix
-    // equals the budget — the naive form drops those, so the band must
-    // go through the window, not be kept whole.
-    val cuts: Map[String, (Int, Long)] = budgets.map { case (st, budget) =>
+    // driver: per stratum, the first band (in fill order) whose
+    // running total REACHES the budget, and the weight accumulated
+    // before it. cut=noCut ⇔ budget > stratum total (keep all).
+    // `>=`, not `>`: a band whose cumulative total lands EXACTLY on
+    // the budget may end with zero-weight rows whose exclusive prefix
+    // equals the budget — the naive form drops those, so the band
+    // must go through the window, not be kept whole.
+    val cuts: Map[String, (Long, Long)] = budgets.map { case (st, budget) =>
       var cum = 0L
-      var cut = 256
+      var cut = noCut
       var off = 0L
-      var b = 0
-      while (b < 256 && cut == 256) {
+      val walk = bandWalk.iterator
+      while (walk.hasNext && cut == noCut) {
+        val b = walk.next()
         val bw = perBand.getOrElse((st, b), 0L)
         if (cum + bw >= budget) { cut = b; off = cum }
         cum += bw
-        b += 1
       }
       st -> (cut -> off)
     }
     val whole = df.filter(cuts.map { case (st, (cut, _)) =>
-      strat === lit(st) && band < lit(cut)
+      strat === lit(st) && earlier(band, cut)
     }.reduce(_ || _))
-    val boundary = cuts.filter { case (_, (cut, _)) => cut < 256 }
+    val boundary = cuts.filter { case (_, (cut, _)) => cut != noCut }
     if (boundary.isEmpty) whole
     else {
       val offset = boundary.foldLeft(lit(0L)) {
@@ -238,18 +279,16 @@ object Sampling {
       val budget = budgets.foldLeft(lit(0L)) {
         case (els, (st, b)) => when(strat === lit(st), lit(b)).otherwise(els)
       }
-      // within one band, md5-string order refines band order, so the
-      // in-band prefix sum + the pre-band offset IS the in-stratum
-      // exclusive prefix sum. NULL keys land in band 255 and sort
-      // after every hex digest ('~' > 'f'), same rule as
-      // deterministicShuffle.
+      // in-band prefix sum + pre-band offset = in-stratum exclusive
+      // prefix sum, by the order-alignment precondition
       val wnd = Window.partitionBy(strat)
-        .orderBy(coalesce(md5(key.cast("string")), lit("~")), key)
+        .orderBy(windowOrder: _*)
         .rowsBetween(Window.unboundedPreceding, -1)
       val kept = df.filter(boundary.map { case (st, (cut, _)) =>
           strat === lit(st) && band === lit(cut)
         }.reduce(_ || _))
-        .withColumn("__graft_prior", coalesce(sum(w).over(wnd), lit(0L)))
+        .withColumn("__graft_prior",
+          coalesce(sum(weight).over(wnd), lit(0L)))
         .filter(offset + col("__graft_prior") < budget)
         .drop("__graft_prior")
       whole.union(kept)
@@ -318,54 +357,18 @@ object Sampling {
     val bucket = budgets.keys.foldLeft(lit(0L)) { (els, st) =>
       when(strat === lit(st), bucketFor(st)).otherwise(els)
     }
-    // pass B: per-(stratum, bucket) weight totals
-    val perBucket = targeted
-      .groupBy(strat.as("s"), bucket.as("b"))
-      .agg(sum(w).as("tw"))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
-      .toMap
-    // driver walk, BEST bucket first; cut = -1 ⇔ budget > stratum
-    // total (keep all). Same >= boundary rule as tokenBudgetSample:
-    // a bucket whose cumulative total lands exactly on the budget
-    // may end with zero-weight rows the strict prior<budget drops.
-    val cuts: Map[String, (Long, Long)] = budgets.map { case (st, budget) =>
-      var cum = 0L
-      var cut = -1L
-      var off = 0L
-      var b = buckets.toLong + 1
-      while (b >= 0 && cut == -1L) {
-        val bw = perBucket.getOrElse((st, b), 0L)
-        if (cum + bw >= budget) { cut = b; off = cum }
-        cum += bw
-        b -= 1
-      }
-      st -> (cut -> off)
-    }
-    val whole = df.filter(cuts.map { case (st, (cut, _)) =>
-      strat === lit(st) && bucket > lit(cut)
-    }.reduce(_ || _))
-    val boundary = cuts.filter { case (_, (cut, _)) => cut >= 0L }
-    if (boundary.isEmpty) whole
-    else {
-      val offset = boundary.foldLeft(lit(0L)) {
-        case (els, (st, (_, off))) =>
-          when(strat === lit(st), lit(off)).otherwise(els)
-      }
-      val budget = budgets.foldLeft(lit(0L)) {
-        case (els, (st, b)) => when(strat === lit(st), lit(b)).otherwise(els)
-      }
-      val wnd = Window.partitionBy(strat)
-        .orderBy(score.desc_nulls_last,
-          coalesce(md5(key.cast("string")), lit("~")), key)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val kept = df.filter(boundary.map { case (st, (cut, _)) =>
-          strat === lit(st) && bucket === lit(cut)
-        }.reduce(_ || _))
-        .withColumn("__graft_prior", coalesce(sum(w).over(wnd), lit(0L)))
-        .filter(offset + col("__graft_prior") < budget)
-        .drop("__graft_prior")
-      whole.union(kept)
-    }
+    // walk BEST bucket first (buckets+1 down to 0: above-range, the
+    // in-range bands, then the NULL bucket); cut = -1 ⇔ keep all
+    bandedBudgetFill(df,
+      strat = strat,
+      weight = w,
+      band = bucket,
+      bandWalk = (buckets.toLong + 1L) to 0L by -1L,
+      noCut = -1L,
+      earlier = (band, cut) => band > lit(cut),
+      windowOrder = Seq(score.desc_nulls_last,
+        coalesce(md5(key.cast("string")), lit("~")), key),
+      budgets = budgets)
   }
 
   /** Solve per-stratum TOKEN budgets for a target mixture under a
