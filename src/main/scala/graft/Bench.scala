@@ -121,9 +121,12 @@ object Bench {
         (dt, sh)
       }
       // shuffle bytes travel with the median run's sample so the pair
-      // stays internally consistent (bytes are deterministic anyway)
+      // stays internally consistent (bytes are deterministic anyway).
+      // Lower-middle for even run counts: noise on a shared box is
+      // strictly additive, so between the two middles the faster one
+      // is the better estimate (Runs=2 would otherwise record the MAX)
       val (dt, sh) = samples.sortBy(_._1)(Ordering.Double.TotalOrdering)
-        .apply(Runs / 2)
+        .apply((Runs - 1) / 2)
       (name, dt, sh)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }

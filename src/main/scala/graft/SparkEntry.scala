@@ -962,8 +962,10 @@ object SparkEntry {
     // ---- exact substring dedup (Lee et al. 2022 ExactSubstr at
     //      8-token granularity): any 8-token window recurring anywhere
     //      in the corpus is cut from every occurrence but the globally
-    //      first; overlapping windows coalesce into maximal spans;
-    //      row count stays = |documents| ----
+    //      first (occurrences overlapping the kept window in the same
+    //      doc are spared, so periodic text keeps one intact copy);
+    //      overlapping windows coalesce into maximal spans; row count
+    //      stays = |documents| ----
     "q_substring_dedup" -> ((s, d) =>
       graft.dedup.Dedup.substringDedup(
         t("documents")(s, d), "doc_id", "text", k = 8)),
@@ -2221,11 +2223,16 @@ object SparkEntry {
            FROM d WHERE len(arr) >= 8),
          marked AS (
            SELECT doc_id, pos,
-             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
-           FROM grams),
+             first_value(doc_id) OVER w AS own_doc,
+             first_value(pos) OVER w AS own_pos
+           FROM grams
+           WINDOW w AS (PARTITION BY gram ORDER BY doc_id, pos)),
          removed AS (
+           -- cut unless owner or overlapping the owner's kept window
+           -- in the same doc (the self-overlap rule; owner => overlap)
            SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS rp
-           FROM marked WHERE rn > 1),
+           FROM marked
+           WHERE NOT (doc_id = own_doc AND pos < own_pos + 8)),
          toks AS (
            SELECT doc_id, unnest(arr) AS tok,
              unnest(range(len(arr))) AS pos

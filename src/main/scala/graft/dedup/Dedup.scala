@@ -442,18 +442,25 @@ object Dedup {
             coalesce(k.cast("double"), lit(Double.NegativeInfinity))
               .as("__graft_keep")),
           Seq("doc_id")).persist()
-        // exact equality on an UNCOMPUTED double (the column value
-        // round-trips both joins untouched) is engine-safe
-        val winners = scored
-          .join(scored.groupBy("cluster_id")
-            .agg(max(col("__graft_keep")).as("__graft_best")),
-            Seq("cluster_id"))
-          .filter(col("__graft_keep") === col("__graft_best"))
-          .groupBy(col("cluster_id"))
-          .agg(min(col("doc_id")).as("__graft_winner"))
-        scored.join(winners, Seq("cluster_id"))
-          .filter(col("doc_id") =!= col("__graft_winner"))
-          .select(col("doc_id").as(idCol))
+        try {
+          // exact equality on an UNCOMPUTED double (the column value
+          // round-trips both joins untouched) is engine-safe
+          val winners = scored
+            .join(scored.groupBy("cluster_id")
+              .agg(max(col("__graft_keep")).as("__graft_best")),
+              Seq("cluster_id"))
+            .filter(col("__graft_keep") === col("__graft_best"))
+            .groupBy(col("cluster_id"))
+            .agg(min(col("doc_id")).as("__graft_winner"))
+          // the loser set is bounded by the near-dup volume (it is
+          // what the anti-join below broadcasts), so materializing it
+          // eagerly is cheap — and it frees the scored cache instead
+          // of leaking one pinned DataFrame per compaction cycle
+          scored.join(winners, Seq("cluster_id"))
+            .filter(col("doc_id") =!= col("__graft_winner"))
+            .select(col("doc_id").as(idCol))
+            .localCheckpoint()
+        } finally scored.unpersist()
     }
     docs.join(losers, Seq(idCol), "left_anti")
   }
@@ -973,6 +980,16 @@ object Dedup {
     * contiguous cut, and the survivors reassemble in order with
     * canonical single-space joins.
     *
+    * Self-overlap: a duplicate window that OVERLAPS the kept first
+    * occurrence in the same document (start < first_start + k) is
+    * spared. Without this, periodic text — "= = = = =" separators, a
+    * token repeated 2k−1 times — marks the windows one step after the
+    * kept one as duplicates and cuts the kept copy's own tokens,
+    * truncating the "one kept copy" below k tokens. With it, a
+    * periodic run keeps exactly its first k-token window (plus at
+    * most k−1 trailing tokens when no disjoint window remains to
+    * cover them) and every later repetition still goes.
+    *
     * The Spark shape replaces the paper's monolithic suffix array with
     * relational passes that scale horizontally:
     *
@@ -1007,10 +1024,7 @@ object Dedup {
       textCol: String,
       k: Int = 8): DataFrame = {
     require(k > 0, s"window length must be positive, got $k")
-    import graft.functions.GraftFunctions.{positionalShingleHashes, removeTokenSpans}
-    val grams = docs
-      .select(col(idCol), posexplode(positionalShingleHashes(col(textCol), k)))
-      .toDF(idCol, "pos", "h")
+    val grams = windowGrams(docs, idCol, textCol, k)
     val firsts = grams
       .groupBy(col("h"))
       .agg(min(struct(col(idCol), col("pos"))).as("first"),
@@ -1019,20 +1033,45 @@ object Dedup {
       .select(col("h"), col("first"))
     val dupStarts = grams
       .join(firsts, Seq("h"))
-      .filter(struct(col(idCol), col("pos")) =!= col("first"))
+      // cut an instance only when it neither IS the owner nor overlaps
+      // the owner's kept window in the same doc (self-overlap rule in
+      // the contract above); the owner trivially overlaps its own
+      // window, so the one predicate covers both exclusions
+      .filter(col(idCol) =!= col(s"first.$idCol") ||
+        col("pos") >= col("first.pos") + lit(k))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("dup_starts"))
+    cutTokenSpans(docs, idCol, textCol, dupStarts, k)
+  }
+
+  /** Each document's k-token windows as (id, pos, h) anchor tuples —
+    * the shared gram head of both substring-dedup forms. */
+  private def windowGrams(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol), posexplode(
+        graft.functions.GraftFunctions
+          .positionalShingleHashes(col(textCol), k)))
+      .toDF(idCol, "pos", "h")
+
+  /** Shared cut-and-reassemble tail of both substring-dedup forms:
+    * attach each doc's duplicate-window start positions (absent = no
+    * cuts), drop covered tokens in one linear
+    * [[graft.functions.RemoveTokenSpans]] pass, and report the token
+    * delta. The text crosses the wire ONCE, keyed by id. */
+  private def cutTokenSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      dupStarts: DataFrame, k: Int): DataFrame =
     docs
       .join(dupStarts, Seq(idCol), "left")
       .select(col(idCol),
-        removeTokenSpans(col(textCol),
+        graft.functions.GraftFunctions.removeTokenSpans(col(textCol),
           coalesce(col("dup_starts"),
             array().cast("array<int>")), k).as("dedup_text"),
         TextOps.tokenCount(col(textCol)).as("__n_orig"))
       .select(col(idCol), col("dedup_text"),
         (col("__n_orig") - TextOps.tokenCount(col("dedup_text")))
           .cast("int").as("n_removed_tokens"))
-  }
 
   /** The stored corpus's substring-anchor index: the DISTINCT k-token
     * window hashes it contains — one map-side pass plus one hash
@@ -1071,23 +1110,10 @@ object Dedup {
       anchors: DataFrame,
       k: Int = 8): DataFrame = {
     require(k > 0, s"window length must be positive, got $k")
-    import graft.functions.GraftFunctions.{positionalShingleHashes, removeTokenSpans}
-    val grams = batch
-      .select(col(idCol), posexplode(positionalShingleHashes(col(textCol), k)))
-      .toDF(idCol, "pos", "h")
-    val dupStarts = grams
+    val dupStarts = windowGrams(batch, idCol, textCol, k)
       .join(anchors.select(col("h")), Seq("h"), "left_semi")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("dup_starts"))
-    batch
-      .join(dupStarts, Seq(idCol), "left")
-      .select(col(idCol),
-        removeTokenSpans(col(textCol),
-          coalesce(col("dup_starts"),
-            array().cast("array<int>")), k).as("dedup_text"),
-        TextOps.tokenCount(col(textCol)).as("__n_orig"))
-      .select(col(idCol), col("dedup_text"),
-        (col("__n_orig") - TextOps.tokenCount(col("dedup_text")))
-          .cast("int").as("n_removed_tokens"))
+    cutTokenSpans(batch, idCol, textCol, dupStarts, k)
   }
 }

@@ -208,16 +208,22 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-object ShingleHashes {
-  private val Seed = 42L // Spark's xxhash64 default seed
-
-  // Java-regex \s (ASCII): space, \t, \n, \x0B, \f, \r — the token
-  // boundary class of TextOps.tokens' "\\S+"
-  private def isSpace(b: Byte): Boolean =
+/** The ONE byte-level tokenizer behind every windowed text expression:
+  * the ASCII Java-regex \s boundary class (space, \t, \n, \x0B, \f,
+  * \r — the rule of TextOps.tokens' "\\S+") and the maximal-run offset
+  * scan. Shared so the boundary rule cannot desynchronize between
+  * passes that must agree on token positions — e.g. substring dedup's
+  * anchor pass ([[PositionalShingleHashes]]) and its cut pass
+  * ([[RemoveTokenSpans]]).
+  */
+private[functions] object ByteTokens {
+  def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  def eval(bytes: Array[Byte], n: Int): Array[Long] = {
-    // tokenize: maximal non-whitespace runs as (start, end) offsets
+  /** Maximal non-whitespace runs as parallel (start, end) offset
+    * lists (always the same length). */
+  def offsets(bytes: Array[Byte])
+      : (java.util.ArrayList[Int], java.util.ArrayList[Int]) = {
     val starts = new java.util.ArrayList[Int]()
     val ends = new java.util.ArrayList[Int]()
     var i = 0
@@ -228,20 +234,43 @@ object ShingleHashes {
         starts.add(s); ends.add(i)
       } else i += 1
     }
+    (starts, ends)
+  }
+
+  /** Assemble tokens [from, from+count) into `scratch` joined by
+    * single spaces; returns the assembled byte length. `scratch` must
+    * hold bytes.length + 1 bytes. */
+  def joinWindow(
+      bytes: Array[Byte],
+      starts: java.util.ArrayList[Int],
+      ends: java.util.ArrayList[Int],
+      scratch: Array[Byte],
+      from: Int,
+      count: Int): Int = {
+    var len = 0
+    var t = from
+    val until = from + count
+    while (t < until) {
+      if (t > from) { scratch(len) = ' '; len += 1 }
+      val s = starts.get(t); val e = ends.get(t)
+      System.arraycopy(bytes, s, scratch, len, e - s)
+      len += e - s
+      t += 1
+    }
+    len
+  }
+}
+
+object ShingleHashes {
+  private val Seed = 42L // Spark's xxhash64 default seed
+
+  def eval(bytes: Array[Byte], n: Int): Array[Long] = {
+    val (starts, ends) = ByteTokens.offsets(bytes)
     val m = starts.size()
     val scratch = new Array[Byte](bytes.length + 1)
 
     def hashWindow(from: Int, count: Int): Long = {
-      var len = 0
-      var t = from
-      val until = from + count
-      while (t < until) {
-        if (t > from) { scratch(len) = ' '; len += 1 }
-        val s = starts.get(t); val e = ends.get(t)
-        System.arraycopy(bytes, s, scratch, len, e - s)
-        len += e - s
-        t += 1
-      }
+      val len = ByteTokens.joinWindow(bytes, starts, ends, scratch, from, count)
       org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed)
     }
@@ -310,36 +339,15 @@ case class ShingleStrings(child: Expression, n: Int)
 }
 
 object ShingleStrings {
-  private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
-
   def eval(bytes: Array[Byte], n: Int)
       : Array[org.apache.spark.unsafe.types.UTF8String] = {
     import org.apache.spark.unsafe.types.UTF8String
-    val starts = new java.util.ArrayList[Int]()
-    val ends = new java.util.ArrayList[Int]()
-    var i = 0
-    while (i < bytes.length) {
-      if (!isSpace(bytes(i))) {
-        val s = i
-        while (i < bytes.length && !isSpace(bytes(i))) i += 1
-        starts.add(s); ends.add(i)
-      } else i += 1
-    }
+    val (starts, ends) = ByteTokens.offsets(bytes)
     val m = starts.size()
     val scratch = new Array[Byte](bytes.length + 1)
 
     def window(from: Int, count: Int): UTF8String = {
-      var len = 0
-      var t = from
-      val until = from + count
-      while (t < until) {
-        if (t > from) { scratch(len) = ' '; len += 1 }
-        val s = starts.get(t); val e = ends.get(t)
-        System.arraycopy(bytes, s, scratch, len, e - s)
-        len += e - s
-        t += 1
-      }
+      val len = ByteTokens.joinWindow(bytes, starts, ends, scratch, from, count)
       UTF8String.fromBytes(java.util.Arrays.copyOf(scratch, len))
     }
 
@@ -403,42 +411,19 @@ case class PositionalShingleHashes(child: Expression, n: Int)
 object PositionalShingleHashes {
   private val Seed = 42L // Spark's xxhash64 default seed
 
-  private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
-
   def eval(bytes: Array[Byte], n: Int): Array[Long] = {
-    val starts = new java.util.ArrayList[Int]()
-    val ends = new java.util.ArrayList[Int]()
-    var i = 0
-    while (i < bytes.length) {
-      if (!isSpace(bytes(i))) {
-        val s = i
-        while (i < bytes.length && !isSpace(bytes(i))) i += 1
-        starts.add(s); ends.add(i)
-      } else i += 1
-    }
+    val (starts, ends) = ByteTokens.offsets(bytes)
     val m = starts.size()
     if (m < n) return Array.emptyLongArray
     val scratch = new Array[Byte](bytes.length + 1)
-
-    def hashWindow(from: Int, count: Int): Long = {
-      var len = 0
-      var t = from
-      val until = from + count
-      while (t < until) {
-        if (t > from) { scratch(len) = ' '; len += 1 }
-        val s = starts.get(t); val e = ends.get(t)
-        System.arraycopy(bytes, s, scratch, len, e - s)
-        len += e - s
-        t += 1
-      }
-      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed)
-    }
-
     val out = new Array[Long](m - n + 1)
     var w = 0
-    while (w <= m - n) { out(w) = hashWindow(w, n); w += 1 }
+    while (w <= m - n) {
+      val len = ByteTokens.joinWindow(bytes, starts, ends, scratch, w, n)
+      out(w) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed)
+      w += 1
+    }
     out
   }
 }
@@ -493,23 +478,11 @@ case class RemoveTokenSpans(left: Expression, right: Expression, k: Int)
 }
 
 object RemoveTokenSpans {
-  private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
-
   def eval(
       bytes: Array[Byte],
       spanStarts: org.apache.spark.sql.catalyst.util.ArrayData,
       k: Int): org.apache.spark.unsafe.types.UTF8String = {
-    val starts = new java.util.ArrayList[Int]()
-    val ends = new java.util.ArrayList[Int]()
-    var i = 0
-    while (i < bytes.length) {
-      if (!isSpace(bytes(i))) {
-        val s = i
-        while (i < bytes.length && !isSpace(bytes(i))) i += 1
-        starts.add(s); ends.add(i)
-      } else i += 1
-    }
+    val (starts, ends) = ByteTokens.offsets(bytes)
     val m = starts.size()
     val ns = spanStarts.numElements()
     // kept-token bytes + single-space joins never exceed the original

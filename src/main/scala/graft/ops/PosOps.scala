@@ -208,13 +208,30 @@ object PosOps {
     * across column boundaries, deterministic within a Spark version);
     * distinct rows colliding on the 128-bit md5 are merged wrongly —
     * the same negligible-at-any-scale assumption
-    * [[graft.dedup.Dedup.exactDedup]] documents.
+    * [[graft.dedup.Dedup.exactDedup]] documents. Top-level float and
+    * double columns are normalized `-0.0 → 0.0` first: `dropDuplicates`
+    * groups on value equality (where -0.0 == 0.0) while JSON renders
+    * the sign, so an unnormalized fingerprint would keep both rows of
+    * a pair `cleanLoad` collapses. Floats nested inside struct/array
+    * columns are NOT normalized — callers with -0.0 inside nested
+    * columns should normalize upstream.
     */
   def cleanLoadWide(raw: DataFrame, maxDupKeys: Long = 2000000L): DataFrame = {
     val clean = raw.na.drop()
     val fpCol = "__graft_row_fp"
+    val fpFields = clean.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.DoubleType =>
+          when(col(f.name) === lit(0d), lit(0d))
+            .otherwise(col(f.name)).as(f.name)
+        case org.apache.spark.sql.types.FloatType =>
+          when(col(f.name) === lit(0f), lit(0f))
+            .otherwise(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
     val withFp = clean.withColumn(fpCol,
-      md5(to_json(struct(clean.columns.map(col).toIndexedSeq: _*))))
+      md5(to_json(struct(fpFields.toIndexedSeq: _*))))
     // cached across the threshold count and the two joins: uncached,
     // the decision count would run the full fingerprint aggregation a
     // second time. On the broadcast path the cache holds ≤ maxDupKeys

@@ -159,9 +159,13 @@ object CorpusIngest {
     * (stopped, or between `foreachBatch` invocations under external
     * scheduling) — the TableStore is single-writer, and a compaction
     * racing an epoch write would rewrite a stale snapshot over the
-    * new epoch. As a backstop the method re-checks the table version
-    * before publishing and aborts (nothing flipped, no data lost) if
-    * an epoch landed while it was deduplicating.
+    * new epoch. As a backstop the rewrite publishes compare-and-flip
+    * ([[TableStore.overwrite]]'s `expectVersion`): the version is
+    * re-checked immediately before the pointer flip — i.e. AFTER the
+    * dedup computation and the write job, the windows an epoch can
+    * actually land in — and the publish aborts (nothing flipped, the
+    * raced epoch's data intact in its own staging-written version)
+    * if the table advanced.
     */
   def compactNearDups(
       spark: SparkSession,
@@ -176,10 +180,11 @@ object CorpusIngest {
       .persist()
     try {
       val dropped = cur.count() - kept.count()
-      require(store.currentVersion(table) == v0,
-        s"table '$table' advanced past version $v0 during compaction " +
-          "— an ingest epoch raced the rewrite; compaction aborted")
-      store.overwrite(table, kept, partitionBy = Seq("ingest_batch"))
+      // compare-and-flip publish: the version re-check runs inside
+      // overwrite right before the pointer flip, covering the write
+      // job itself, not just the dedup computation above
+      store.overwrite(table, kept, partitionBy = Seq("ingest_batch"),
+        expectVersion = Some(v0))
       dropped
     } finally kept.unpersist()
   }

@@ -134,13 +134,13 @@ class TableStore(root: String, keepVersions: Int = 2) {
           .mkString("\n"))
     }
 
-  /** Partition directories `partCol=...` physically present under v —
-    * any DIRECTORY child with '=' (version dirs are siblings of the
-    * version dir, never children, so a partition column legitimately
-    * named `v` works; `_manifest`/`_meta`/`_SUCCESS` have no '=').
+  /** Partition directories `partCol=...` physically present under a
+    * version or staging dir — any DIRECTORY child with '=' (version
+    * dirs are siblings, never children, so a partition column
+    * legitimately named `v` works; `_manifest`/`_meta`/`_SUCCESS`
+    * have no '=').
     */
-  private def listPartitionDirs(name: String, v: Long): Seq[String] = {
-    val dir = versionDir(name, v)
+  private def partitionDirsIn(dir: Path): Seq[String] = {
     if (!Files.exists(dir)) Nil
     else {
       val s = Files.list(dir)
@@ -281,17 +281,17 @@ class TableStore(root: String, keepVersions: Int = 2) {
       df: DataFrame,
       sortBy: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil,
-      meta: Map[String, String] = Map.empty): Unit = {
+      meta: Map[String, String] = Map.empty,
+      expectVersion: Option[Option[Long]] = None): Unit = {
     require(partitionBy.size <= 1, "at most one partition column")
-    val next = currentVersion(name).getOrElse(0L) + 1
-    writeVersion(name, next, df, sortBy, partitionBy)
-    partitionBy.headOption.foreach { pc =>
-      val dirs = listPartitionDirs(name, next)
-      writeManifest(name, next, Manifest(pc, dirs.map(_ -> next).toMap))
+    expectVersion.foreach(ev => require(currentVersion(name) == ev,
+      s"table '$name' is at version ${currentVersion(name)}, expected " +
+        s"$ev — a concurrent write landed before the rewrite started"))
+    val staged = writeStaged(name, df, sortBy, partitionBy)
+    publish(name, staged, meta, expectVersion) { (next, dirs) =>
+      partitionBy.headOption.map(pc =>
+        Manifest(pc, dirs.map(_ -> next).toMap))
     }
-    // meta carries forward unless the writer overrides a key
-    writeMeta(name, next, readMeta(name) ++ meta)
-    flipAndRetire(name, next)
   }
 
   /** Incremental rewrite of a partitioned table: `df` holds the new
@@ -314,19 +314,15 @@ class TableStore(root: String, keepVersions: Int = 2) {
       s"table $name is partitioned by ${m.partCol}, not $partCol"))
     require(cur.isEmpty || old.nonEmpty,
       s"table $name exists unpartitioned; cannot write partition-scoped")
-    val next = cur.getOrElse(0L) + 1
-    writeVersion(name, next, df, sortBy, Seq(partCol))
-    val written = listPartitionDirs(name, next)
+    val staged = writeStaged(name, df, sortBy, Seq(partCol))
     val touchedDirs = touched.map(partitionDirName(partCol, _)).toSet
-    require(written.forall(touchedDirs.contains),
-      s"rows outside declared touched partitions: " +
-        written.filterNot(touchedDirs.contains).mkString(", "))
-    val carried = old.map(_.entries).getOrElse(Map.empty) -- touchedDirs
-    writeManifest(name, next,
-      Manifest(partCol, carried ++ written.map(_ -> next)))
-    // meta carries forward unless the writer overrides a key
-    writeMeta(name, next, readMeta(name) ++ meta)
-    flipAndRetire(name, next)
+    publish(name, staged, meta, expectVersion = None) { (next, written) =>
+      require(written.forall(touchedDirs.contains),
+        s"rows outside declared touched partitions: " +
+          written.filterNot(touchedDirs.contains).mkString(", "))
+      val carried = old.map(_.entries).getOrElse(Map.empty) -- touchedDirs
+      Some(Manifest(partCol, carried ++ written.map(_ -> next)))
+    }
   }
 
   /** Rewrite the whole table into one fresh version (read fan-out back
@@ -340,16 +336,70 @@ class TableStore(root: String, keepVersions: Int = 2) {
       sortBy: Seq[String] = Nil): Unit =
     overwrite(name, read(spark, name, schema), sortBy, partitionBy)
 
-  private def writeVersion(
-      name: String, v: Long, df: DataFrame,
-      sortBy: Seq[String], partitionBy: Seq[String]): Unit = {
+  /** Write `df` into a fresh `_stage-*` dir under the table (same
+    * filesystem as the version dirs, so the publish rename is atomic).
+    * Staging means no writer ever touches a `v=` path before its
+    * publish: two rewrites racing on the same computed version number
+    * used to write the SAME directory, where Spark's overwrite mode
+    * deletes the other writer's files.
+    */
+  private def writeStaged(
+      name: String, df: DataFrame,
+      sortBy: Seq[String], partitionBy: Seq[String]): Path = {
+    val staged = tableDir(name)
+      .resolve(s"_stage-${java.util.UUID.randomUUID}")
     val toWrite =
       if (sortBy.isEmpty) df
       else df.sortWithinPartitions(sortBy.map(df.col): _*)
     toWrite.write.mode("overwrite")
       .partitionBy(partitionBy: _*)
-      .parquet(versionDir(name, v).toString)
+      .parquet(staged.toString)
+    staged
   }
+
+  /** Publish a staged version: optional compare-and-flip re-check
+    * (AFTER the write job, which can run for minutes — a write that
+    * landed meanwhile aborts the publish with the racer's data intact,
+    * because the staged dir never touched any `v=` path), atomic
+    * rename into place, then manifest + meta BEFORE the pointer flip.
+    * `mkManifest` runs before the rename so a validation failure
+    * (e.g. rows outside declared partitions) aborts cleanly.
+    *
+    * No fs lock exists, so the single-writer contract still governs:
+    * a racer landing between the re-check and the pointer move can be
+    * lost — this is the contract's backstop, not a substitute for it.
+    * A failed publish deletes its staging dir; a crash can orphan one
+    * (`_stage-*` — inert: never read, never flipped, cleared manually
+    * or by the next successful publish's retirement sweep leaving it
+    * in place at worst).
+    */
+  private def publish(
+      name: String,
+      staged: Path,
+      meta: Map[String, String],
+      expectVersion: Option[Option[Long]])(
+      mkManifest: (Long, Seq[String]) => Option[Manifest]): Unit =
+    try {
+      expectVersion.foreach(ev => require(currentVersion(name) == ev,
+        s"table '$name' advanced past version $ev during the rewrite — " +
+          "a concurrent write landed; publish aborted (nothing " +
+          "flipped, the raced write is intact)"))
+      val next = currentVersion(name).getOrElse(0L) + 1
+      val manifest = mkManifest(next, partitionDirsIn(staged))
+      val target = versionDir(name, next)
+      // a dir at current+1 was never flipped: an orphan of a crashed
+      // publish — clear it so the atomic move cannot collide
+      if (Files.exists(target)) deleteTree(target)
+      Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+      manifest.foreach(writeManifest(name, next, _))
+      // meta carries forward unless the writer overrides a key
+      writeMeta(name, next, readMeta(name) ++ meta)
+      flipAndRetire(name, next)
+    } catch {
+      case e: Throwable =>
+        if (Files.exists(staged)) deleteTree(staged)
+        throw e
+    }
 
   /** Atomically flip `_latest` to `next`, then retire version dirs no
     * longer reachable from the `keepVersions` newest snapshots (older
@@ -372,13 +422,15 @@ class TableStore(root: String, keepVersions: Int = 2) {
       try {
         listing.filter(p => p.getFileName.toString.startsWith("v="))
           .filter(p => !live.contains(p.getFileName.toString.drop(2).toLong))
-          .forEach { p =>
-            val walk = Files.walk(p)
-            try walk.sorted(Comparator.reverseOrder[Path]())
-              .forEach(f => Files.deleteIfExists(f))
-            finally walk.close()
-          }
+          .forEach(deleteTree)
       } finally listing.close()
     }
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
   }
 }

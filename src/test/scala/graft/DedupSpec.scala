@@ -467,11 +467,14 @@ class DedupSpec extends SparkTestBase {
   test("substringDedup matches a sequential reference on collision-heavy corpora") {
     // randomized model test (the ReplayModelSpec pattern): tiny vocab
     // so k-token windows recur constantly — cross-doc, within-doc,
-    // overlapping, nested — and every removal decision is checked
-    // against a direct sequential execution of the Lee et al.
+    // overlapping, nested, periodic — and every removal decision is
+    // checked against a direct sequential execution of the Lee et al.
     // semantics: the globally-first (doc, pos) occurrence of each
     // window text keeps its tokens; every other occurrence's k tokens
-    // are covered and cut; kept tokens reassemble in order
+    // are covered and cut, EXCEPT occurrences overlapping the kept
+    // window in the same doc (the self-overlap rule — without it a
+    // periodic run cuts its own kept copy); kept tokens reassemble
+    // in order
     val k = 3
     val ord = Ordering.Tuple2[Long, Int]
     for (seed <- Seq(11, 42, 99)) {
@@ -489,7 +492,10 @@ class DedupSpec extends SparkTestBase {
       val expected = corpus.map { case (id, toks) =>
         val covered = Array.fill(toks.size)(false)
         for (p <- 0 to toks.size - k) {
-          if (owner(toks.slice(p, p + k)) != ((id, p)))
+          val (ownId, ownPos) = owner(toks.slice(p, p + k))
+          // spared when it IS the owner or overlaps the owner's kept
+          // window in the same doc (owner ⇒ overlap, one predicate)
+          if (!(ownId == id && p < ownPos + k))
             (p until p + k).foreach(covered(_) = true)
         }
         val kept = toks.indices.filterNot(covered).map(toks)
@@ -525,6 +531,26 @@ class DedupSpec extends SparkTestBase {
       .toMap
     assert(got(1L) == (s"a b c $span x y z", 0))
     assert(got(2L) == ("p q r u v w", 12))
+  }
+
+  test("substringDedup keeps one intact copy of periodic text") {
+    // "= " × 20: every 8-window has the SAME text. Without the
+    // self-overlap rule, windows 1..7 (marked duplicate) cut tokens
+    // 1..12 out of the KEPT window 0 — truncating the one kept copy
+    // to a single token. With it: window 0 kept, windows 1..7 spared
+    // (overlap the kept window), windows 8..12 cut tokens 8..19 —
+    // exactly the first 8-token window survives.
+    val docs = Seq(
+      (1L, Seq.fill(20)("=").mkString(" ")),
+      // a second doc of the same separator: every window's first
+      // owner lives in doc 1, nothing overlaps it here → all cut
+      (2L, Seq.fill(12)("=").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(got(1L) == (Seq.fill(8)("=").mkString(" "), 12))
+    assert(got(2L) == ("", 12))
   }
 
   test("substringDedupAgainstCorpus cuts corpus-known spans, batch keeps its own") {

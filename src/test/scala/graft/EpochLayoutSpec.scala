@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
 
 import scala.jdk.CollectionConverters._
 
@@ -34,6 +34,17 @@ class EpochLayoutSpec extends SparkTestBase {
     finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  /** The store's parquet part files in file-name order; the walk
+    * stream is closed (it holds directory handles open otherwise). */
+  private def partFiles(root: String): Seq[Path] = {
+    val walk = Files.walk(java.nio.file.Paths.get(root))
+    try walk.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    finally walk.close()
+  }
+
   test("a shuffled corpus persisted to the TableStore replays in file order") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "source")
@@ -46,10 +57,7 @@ class EpochLayoutSpec extends SparkTestBase {
 
     // the snapshot's data files in file-name order (part-00000 … is
     // the range-partition order; one table, one version under root)
-    val files = Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val files = partFiles(root)
     // cross-file ordering is the claim under test — a single file
     // would prove only intra-file sorting
     assert(files.size >= 2, s"expected a multi-file epoch, got $files")
@@ -84,10 +92,7 @@ class EpochLayoutSpec extends SparkTestBase {
       store.overwrite("epoch_0",
         Sampling.deterministicShuffle(docs, col("doc_id")))
     }
-    val files = Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val files = partFiles(root)
     assert(files.size >= 2)
     val perFile = files.map(f =>
       spark.read.parquet(f.toString).select("doc_id")
