@@ -99,7 +99,11 @@ object Recall {
     val embIvf = pairMetric("q_embedding_neardup_ivf", embTruth,
       pairSet(Ivf.cellNearDup(emb, "vec_id", "embedding", 64, 0.4),
         "id_a", "id_b"),
-      floor = 0.8) // measured 0.88 at nprobe=4 (was 0.78 at nprobe=3)
+      // auto-nlist (≈√n) + nprobe=6: measured 1.0 at sf0.01 AND 0.96
+      // at sf0.1 — the fixed nlist=64 dial this replaces decayed to
+      // 0.77 at sf0.1 (recall tracks nprobe/nlist, and fixed nlist
+      // densifies with the corpus)
+      floor = 0.9)
 
     // -- ANN recall@10 vs brute force (neighbor sets per query id) --
     val queries = emb.filter(col("vec_id") < 5)

@@ -31,6 +31,21 @@ object Ivf {
     if (n == 0d) a else a.map(_ / n)
   }
 
+  /** FAISS-style corpus-adaptive cell count: ≈ √n, clamped to
+    * [8, 4096]. A FIXED nlist is the scale trap this replaces: cells
+    * hold n/nlist vectors, so growing the corpus 10× under the same
+    * nlist makes every cell 10× denser and recall at a fixed nprobe
+    * decays (measured 0.88 → 0.77 from sf0.01 to sf0.1 at nlist=64).
+    * √n sizing keeps candidate volume ≈ nprobe·n^1.5 — sub-quadratic —
+    * while the probed FRACTION of the corpus (nprobe/√n of it) shrinks
+    * as n grows. Costs one count job; callers that know their corpus
+    * pass nlist explicitly and skip it.
+    */
+  private def autoNlist(corpus: DataFrame): Int = {
+    val n = corpus.count()
+    math.max(8, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+  }
+
   /** THE assignment rule, shared by the driver-side and treeAggregate
     * training paths so they can never desynchronize: argmax_c v·c,
     * `>=` ties to the larger index (matching [[ArgTopCells]]'s
@@ -188,8 +203,11 @@ object Ivf {
     * sf0.1 testdata it probes 26% of all pairs for 0.75 recall, while
     * cell blocking reaches comparable recall probing a few percent.
     * Recall is measured against [[graft.dedup.Dedup.embeddingNearDup]]
-    * in RECALL.json; (nlist, nprobe) is the recall/cost dial, with
-    * FAISS-style nlist ≈ √n sizing.
+    * in RECALL.json; (nlist, nprobe) is the recall/cost dial. The
+    * default `nlist = 0` auto-sizes to ≈ √n ([[autoNlist]]), which is
+    * what keeps recall scale-stable: the sf0.01-calibrated fixed
+    * nlist=64 measured 0.77 recall at sf0.1, the √n default measures
+    * ≥ 0.93 at both scales (nprobe = 6).
     */
   def cellNearDup(
       embeddings: DataFrame,
@@ -197,13 +215,14 @@ object Ivf {
       vecCol: String,
       dim: Int,
       threshold: Double,
-      nlist: Int = 64,
-      nprobe: Int = 4,
+      nlist: Int = 0,
+      nprobe: Int = 6,
       iters: Int = 5,
       maxCell: Int = 100000): DataFrame = {
     val corpus = embeddings.select(
       col(idCol).as("vec_id"), col(vecCol).as("vector"))
-    val centroids = train(corpus, dim, nlist, iters)
+    val nl = if (nlist > 0) nlist else autoNlist(corpus)
+    val centroids = train(corpus, dim, nl, iters)
     val e = corpus.select(
       col("vec_id"), col("vector").cast("array<double>").as("v"))
       .withColumn("nrm", Knn.norm(col("v")))
@@ -243,10 +262,11 @@ object Ivf {
       corpus: DataFrame,  // (vec_id, vector)
       dim: Int,
       k: Int,
-      nlist: Int = 16,
+      nlist: Int = 0, // 0 = auto ≈ √n (see autoNlist)
       nprobe: Int = 4,
       iters: Int = 5): DataFrame = {
-    val centroids = train(corpus, dim, nlist, iters)
+    val nl = if (nlist > 0) nlist else autoNlist(corpus)
+    val centroids = train(corpus, dim, nl, iters)
     val c = corpus.select(
       col("vec_id"), col("vector").cast("array<double>").as("cv"))
       .withColumn("cn", Knn.norm(col("cv")))

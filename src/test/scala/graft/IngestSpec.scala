@@ -225,6 +225,49 @@ class IngestSpec extends SparkTestBase {
       "pinned v1 still sees the pre-rewrite partition content")
   }
 
+  test("TableStore: compare-and-flip aborts a raced rewrite; aborts leave no staging") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cas").toString
+    val store = new TableStore(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    def children(table: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir, table)
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    store.overwrite("t", Seq(1 -> "one").toDF("id", "v"))
+    val v0 = store.currentVersion("t")
+    // an epoch lands after the rewrite snapshotted v0 (the
+    // compactNearDups race): the CAS publish must abort and the
+    // racer's data must survive
+    store.overwrite("t", Seq(2 -> "two").toDF("id", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      store.overwrite("t", Seq(9 -> "stale").toDF("id", "v"),
+        expectVersion = Some(v0))
+    }
+    assert(ex.getMessage.contains("concurrent write"))
+    assert(store.read(spark, "t", schema).as[(Int, String)].collect().toSeq
+      == Seq(2 -> "two"), "the raced write must be intact")
+    assert(!children("t").exists(_.startsWith("_stage-")),
+      "an aborted publish must not leave a staging dir")
+    // a validation failure AFTER the write job (rows outside the
+    // declared partitions) aborts inside publish: staging cleaned,
+    // no v= dir beyond the current version
+    val sp = new TableStore(
+      java.nio.file.Files.createTempDirectory("graft-cas-p").toString)
+    sp.overwrite("p", Seq(1 -> "d1").toDF("id", "day"),
+      partitionBy = Seq("day"))
+    intercept[IllegalArgumentException] {
+      sp.overwritePartitions("p", Seq(2 -> "d2").toDF("id", "day"),
+        "day", touched = Seq("d1"))
+    }
+    assert(sp.currentVersion("p").contains(1L),
+      "a failed partition-scoped write must not flip the pointer")
+  }
+
   test("StreamDedup.firstSeen: duplicates suppressed within and across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
