@@ -940,6 +940,22 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ---- exact incremental dedup via the stored fingerprint + Bloom
+    //      index (batch = doc_id % 2 == 0 — the split with cross-side
+    //      exact duplicates at sf0.1): every batch doc with the
+    //      smallest corpus doc holding identical text, NULL ⇒
+    //      genuinely new. Bloom-negative rows short-circuit map-side
+    //      with zero exchanges; only Bloom survivors pay the index
+    //      join, which also clears the fpp tail ----
+    "q_dedup_incremental_exact" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val idx = graft.dedup.Dedup.exactFingerprintIndex(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      graft.dedup.Dedup.exactAgainstCorpus(
+        docs.filter(col("doc_id") % 2 === 0), idx, "doc_id", "text",
+        bloom = Some(graft.dedup.Dedup.exactBloomIndex(idx)))
+    }),
+
     // ---- CCNet-style boilerplate segment removal: aligned 10-token
     //      segments occurring in ≥2 distinct docs are deleted, text
     //      reassembled in order; row count stays = |documents| ----
@@ -2142,6 +2158,17 @@ object SparkEntry {
          SELECT batch_doc, corpus_doc AS dup_of,
            round(jac, 6) AS jaccard
          FROM j WHERE rn = 1""",
+
+    // exact incremental report: every batch doc; dup_of = smallest
+    // corpus doc with byte-identical text (NULL = new). The engine
+    // joins on the md5 fingerprint; text equality is the same
+    // relation modulo md5 collision (the documented tolerance)
+    "q_dedup_incremental_exact" ->
+      """SELECT b.doc_id AS batch_doc, min(c.doc_id) AS dup_of
+         FROM documents b
+         LEFT JOIN documents c ON c.doc_id % 2 <> 0 AND c.text = b.text
+         WHERE b.doc_id % 2 = 0
+         GROUP BY 1""",
 
     // aligned 10-token segments; segments in ≥2 distinct docs are
     // boilerplate; surviving segments reassemble in index order, and

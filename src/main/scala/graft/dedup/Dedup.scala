@@ -969,6 +969,135 @@ object Dedup {
       .transform(bestCorpusMatch)
   }
 
+  // ---------------------------------------------------------------
+  // Exact incremental dedup against a stored fingerprint/Bloom index
+  // ---------------------------------------------------------------
+
+  /** The corpus's exact-content fingerprint index: (corpus_doc, fp)
+    * with fp = [[TextOps.fingerprint]] (md5 — the ONE fingerprint
+    * definition, shared with [[exactDedup]]). ~20 bytes per document,
+    * so the index for a 10¹⁰-document corpus is ~200 GB parquet —
+    * a TableStore table, not a re-derivation: built ONCE per corpus
+    * (the only full text scan in the exact-incremental flow) and
+    * appended per ingested batch with the batch SURVIVORS' rows.
+    * [[exactAgainstCorpus]] then prices a daily batch at O(batch)
+    * against this table instead of O(corpus) against the text.
+    */
+  def exactFingerprintIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    corpus.select(col(idCol).as("corpus_doc"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+
+  /** Serialized Bloom filter over a fingerprint index's `fp` column —
+    * the map-side prefilter artifact for [[exactAgainstCorpus]]. Built
+    * distributed (per-partition filters, `treeAggregate` merge — the
+    * mergeable-sketch fold, same shape Spark's own
+    * `DataFrameStatFunctions.bloomFilter` uses) and returned as bytes
+    * for TableStore persistence next to the index itself.
+    *
+    * Sizing: at the default 1% fpp a Bloom costs ~1.2 bytes/item —
+    * ~12 GB for 10¹⁰ documents, which is why `expectedItems` should be
+    * the TARGET corpus ceiling, not today's count: merging increments
+    * ([[mergeBloomIndex]]) requires bit-compatible filters, i.e. every
+    * increment built with the SAME `expectedItems`/`fpp`. A sharded
+    * corpus carries one such filter per shard. `expectedItems = 0`
+    * (default) sizes from a count of the index — the
+    * calibrate-from-the-data convenience for one-shot use.
+    *
+    * Hash input is the fp string's UTF-8 bytes (`putBinary`), byte-
+    * identical to [[graft.functions.BloomMightContain]]'s probe.
+    */
+  def exactBloomIndex(
+      corpusIndex: DataFrame,
+      expectedItems: Long = 0L,
+      fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val n =
+      if (expectedItems > 0L) expectedItems
+      else math.max(1L, corpusIndex.count())
+    val fps = corpusIndex.select(col("fp").cast("string")).na.drop()
+      .as(org.apache.spark.sql.Encoders.STRING)
+    val bf = fps.rdd
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .treeAggregate(BloomFilter.create(n, fpp))(
+        (f, bytes) => { f.putBinary(bytes); f },
+        (a, b) => a.mergeInPlace(b))
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Merge an increment's Bloom into the stored corpus Bloom (both
+    * built with identical `expectedItems`/`fpp`, or this throws
+    * `IncompatibleMergeException`) — the append step of the
+    * incremental flow: ingest a batch, keep its non-duplicates, add
+    * their fingerprints to the index table AND their Bloom here.
+    * Bit-or of the underlying arrays, so merge order is irrelevant and
+    * the result equals the Bloom built over the union in one pass.
+    */
+  def mergeBloomIndex(stored: Array[Byte], increment: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val a = BloomFilter.readFrom(stored)
+    a.mergeInPlace(BloomFilter.readFrom(increment))
+    val out = new java.io.ByteArrayOutputStream()
+    a.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Exact cross-corpus dedup report: EVERY batch document, with the
+    * smallest corpus doc id holding byte-identical text as `dup_of`
+    * (NULL ⇒ genuinely new — the rows an incremental ingest appends).
+    * The exact-duplicate complement of [[dedupAgainstCorpus]]'s
+    * near-dup report, keyed on the md5 fingerprint (same collision
+    * tolerance as [[exactDedup]]).
+    *
+    * Without `bloom`, the whole batch left-joins the index — already
+    * O(batch), but every batch row crosses the wire twice (join +
+    * per-doc min). With `bloom` (built by [[exactBloomIndex]] over the
+    * SAME index), the batch splits map-side on the probe:
+    *
+    *  - probe-negative rows are CERTAIN non-duplicates (Bloom has no
+    *    false negatives) and short-circuit to `dup_of = NULL` with
+    *    ZERO exchanges — scan → filter → project, nothing shuffled.
+    *    At real dup rates (a few % of a daily crawl) that is ~all of
+    *    the batch;
+    *  - only probe-positive rows (true duplicates + the fpp tail) pay
+    *    the index join, which also clears the false positives — so
+    *    output is EQUAL to the no-bloom path for ANY bloom over the
+    *    corpus fps, and the filter only buys the plan shape
+    *    (DedupSpec pins the equality, PlanSpec the shapes).
+    *
+    * Null text fingerprints to null, matches nothing (SQL equality
+    * semantics), probes null → routed to the miss branch: NULL dup_of
+    * on every path.
+    */
+  def exactAgainstCorpus(
+      batch: DataFrame,
+      corpusIndex: DataFrame,
+      idCol: String,
+      textCol: String,
+      bloom: Option[Array[Byte]] = None): DataFrame = {
+    val idType = corpusIndex.schema("corpus_doc").dataType
+    val b = batch.select(col(idCol).as("batch_doc"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    def resolve(cand: DataFrame): DataFrame = cand
+      .join(corpusIndex, Seq("fp"), "left")
+      .groupBy(col("batch_doc"))
+      .agg(min(col("corpus_doc")).as("dup_of"))
+    bloom match {
+      case None => resolve(b)
+      case Some(bytes) =>
+        val probed = b.withColumn("hit", coalesce(
+          graft.functions.GraftFunctions.bloomMightContain(col("fp"), bytes),
+          lit(false)))
+        probed.filter(!col("hit"))
+          .select(col("batch_doc"), lit(null).cast(idType).as("dup_of"))
+          .unionByName(resolve(probed.filter(col("hit")).drop("hit")))
+    }
+  }
+
   /** Exact substring dedup — the Lee et al. 2022 ExactSubstr modality
     * ("Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499) at k-token granularity: any k-token window

@@ -1118,6 +1118,60 @@ object BpeTokens {
   }
 }
 
+/** Membership probe against a serialized
+  * [[org.apache.spark.util.sketch.BloomFilter]]: `false` ⇒ the string
+  * was CERTAINLY never put (no false negatives); `true` ⇒ present up
+  * to the filter's false-positive rate. The map-side prefilter for
+  * incremental exact dedup ([[graft.dedup.Dedup.exactAgainstCorpus]]):
+  * a batch row failing the probe skips the corpus-index join entirely.
+  *
+  * The filter deserializes ONCE per plan (transient lazy, rebuilt
+  * lazily per executor after plan transport) and rides into generated
+  * code via `addReferenceObj` — the BpeTokens/MinHash parameter
+  * pattern — so probing stays one WholeStageCodegen span. Hash input
+  * is the child string's UTF-8 bytes; [[graft.dedup.Dedup.exactBloomIndex]]
+  * puts exactly the same bytes, so build and probe can never disagree
+  * on encoding. Standard null propagation (null text ⇒ null probe);
+  * call sites coalesce to their routing default.
+  */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_might_contain requires string, got ${other.catalogString}")
+    }
+  }
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(bloomBytes)
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(filter.mightContainBinary(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", filter,
+      "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = $ref.mightContainBinary($s.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom Catalyst expressions plus
   * SQL registration (`graft.functions.GraftFunctions.register(spark)`
   * exposes them to `spark.sql`).
@@ -1132,6 +1186,9 @@ object GraftFunctions {
 
   def simhash64(tokenHashes: Column): Column =
     toColumn(SimHash64(exprOf(tokenHashes)))
+
+  def bloomMightContain(s: Column, bloom: Array[Byte]): Column =
+    toColumn(BloomMightContain(exprOf(s), bloom))
 
   def minhashSignature(shingleHashes: Column, k: Int): Column =
     toColumn(MinHashSignature(exprOf(shingleHashes), k))

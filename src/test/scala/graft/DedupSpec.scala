@@ -589,4 +589,89 @@ class DedupSpec extends SparkTestBase {
     // pass-through is whitespace-canonical, like every reassembly op
     assert(got(3L) == ("spaced out tokens here", 0))
   }
+
+  test("exactAgainstCorpus: bloom path equals plain path equals expected") {
+    val corpus = Seq((11L, "alpha"), (13L, "alpha"), (15L, "beta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, "alpha"),            // dups 11 and 13 → min = 11
+      (4L, "beta"),             // dups 15
+      (6L, "gamma"),            // genuinely new
+      (8L, null.asInstanceOf[String])) // null text: never a duplicate
+      .toDF("doc_id", "text")
+    val idx = Dedup.exactFingerprintIndex(corpus, "doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expected = Map(
+      2L -> Some(11L), 4L -> Some(15L), 6L -> None, 8L -> None)
+    assert(asMap(Dedup.exactAgainstCorpus(
+      batch, idx, "doc_id", "text")) == expected)
+    val bloom = Dedup.exactBloomIndex(idx)
+    assert(asMap(Dedup.exactAgainstCorpus(
+      batch, idx, "doc_id", "text", Some(bloom))) == expected)
+  }
+
+  test("exactAgainstCorpus: bloom and plain paths agree on real documents") {
+    // output equality must hold for ANY bloom over the corpus fps —
+    // false positives are cleared by the verify join, false negatives
+    // cannot exist. Exercised on the sf corpus with the q_ split.
+    val corpusIdx = Dedup.exactFingerprintIndex(
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    val plain = Dedup.exactAgainstCorpus(batch, corpusIdx, "doc_id", "text")
+      .collect().toSet
+    // an undersized bloom (high fpp → many false positives) is the
+    // adversarial case for path equality
+    val tight = Dedup.exactBloomIndex(corpusIdx, expectedItems = 8)
+    val viaBloom = Dedup.exactAgainstCorpus(
+      batch, corpusIdx, "doc_id", "text", Some(tight)).collect().toSet
+    assert(plain == viaBloom)
+    assert(plain.size == batch.count())
+  }
+
+  test("mergeBloomIndex: merged increments behave like a one-pass build") {
+    val a = Dedup.exactFingerprintIndex(
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val b = Dedup.exactFingerprintIndex(
+      Seq((3L, "three")).toDF("doc_id", "text"), "doc_id", "text")
+    // increments must share sizing to be bit-compatible
+    val merged = Dedup.mergeBloomIndex(
+      Dedup.exactBloomIndex(a, expectedItems = 100),
+      Dedup.exactBloomIndex(b, expectedItems = 100))
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(merged)
+    for (fp <- a.unionByName(b).select("fp").as[String].collect())
+      assert(bf.mightContainString(fp), "no false negatives after merge")
+    // differently-sized increments must refuse to merge, not corrupt
+    intercept[org.apache.spark.util.sketch.IncompatibleMergeException] {
+      Dedup.mergeBloomIndex(
+        Dedup.exactBloomIndex(a, expectedItems = 100),
+        Dedup.exactBloomIndex(b, expectedItems = 999))
+    }
+  }
+
+  test("bloom index persists through the table store like any model artifact") {
+    import graft.streaming.TableStore
+    import org.apache.spark.sql.types._
+    val store = new TableStore(
+      java.nio.file.Files.createTempDirectory("graft-bloom").toString)
+    val corpus = Seq((11L, "alpha"), (15L, "beta")).toDF("doc_id", "text")
+    val idx = Dedup.exactFingerprintIndex(corpus, "doc_id", "text")
+    store.overwrite("fp_index", idx)
+    store.overwrite("fp_bloom",
+      Seq(Dedup.exactBloomIndex(idx, expectedItems = 100)).toDF("bytes"))
+    val idxBack = store.read(spark, "fp_index", StructType(Seq(
+      StructField("corpus_doc", LongType), StructField("fp", StringType))))
+    val bloomBack = store.read(spark, "fp_bloom", StructType(Seq(
+      StructField("bytes", BinaryType))))
+      .head().getAs[Array[Byte]]("bytes")
+    val batch = Seq((2L, "alpha"), (4L, "new one")).toDF("doc_id", "text")
+    val got = Dedup.exactAgainstCorpus(
+      batch, idxBack, "doc_id", "text", Some(bloomBack))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(2L -> Some(11L), 4L -> None),
+      "reloaded index + bloom must dedup exactly like the in-memory pair")
+  }
 }

@@ -158,6 +158,27 @@ class PlanSpec extends SparkTestBase {
       s"substring dedup grew unexpected exchanges:\n$plan")
   }
 
+  test("q_dedup_incremental_exact: probe is map-side, only the hit branch exchanges") {
+    // the scale contract: the Bloom probe runs inside the batch scan's
+    // codegen stage, so probe-negative rows (the bulk of a real batch)
+    // flow scan → filter → project into the Union with ZERO exchanges;
+    // the only exchanges key the probe-POSITIVE residue (index join +
+    // per-doc min). A plan where the probe disappeared, or where the
+    // miss branch grew an exchange, breaks incremental pricing.
+    val plan = finalPlan(q("q_dedup_incremental_exact"))
+    assert(plan.contains("bloom_might_contain"),
+      s"Bloom probe not in the physical plan:\n$plan")
+    // the miss branch renders as a codegen stage whose Filter carries
+    // the negated probe directly over the scan
+    assert("""\*\(\d+\) Filter .*NOT coalesce\(bloom_might_contain""".r
+      .findFirstIn(plan).isDefined,
+      s"probe-negative filter not fused over the batch scan:\n$plan")
+    assert(shuffles(plan) <= 2,
+      s"expected ≤2 Exchanges (hit-branch join/min only), " +
+        s"got ${shuffles(plan)}:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_clean_load_wide on a dup-free input collapses to a bare scan") {
     // sf0.01 documents have no duplicated rows, so AQE sees the EMPTY
     // duplicated-fingerprint broadcast and erases both joins: the
