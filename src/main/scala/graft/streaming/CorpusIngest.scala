@@ -19,12 +19,18 @@ import graft.text.TextOps
   *      document seen in ANY earlier batch is dropped without ever
   *      scanning the stored corpus (the O(1)-per-doc incremental
   *      form of the batch fingerprint groupBy);
-  *   3. LM perplexity gate (optional) — [[graft.text.LangModel
+  *   3. historical-corpus gate (optional) — a stored fingerprint
+  *      index + Bloom pair ([[graft.dedup.Dedup.exactBloomIndex]])
+  *      drops documents already in a corpus built BEFORE this
+  *      stream existed (backfill / migration / fresh-checkpoint
+  *      restart — the cases first-seen state cannot know about);
+  *      probe-negatives pass map-side, residue is verified exactly;
+  *   4. LM perplexity gate (optional) — [[graft.text.LangModel
   *      .scoreDocs]] against an offline-trained (usually pruned →
   *      broadcastable) bigram LM, per micro-batch, stateless;
-  *   4. decontamination   — [[graft.dedup.Dedup.decontaminate]]
+  *   5. decontamination   — [[graft.dedup.Dedup.decontaminate]]
   *      against a static benchmark set, broadcast per micro-batch;
-  *   5. partition-scoped persist — survivors land in a
+  *   6. partition-scoped persist — survivors land in a
   *      [[TableStore]] partition keyed by the micro-batch epoch via
   *      `overwritePartitions`: write cost O(|batch|), and a replayed
   *      epoch (failure/restart) rewrites ITS OWN partition rather
@@ -89,22 +95,38 @@ object CorpusIngest {
       checkpointDir: String,
       shingleLen: Int = 4,
       scoreGate: Option[(org.apache.spark.sql.Column, Double)] = None,
-      lmGate: Option[(graft.text.LangModel.BigramLm, Double)] = None)
+      lmGate: Option[(graft.text.LangModel.BigramLm, Double)] = None,
+      historical: Option[(DataFrame, Array[Byte])] = None)
       : StreamingQuery =
     cleanStream(spark, docs, scoreGate).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[(String, Long, String)], epoch: Long) =>
         applyBatch(spark, batch.toDF("fp", "doc_id", "text"),
-          bench, store, table, epoch, shingleLen, lmGate)
+          bench, store, table, epoch, shingleLen, lmGate, historical)
       }
       .start()
 
-  /** One micro-batch: LM-score gate (if configured), decontaminate,
-    * then persist survivors into the epoch's own partition
-    * (idempotent under replay — the gates are deterministic functions
-    * of the batch and static model state, so a replayed epoch
-    * recomputes the identical survivor set).
+  /** One micro-batch: historical-corpus gate (if configured),
+    * LM-score gate (if configured), decontaminate, then persist
+    * survivors into the epoch's own partition (idempotent under
+    * replay — the gates are deterministic functions of the batch and
+    * static model/index state, so a replayed epoch recomputes the
+    * identical survivor set).
+    *
+    * `historical` closes the window [[StreamDedup.firstSeen]] cannot
+    * see: its checkpointed state only knows documents seen by THIS
+    * stream, so a corpus built before the stream started (a batch
+    * backfill, a migration, a restart with a fresh checkpoint) would
+    * be re-ingested wholesale. The pair is ([[graft.dedup.Dedup
+    * .exactFingerprintIndex]]-shaped fp frame — the stored table's
+    * own `fp` column suffices — and its [[graft.dedup.Dedup
+    * .exactBloomIndex]]). Applied FIRST, before any scoring work:
+    * probe-negative rows are certainly new and skip the index
+    * entirely (map-side, zero exchanges — the
+    * [[graft.dedup.Dedup.exactAgainstCorpus]] plan shape); only
+    * probe-positive residue pays the anti-join verify, so the gate
+    * is EXACT — an fpp collision cannot drop a novel document.
     */
   def applyBatch(
       spark: SparkSession,
@@ -114,17 +136,26 @@ object CorpusIngest {
       table: String,
       epoch: Long,
       shingleLen: Int = 4,
-      lmGate: Option[(graft.text.LangModel.BigramLm, Double)] = None): Unit = {
+      lmGate: Option[(graft.text.LangModel.BigramLm, Double)] = None,
+      historical: Option[(DataFrame, Array[Byte])] = None): Unit = {
+    val fresh = historical.fold(batch) { case (index, bloom) =>
+      val known = coalesce(
+        graft.functions.GraftFunctions.bloomMightContain(col("fp"), bloom),
+        lit(false))
+      batch.filter(!known).unionByName(
+        batch.filter(known)
+          .join(index.select(col("fp")), Seq("fp"), "left_anti"))
+    }
     // no-evidence-means-drop: a document too short to form a bigram
     // scores NULL, and `NULL >= min` filters it out at ANY threshold —
     // deliberate (a quality gate should not pass documents it cannot
     // score), pinned in CorpusIngestSpec
-    val gated = lmGate.fold(batch) { case (lm, min) =>
+    val gated = lmGate.fold(fresh) { case (lm, min) =>
       val keep = graft.text.LangModel
-        .scoreDocs(batch, "doc_id", "text", lm)
+        .scoreDocs(fresh, "doc_id", "text", lm)
         .filter(col("lm_score") >= lit(min))
         .select(col("doc_id"))
-      batch.join(keep, Seq("doc_id"), "left_semi")
+      fresh.join(keep, Seq("doc_id"), "left_semi")
     }
     val leaked = graft.dedup.Dedup
       .decontaminate(gated, bench, "doc_id", "text", shingleLen)

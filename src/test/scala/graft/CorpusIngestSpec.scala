@@ -237,4 +237,47 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(afterShort == Seq(1L, 4L),
       s"unscoreable doc must drop at any threshold, got $afterShort")
   }
+
+  test("a historical-corpus gate drops pre-stream documents exactly") {
+    import graft.dedup.Dedup
+    // the migration scenario: a corpus built by BATCH ingest exists;
+    // a NEW stream (fresh checkpoint — firstSeen state knows nothing)
+    // must not re-ingest its documents
+    val historicalText = "ten eleven twelve thirteen fourteen fifteen " +
+      "sixteen seventeen eighteen nineteen"
+    val novel = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val store = new TableStore(tmp("corpus_store4"))
+    val bench = Seq((900L, "x y z w")).toDF("doc_id", "text")
+    CorpusIngest.applyBatch(spark,
+      Seq((TextOps_fp(historicalText), 50L, historicalText))
+        .toDF("fp", "doc_id", "text"),
+      bench, store, "corpus", 0L)
+
+    // index + bloom derive from the STORED table's own fp column —
+    // no text rescan; undersized bloom (forced false positives) makes
+    // the exactness claim adversarial, as in DedupSpec
+    val index = CorpusIngest.corpus(spark, store, "corpus").select("fp")
+    val bloom = Dedup.exactBloomIndex(index, expectedItems = 4)
+
+    CorpusIngest.applyBatch(spark,
+      Seq(
+        (TextOps_fp(historicalText), 60L, historicalText), // known → drop
+        (TextOps_fp(novel), 61L, novel))                   // new → keep
+        .toDF("fp", "doc_id", "text"),
+      bench, store, "corpus", 1L,
+      historical = Some((index, bloom)))
+
+    val got = CorpusIngest.corpus(spark, store, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(50L, 61L),
+      s"historical gate must drop 60 and keep 61, got $got")
+  }
+
+  // the fingerprint rule the streaming prefix applies — tests plant
+  // rows shaped like cleanStream output, so they must fingerprint the
+  // same way (TextOps.fingerprint is a Column; evaluate it locally)
+  private def TextOps_fp(text: String): String =
+    Seq(text).toDF("text")
+      .select(graft.text.TextOps.fingerprint(col("text")))
+      .head().getString(0)
 }
