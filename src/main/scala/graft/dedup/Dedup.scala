@@ -993,9 +993,14 @@ object Dedup {
   /** Serialized Bloom filter over a fingerprint index's `fp` column —
     * the map-side prefilter artifact for [[exactAgainstCorpus]]. Built
     * distributed (per-partition filters, `treeAggregate` merge — the
-    * mergeable-sketch fold, same shape Spark's own
-    * `DataFrameStatFunctions.bloomFilter` uses) and returned as bytes
-    * for TableStore persistence next to the index itself.
+    * mergeable-sketch fold) and returned as bytes for TableStore
+    * persistence next to the index itself. Deliberately NOT delegated
+    * to `DataFrameStatFunctions.bloomFilter`: the probe side hashes
+    * the fp's UTF-8 bytes ([[graft.functions.BloomMightContain]]),
+    * and keeping the put in our own code (`putBinary` of those same
+    * bytes) pins build/probe byte-compatibility here rather than on
+    * the stat implementation's put-dispatch staying stable across
+    * Spark versions.
     *
     * Sizing: at the default 1% fpp a Bloom costs ~1.2 bytes/item —
     * ~12 GB for 10¹⁰ documents, which is why `expectedItems` should be
@@ -1069,9 +1074,32 @@ object Dedup {
     *    corpus fps, and the filter only buys the plan shape
     *    (DedupSpec pins the equality, PlanSpec the shapes).
     *
+    * The residue join's own scale shape matters: the residue is the
+    * OUTER side, so Spark cannot broadcast it, and an index past the
+    * broadcast threshold (a 10¹⁰-doc index is ~200 GB) would
+    * sort-merge — shuffling the whole index per batch. The corpus
+    * answer is layout, not planning: store the index fp-BUCKETED
+    * ([[graft.sources.Bucketed.writeBucketed]]), and the index side
+    * satisfies the join distribution straight off the scan — the only
+    * exchange in the whole path is the residue's own, and the
+    * (batch_doc, fp) aggregation free-rides on the join's fp
+    * distribution (BucketedSpec pins exactly this plan with broadcast
+    * disabled). The per-batch index SCAN is the remaining floor —
+    * column-pruned to ~20 B/doc and exchange-free, which is the
+    * practical optimum for an exact verify.
+    *
     * Null text fingerprints to null, matches nothing (SQL equality
     * semantics), probes null → routed to the miss branch: NULL dup_of
     * on every path.
+    *
+    * Precondition: batch ids are unique (the per-document id-key
+    * contract every report-shaped operator here shares). The miss
+    * branch is deliberately per-ROW — deduplicating it would cost the
+    * exchange whose absence is the point — so under violated
+    * uniqueness the two paths can differ in row multiplicity. The
+    * resolve side groups on (batch_doc, fp), which both keeps the
+    * mixed duplicate-id case path-equal AND lets the aggregation
+    * reuse the join's fp distribution instead of adding an exchange.
     */
   def exactAgainstCorpus(
       batch: DataFrame,
@@ -1084,8 +1112,9 @@ object Dedup {
       TextOps.fingerprint(col(textCol)).as("fp"))
     def resolve(cand: DataFrame): DataFrame = cand
       .join(corpusIndex, Seq("fp"), "left")
-      .groupBy(col("batch_doc"))
+      .groupBy(col("batch_doc"), col("fp"))
       .agg(min(col("corpus_doc")).as("dup_of"))
+      .select(col("batch_doc"), col("dup_of"))
     bloom match {
       case None => resolve(b)
       case Some(bytes) =>

@@ -1125,14 +1125,19 @@ object BpeTokens {
   * incremental exact dedup ([[graft.dedup.Dedup.exactAgainstCorpus]]):
   * a batch row failing the probe skips the corpus-index join entirely.
   *
-  * The filter deserializes ONCE per plan (transient lazy, rebuilt
-  * lazily per executor after plan transport) and rides into generated
-  * code via `addReferenceObj` — the BpeTokens/MinHash parameter
-  * pattern — so probing stays one WholeStageCodegen span. Hash input
-  * is the child string's UTF-8 bytes; [[graft.dedup.Dedup.exactBloomIndex]]
-  * puts exactly the same bytes, so build and probe can never disagree
-  * on encoding. Standard null propagation (null text ⇒ null probe);
-  * call sites coalesce to their routing default.
+  * Transport: generated code references the serialized BYTES — the
+  * very same array object as the expression's own field, so the task
+  * binary carries ONE copy (Java serialization back-references the
+  * second occurrence) — and deserializes into a per-plan-instance
+  * mutable slot on first probe. Referencing a driver-deserialized
+  * filter object instead would ship the payload twice (field bytes +
+  * an unrelated object graph of the same size), which matters at the
+  * GB sizes a corpus-scale bloom reaches. Interpreted eval keeps a
+  * transient lazy twin. Hash input is the child string's UTF-8 bytes;
+  * [[graft.dedup.Dedup.exactBloomIndex]] puts exactly the same bytes,
+  * so build and probe can never disagree on encoding. Standard null
+  * propagation (null text ⇒ null probe); call sites coalesce to their
+  * routing default.
   */
 case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
     extends UnaryExpression {
@@ -1162,14 +1167,23 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val ref = ctx.addReferenceObj("bloomFilter", filter,
-      "org.apache.spark.util.sketch.BloomFilter")
+    val bytesRef = ctx.addReferenceObj("bloomBytes", bloomBytes, "byte[]")
+    val bf = ctx.addMutableState(
+      "org.apache.spark.util.sketch.BloomFilter", "bloomFilter")
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = $ref.mightContainBinary($s.getBytes());")
+      s"""if ($bf == null) {
+         |  $bf = graft.functions.BloomMightContain$$.MODULE$$.deserialize($bytesRef);
+         |}
+         |${ev.value} = $bf.mightContainBinary($s.getBytes());""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
+}
+
+object BloomMightContain {
+  def deserialize(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
 }
 
 /** Column-level entry points for the custom Catalyst expressions plus

@@ -96,16 +96,31 @@ object CorpusIngest {
       shingleLen: Int = 4,
       scoreGate: Option[(org.apache.spark.sql.Column, Double)] = None,
       lmGate: Option[(graft.text.LangModel.BigramLm, Double)] = None,
-      historical: Option[(DataFrame, Array[Byte])] = None)
-      : StreamingQuery =
+      historical: Option[(DataFrame, Array[Byte])] = None,
+      runId: String = ""): StreamingQuery = {
+    // the historical gate exists for exactly the situations where a
+    // NEW stream incarnation (fresh checkpoint ⇒ epoch numbering
+    // restarts at 0) writes into a table an OLDER incarnation filled:
+    // without a per-incarnation namespace, replayed epoch numbers
+    // collide with stored partitions and — because the gate correctly
+    // drops the re-seen documents — overwritePartitions would replace
+    // the stored partition with the (possibly empty) survivor set,
+    // silently ERASING it. So the gate refuses to run un-namespaced.
+    require(historical.isEmpty || runId.nonEmpty,
+      "historical gate without a runId: a fresh-checkpoint restart " +
+        "reuses epoch numbers, and gated (emptied) batches would " +
+        "overwrite the very partitions the gate is protecting — pass " +
+        "a runId unique to this stream incarnation")
     cleanStream(spark, docs, scoreGate).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[(String, Long, String)], epoch: Long) =>
         applyBatch(spark, batch.toDF("fp", "doc_id", "text"),
-          bench, store, table, epoch, shingleLen, lmGate, historical)
+          bench, store, table, epoch, shingleLen, lmGate, historical,
+          runId)
       }
       .start()
+  }
 
   /** One micro-batch: historical-corpus gate (if configured),
     * LM-score gate (if configured), decontaminate, then persist
@@ -127,6 +142,13 @@ object CorpusIngest {
     * [[graft.dedup.Dedup.exactAgainstCorpus]] plan shape); only
     * probe-positive residue pays the anti-join verify, so the gate
     * is EXACT — an fpp collision cannot drop a novel document.
+    *
+    * `runId` namespaces the epoch partition (`runId.epoch`) so that
+    * a new stream incarnation — whose epoch numbering restarts at 0 —
+    * cannot overwrite an earlier incarnation's partitions; mandatory
+    * with `historical` in [[start]] because the gate makes that
+    * collision destructive (a fully-gated replayed batch would write
+    * an EMPTY survivor set over stored data).
     */
   def applyBatch(
       spark: SparkSession,
@@ -137,7 +159,8 @@ object CorpusIngest {
       epoch: Long,
       shingleLen: Int = 4,
       lmGate: Option[(graft.text.LangModel.BigramLm, Double)] = None,
-      historical: Option[(DataFrame, Array[Byte])] = None): Unit = {
+      historical: Option[(DataFrame, Array[Byte])] = None,
+      runId: String = ""): Unit = {
     val fresh = historical.fold(batch) { case (index, bloom) =>
       val known = coalesce(
         graft.functions.GraftFunctions.bloomMightContain(col("fp"), bloom),
@@ -161,7 +184,11 @@ object CorpusIngest {
       .decontaminate(gated, bench, "doc_id", "text", shingleLen)
       .select(col("doc_id"))
     val clean = gated.join(leaked, Seq("doc_id"), "left_anti")
-    val part = epoch.toString
+    // runId namespaces the epoch so partition identity is
+    // (incarnation, epoch): replay WITHIN an incarnation still
+    // rewrites its own partition (idempotence), while a later
+    // incarnation's epoch 0 can never clobber an earlier one's
+    val part = if (runId.isEmpty) epoch.toString else s"$runId.$epoch"
     val out = clean.select(
       col("doc_id"), col("text"), col("fp"),
       lit(part).as("ingest_batch"))

@@ -92,4 +92,52 @@ class BucketedSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("a bucketed fingerprint index verifies bloom residue with zero index exchange") {
+    // THE corpus-scale shape for Dedup.exactAgainstCorpus: a 10¹⁰-doc
+    // fp index is far past any broadcast threshold, so an unbucketed
+    // verify join would sort-merge — shuffling the WHOLE index per
+    // ingested batch. Stored fp-bucketed, the index side satisfies
+    // the join distribution straight off the scan: the only Exchange
+    // left is the (tiny) residue's own, and the downstream
+    // (batch_doc, fp) aggregation free-rides on the join's fp
+    // distribution. Broadcast is disabled to expose exactly what a
+    // too-big-to-broadcast index would do.
+    import graft.dedup.Dedup
+    val dir = Files.createTempDirectory("graft_bucketed3").toString
+    val corpus = (1L to 500L)
+      .map(i => (i, s"corpus document number $i body")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1001L, "corpus document number 7 body"), // known
+      (1002L, "a genuinely new document body")) // new
+      .toDF("doc_id", "text")
+    try {
+      Bucketed.writeBucketed(
+        Dedup.exactFingerprintIndex(corpus, "doc_id", "text"),
+        "b_fp_index", s"$dir/fp", Seq("fp"), 8)
+      val index = spark.table("b_fp_index")
+      val bloom = Dedup.exactBloomIndex(index)
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+        val report = Dedup.exactAgainstCorpus(
+          batch, index, "doc_id", "text", Some(bloom))
+        // count in the FINAL section only (AQE appends the pre-AQE
+        // "Initial Plan", which would double-count the exchange)
+        val full = finalPlan(report)
+        val cut = full.indexOf("== Initial Plan ==")
+        val plan = if (cut >= 0) full.substring(0, cut) else full
+        val exchanges = "Exchange hashpartitioning".r
+          .findAllMatchIn(plan).length
+        assert(exchanges == 1,
+          s"expected ONE exchange (the residue's), got $exchanges:\n$plan")
+        val got = report.collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        assert(got == Map(1001L -> Some(7L), 1002L -> None))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_fp_index")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

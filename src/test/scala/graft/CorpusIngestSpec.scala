@@ -240,9 +240,11 @@ class CorpusIngestSpec extends SparkTestBase {
 
   test("a historical-corpus gate drops pre-stream documents exactly") {
     import graft.dedup.Dedup
-    // the migration scenario: a corpus built by BATCH ingest exists;
-    // a NEW stream (fresh checkpoint — firstSeen state knows nothing)
-    // must not re-ingest its documents
+    // the migration scenario: a corpus built by an earlier stream
+    // incarnation exists; a NEW incarnation (fresh checkpoint —
+    // firstSeen state knows nothing, epoch numbering RESTARTS AT 0)
+    // must neither re-ingest those documents nor clobber their
+    // partitions when its replayed epoch numbers collide
     val historicalText = "ten eleven twelve thirteen fourteen fifteen " +
       "sixteen seventeen eighteen nineteen"
     val novel = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -259,18 +261,44 @@ class CorpusIngestSpec extends SparkTestBase {
     val index = CorpusIngest.corpus(spark, store, "corpus").select("fp")
     val bloom = Dedup.exactBloomIndex(index, expectedItems = 4)
 
+    // incarnation 2, EPOCH 0 AGAIN — the collision that, un-namespaced,
+    // would overwrite incarnation 1's partition with the gated
+    // (historical-doc-free) survivor set
     CorpusIngest.applyBatch(spark,
       Seq(
         (TextOps_fp(historicalText), 60L, historicalText), // known → drop
         (TextOps_fp(novel), 61L, novel))                   // new → keep
         .toDF("fp", "doc_id", "text"),
-      bench, store, "corpus", 1L,
-      historical = Some((index, bloom)))
+      bench, store, "corpus", 0L,
+      historical = Some((index, bloom)), runId = "r2")
 
     val got = CorpusIngest.corpus(spark, store, "corpus")
+      .select("doc_id", "ingest_batch").as[(Long, String)].collect().toMap
+    assert(got.keySet == Set(50L, 61L),
+      s"gate must drop 60, keep 61, and PRESERVE 50, got $got")
+    assert(got(50L) == "0" && got(61L) == "r2.0",
+      s"incarnations must write disjoint partitions, got $got")
+
+    // a fully-gated replayed batch is the destructive edge: every doc
+    // known → empty survivor set → without the namespace it would
+    // ERASE the stored epoch-0 partition
+    CorpusIngest.applyBatch(spark,
+      Seq((TextOps_fp(historicalText), 70L, historicalText))
+        .toDF("fp", "doc_id", "text"),
+      bench, store, "corpus", 1L,
+      historical = Some((index, bloom)), runId = "r2")
+    val after = CorpusIngest.corpus(spark, store, "corpus")
       .select("doc_id").as[Long].collect().sorted.toSeq
-    assert(got == Seq(50L, 61L),
-      s"historical gate must drop 60 and keep 61, got $got")
+    assert(after == Seq(50L, 61L),
+      s"fully-gated batch must not disturb stored data, got $after")
+
+    // and the streaming entry refuses the un-namespaced foot-gun
+    val ex = intercept[IllegalArgumentException] {
+      CorpusIngest.start(spark,
+        Seq((99L, novel)).toDF("doc_id", "text"), bench, store,
+        "corpus", tmp("ckpt_gate"), historical = Some((index, bloom)))
+    }
+    assert(ex.getMessage.contains("runId"))
   }
 
   // the fingerprint rule the streaming prefix applies — tests plant
