@@ -1433,6 +1433,21 @@ object SparkEntry {
           sum(col("n_tokens")).as("kept_tokens"))
     }),
 
+    // ---- temperature-smoothed mixture (share ∝ n^0.3, the XLM-R
+    //      α-rule): targets computed FROM the per-source token mass,
+    //      low-resource sources upweighted, binding stratum caps the
+    //      total; applied as the same banded budget sample ----
+    "q_temperature_mix" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+        .withColumn("n_tokens", graft.text.TextOps.tokenCount(col("text")))
+      graft.ops.Sampling.temperatureMixtureSample(
+          docs, col("doc_id"), col("source"), col("n_tokens"), 2000L,
+          alpha = 0.3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("kept_tokens"))
+    }),
+
     // ---- trainable quality filter (fastText-style): logistic weights
     //      by batch GD — one aggregation pass per iteration, exact
     //      decimal gradient sums (layout-independent, golden-pinned) --
@@ -3021,6 +3036,38 @@ object SparkEntry {
                  (SELECT min(a / p) FROM j),
                  CAST(2000 AS DOUBLE)) + 1e-9) AS BIGINT) AS budget
                FROM j),
+         w AS (
+           SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prior
+           FROM d)
+         SELECT w.source, count(*) AS n_docs,
+           CAST(sum(w.n_tokens) AS BIGINT) AS kept_tokens
+         FROM w JOIN b ON w.source = b.s
+         WHERE w.prior < b.budget
+         GROUP BY w.source""",
+
+    // temperature solver replayed double for double: shares from
+    // pow(mass, 0.3) normalized by an ORDER BY s sum (double addition
+    // is order-sensitive — the engine folds in the same sorted-key
+    // order), T = least(min(a/share), budget), floor(+1e-9) budgets,
+    // then the naive prefix window of q_token_mixture
+    "q_temperature_mix" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents WHERE source IS NOT NULL),
+         av AS (SELECT source AS s, CAST(sum(n_tokens) AS DOUBLE) AS a
+                FROM d GROUP BY 1 HAVING sum(n_tokens) > 0),
+         pw AS (SELECT s, a, pow(a, CAST(0.3 AS DOUBLE)) AS p FROM av),
+         zt AS (SELECT sum(p ORDER BY s) AS z FROM pw),
+         b AS (SELECT s, CAST(floor((p / z) * LEAST(
+                 (SELECT min(a / (p / z)) FROM pw, zt),
+                 CAST(2000 AS DOUBLE)) + 1e-9) AS BIGINT) AS budget
+               FROM pw, zt),
          w AS (
            SELECT doc_id, source, n_tokens,
              COALESCE(sum(n_tokens) OVER (

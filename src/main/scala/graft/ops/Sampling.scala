@@ -425,6 +425,71 @@ object Sampling {
     tokenBudgetSample(df, key, stratum, weight,
       tokenMixtureBudgets(df, stratum, weight, totalBudget, targets))
 
+  /** Temperature-smoothed mixture targets — the multilingual/domain
+    * rebalancing rule (α-smoothing, share_k ∝ n_k^α; mBERT's
+    * exponentially-smoothed sampling, XLM-R's α = 0.3, arXiv:
+    * 1911.02116 §3): α = 1 reproduces the natural mixture, α → 0
+    * approaches uniform, in between low-resource strata gain share.
+    * Unlike [[tokenMixtureBudgets]] the targets are COMPUTED from the
+    * data, over every stratum present with positive token mass (NULL
+    * strata excluded) — one aggregation pass, collect bounded by the
+    * stratum cardinality (languages/domains — small by construction).
+    *
+    * This is a without-replacement engine, so the smoothed share of
+    * the scarcest stratum binds the achievable total exactly as in
+    * [[tokenMixtureBudgets]] (`T = min(totalBudget, min_k n_k/share_k)`)
+    * — true UP-sampling (repeating low-resource data) is the training
+    * loop's epoch schedule, not a sampling cut.
+    *
+    * Determinism discipline: every arithmetic step must be a pure
+    * function of the data so the DuckDB oracle replays it double for
+    * double. `z = Σ n_k^α` is the hazard — double addition is
+    * order-sensitive — so the fold runs in SORTED stratum-key order
+    * and the oracle sums with `ORDER BY s`. The residual cross-engine
+    * risk is `pow` itself (libm, not IEEE-mandated correctly-rounded);
+    * a 1-ULP share wobble moves `share·T` by ≪ the 1e-9 floor guard,
+    * so budgets stay equal unless two strata tie for binding within
+    * ULPs (dataset-measure zero).
+    */
+  def temperatureBudgets(
+      df: DataFrame,
+      stratum: Column,
+      weight: Column,
+      totalBudget: Long,
+      alpha: Double): Map[String, Long] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(totalBudget >= 0L, s"totalBudget must be >= 0, got $totalBudget")
+    val avail = df
+      .filter(stratum.isNotNull)
+      .groupBy(stratum.cast("string").as("s"))
+      .agg(sum(coalesce(weight.cast("long"), lit(0L))).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (_, n) => n > 0L }
+      .sortBy(_._1)
+    require(avail.nonEmpty, "no stratum with positive token mass to sample from")
+    val powd = avail.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    val z = powd.map(_._2).foldLeft(0.0)(_ + _)
+    val availMap = avail.toMap
+    val t = (powd.map { case (s, p) => availMap(s) / (p / z) } :+
+      totalBudget.toDouble).min
+    powd.map { case (s, p) =>
+      s -> math.floor((p / z) * t + 1e-9).toLong
+    }.toMap
+  }
+
+  /** [[temperatureBudgets]] applied with [[tokenBudgetSample]]: the
+    * one-call α-smoothed corpus rebalance.
+    */
+  def temperatureMixtureSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      weight: Column,
+      totalBudget: Long,
+      alpha: Double): DataFrame =
+    tokenBudgetSample(df, key, stratum, weight,
+      temperatureBudgets(df, stratum, weight, totalBudget, alpha))
+
   /** Deterministic corpus shuffle: a stable pseudo-random TRAINING
     * ORDER (what a pretraining run actually needs — the same "random"
     * sequence on every rebuild, resumable mid-epoch, identical across

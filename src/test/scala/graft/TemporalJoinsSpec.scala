@@ -484,6 +484,65 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(!got.contains(zeroId))
   }
 
+  test("temperatureBudgets: α=1 is the natural mixture, α<1 upweights scarce strata") {
+    // token mass a=8000, b=1000, c=250 (plus NULL-stratum noise rows,
+    // which must not count toward any mass)
+    val df = ((1 to 100).map(i => (i, Option("a"), 80)) ++
+        (101 to 120).map(i => (i, Option("b"), 50)) ++
+        (121 to 125).map(i => (i, Option("c"), 50)) ++
+        (126 to 130).map(i => (i, Option.empty[String], 999)))
+      .toDF("id", "s", "w")
+    // α = 1 with a non-binding total: shares are the natural mixture,
+    // every n_k/share_k = N, so T = N and every stratum keeps whole
+    val natural = Sampling.temperatureBudgets(
+      df, col("s"), col("w"), 1000000L, alpha = 1.0)
+    assert(natural == Map("a" -> 8000L, "b" -> 1000L, "c" -> 250L))
+    // α = 1 with half the corpus as budget: exact halving
+    val halved = Sampling.temperatureBudgets(
+      df, col("s"), col("w"), 4625L, alpha = 1.0)
+    assert(halved == Map("a" -> 4000L, "b" -> 500L, "c" -> 125L))
+    // α = 0.3: the scarcest targeted stratum binds T and keeps whole;
+    // scarce strata gain budget SHARE vs natural, rich strata lose
+    val smoothed = Sampling.temperatureBudgets(
+      df, col("s"), col("w"), 1000000L, alpha = 0.3)
+    assert(smoothed("c") == 250L, s"binding stratum must keep whole: $smoothed")
+    val total = smoothed.values.sum.toDouble
+    assert(smoothed("a") / total < 8000.0 / 9250.0,
+      s"rich stratum must lose share: $smoothed")
+    assert(smoothed("b") / total > 1000.0 / 9250.0,
+      s"scarce stratum must gain share: $smoothed")
+    // smoothing is monotone in α: lower α → rich stratum keeps less
+    val flatter = Sampling.temperatureBudgets(
+      df, col("s"), col("w"), 1000000L, alpha = 0.1)
+    assert(flatter("a") < smoothed("a"))
+    // guards
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureBudgets(df, col("s"), col("w"), 1000L, alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureBudgets(df, col("s"), col("w"), 1000L, alpha = 1.5)
+    }
+    // composition: the sampled output's kept token mass per stratum
+    // reaches its solved budget to within the crossing document, and
+    // the result is layout-independent
+    val kept = Sampling.temperatureMixtureSample(
+        df, col("id"), col("s"), col("w"), 2000L, alpha = 0.3)
+    val byStratum = kept.groupBy("s").agg(sum(col("w")).as("kt"))
+      .as[(String, Long)].collect().toMap
+    val budgets = Sampling.temperatureBudgets(
+      df, col("s"), col("w"), 2000L, alpha = 0.3)
+    budgets.foreach { case (s, b) =>
+      // greedy-until-crossed: kept mass reaches the budget and stops
+      // within the crossing document (max doc weight here is 80)
+      val kt = byStratum.getOrElse(s, 0L)
+      assert(kt >= b && kt < b + 81L, s"stratum $s kept $kt vs budget $b")
+    }
+    val again = Sampling.temperatureMixtureSample(
+        df.repartition(17), col("id"), col("s"), col("w"), 2000L, alpha = 0.3)
+      .select("id").as[Int].collect().toSet
+    assert(again == kept.select("id").as[Int].collect().toSet)
+  }
+
   test("tokenBudgetSample windows only the boundary band") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = (1 to 2000).map(i => (i.toLong, "a", 3)).toDF("id", "s", "w")
