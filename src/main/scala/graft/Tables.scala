@@ -43,16 +43,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.parquet` carries parquet TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects by default; read nanos as long and
-    * convert to a microsecond timestamp (integral `div` — a double
-    * division would lose precision above 2^53 ns).
+  /** `events.parquet` has shipped with two physical `ts` layouts:
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+    * by default — read nanos as long and integral-`div` to microseconds;
+    * a double division would lose precision above 2^53 ns) and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark reads as
+    * TIMESTAMP_NTZ — cast to the session-zone TimestampType; the
+    * session is pinned UTC, so the micros value is unchanged). Dispatch
+    * on the loaded type so either vintage of the table reads
+    * identically.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
