@@ -975,6 +975,33 @@ object SparkEntry {
       graft.text.LangModel.scoreDocs(docs, "doc_id", "text", lm)
     }),
 
+    // ---- DSIR importance weights (Xie et al. 2023 importance
+    //      resampling): hashed-ngram (uni+bigram, 4096 md5 buckets)
+    //      distribution match of every document against a curated
+    //      target corpus (source src0); per-bucket log ratios rounded
+    //      to 9 dp, per-doc DECIMAL sums — exact on any layout and
+    //      replayed by the DuckDB oracle ----
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val model = graft.text.Dsir.fit(
+        docs.filter(col("source") === "src0"), docs, col("text"),
+        buckets = 4096)
+      graft.text.Dsir.scoreDocs(docs, "doc_id", "text", model)
+    }),
+
+    // ---- DSIR Gumbel-top-k resampling: 100 docs drawn without
+    //      replacement with probability ∝ importance weight — the
+    //      Gumbel noise is md5-derived, so the "random" draw is the
+    //      same rows on every run/layout/engine and plans as
+    //      distributed top-k, never a global sort ----
+    "q_dsir_select" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val model = graft.text.Dsir.fit(
+        docs.filter(col("source") === "src0"), docs, col("text"),
+        buckets = 4096)
+      graft.text.Dsir.resample(docs, "doc_id", "text", model, k = 100)
+    }),
+
     // ---- exact substring dedup (Lee et al. 2022 ExactSubstr at
     //      8-token granularity): any 8-token window recurring anywhere
     //      in the corpus is cut from every occurrence but the globally
@@ -2246,6 +2273,110 @@ object SparkEntry {
            CASE WHEN p.n_bigrams > 0
              THEN CAST(p.logp_sum AS DOUBLE) / p.n_bigrams END AS lm_score
          FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
+
+    // replays Dsir.fit + scoreDocs: hashed grams (unigrams + adjacent
+    // bigrams of lowercased \S+ tokens) bucketed by the first 3 md5
+    // hex chars (('0x'||hex)::BIGINT ≡ Spark's conv(hex,16,10));
+    // add-1-smoothed log ratios rounded to 9 dp then DECIMAL-summed
+    // per doc — the q_lm_score determinism discipline. The ratio CTE
+    // only needs buckets present in the raw corpus (scored docs = raw
+    // corpus, so every scored bucket is covered)
+    "q_dsir_weights" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+             regexp_extract_all(lower(text), '\S+') AS arr
+           FROM documents),
+         grams AS (
+           SELECT doc_id, source, unnest(arr) AS g FROM toks
+           UNION ALL
+           SELECT doc_id, source, arr[pos+1] || ' ' || arr[pos+2] AS g
+           FROM (SELECT doc_id, source, arr,
+                   unnest(range(len(arr) - 1)) AS pos
+                 FROM toks WHERE len(arr) >= 2)),
+         b AS (SELECT doc_id, source,
+             ('0x' || substr(md5(g), 1, 3))::BIGINT AS bucket
+           FROM grams),
+         tc AS (SELECT bucket, count(*) AS ct FROM b
+           WHERE source = 'src0' GROUP BY bucket),
+         rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+         tot AS (SELECT
+           (SELECT count(*) FROM b WHERE source = 'src0') AS nt,
+           (SELECT count(*) FROM b) AS nr),
+         ratio AS (
+           SELECT rc.bucket,
+             CAST(round(
+               ln((COALESCE(tc.ct, 0) + CAST(1 AS DOUBLE)) /
+                  (tot.nt + CAST(4096 AS DOUBLE))) -
+               ln((rc.cr + CAST(1 AS DOUBLE)) /
+                  (tot.nr + CAST(4096 AS DOUBLE))), 9)
+               AS DECIMAL(28,12)) AS lr
+           FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tot),
+         per_doc AS (
+           SELECT b.doc_id, sum(r.lr) AS logw_sum, count(*) AS n_grams
+           FROM b JOIN ratio r ON b.bucket = r.bucket
+           GROUP BY b.doc_id)
+         SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12))) AS logw_sum,
+           CAST(COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12)))
+             AS DOUBLE) AS dsir_logw
+         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
+
+    // q_dsir_weights plus the deterministic Gumbel-top-k draw: key =
+    // logw + (-ln(-ln(u))) with u from the first 12 md5 hex chars of
+    // the doc id (48 bits, exact in a double; +1/+2 keep u inside
+    // (0,1)); 16^12 + 2 = 281474976710658. ORDER BY key DESC, id
+    // LIMIT 100 replays Spark's TakeOrdered exactly (IEEE doubles +
+    // bit-identical ln on both engines)
+    "q_dsir_select" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+             regexp_extract_all(lower(text), '\S+') AS arr
+           FROM documents),
+         grams AS (
+           SELECT doc_id, source, unnest(arr) AS g FROM toks
+           UNION ALL
+           SELECT doc_id, source, arr[pos+1] || ' ' || arr[pos+2] AS g
+           FROM (SELECT doc_id, source, arr,
+                   unnest(range(len(arr) - 1)) AS pos
+                 FROM toks WHERE len(arr) >= 2)),
+         b AS (SELECT doc_id, source,
+             ('0x' || substr(md5(g), 1, 3))::BIGINT AS bucket
+           FROM grams),
+         tc AS (SELECT bucket, count(*) AS ct FROM b
+           WHERE source = 'src0' GROUP BY bucket),
+         rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+         tot AS (SELECT
+           (SELECT count(*) FROM b WHERE source = 'src0') AS nt,
+           (SELECT count(*) FROM b) AS nr),
+         ratio AS (
+           SELECT rc.bucket,
+             CAST(round(
+               ln((COALESCE(tc.ct, 0) + CAST(1 AS DOUBLE)) /
+                  (tot.nt + CAST(4096 AS DOUBLE))) -
+               ln((rc.cr + CAST(1 AS DOUBLE)) /
+                  (tot.nr + CAST(4096 AS DOUBLE))), 9)
+               AS DECIMAL(28,12)) AS lr
+           FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tot),
+         per_doc AS (
+           SELECT b.doc_id, sum(r.lr) AS logw_sum, count(*) AS n_grams
+           FROM b JOIN ratio r ON b.bucket = r.bucket
+           GROUP BY b.doc_id),
+         scored AS (
+           SELECT d.doc_id,
+             COALESCE(p.n_grams, 0) AS n_grams,
+             COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12))) AS logw_sum,
+             CAST(COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12)))
+               AS DOUBLE) AS dsir_logw
+           FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id),
+         keyed AS (
+           SELECT *, dsir_logw + (- ln(- ln(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  ::BIGINT + CAST(1 AS DOUBLE)) /
+               CAST(281474976710658 AS DOUBLE)))) AS gumbel_key
+           FROM scored)
+         SELECT * FROM keyed
+         ORDER BY gumbel_key DESC, doc_id LIMIT 100""",
 
     // replays substringDedup on window TEXT (the Spark side keys on
     // xxhash64 of the same text — equal modulo 64-bit collisions):

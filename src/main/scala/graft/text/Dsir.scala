@@ -1,0 +1,182 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection — importance resampling over hashed
+  * n-gram features (Xie et al. 2023, "Data Selection for Language
+  * Models via Importance Resampling", arXiv:2302.03169).
+  *
+  * The distribution-matching complement to [[QualityModel]] (a
+  * discriminative classifier) and [[LangModel]] (a fluency score):
+  * given a TARGET corpus (the distribution you want — e.g. curated
+  * reference text) and the RAW corpus you are selecting from, estimate
+  * bag-of-hashed-n-gram unigram distributions p_target and p_raw over
+  * `buckets` hash buckets, weight every raw document by its log
+  * importance ratio
+  *
+  * {{{ log w(x) = Σ_{g ∈ grams(x)} ( ln p_target[b(g)] − ln p_raw[b(g)] ) }}}
+  *
+  * and resample with Gumbel-top-k on the perturbed weights — which
+  * draws k documents WITHOUT replacement with probability proportional
+  * to their importance weights, in one distributed top-k pass.
+  *
+  * Features are word unigrams + adjacent bigrams of lowercased `\S+`
+  * tokens (the paper's feature space), hashed to `[0, buckets)` by an
+  * md5-prefix — the same engine-portable hashing discipline as
+  * [[graft.ops.Sampling]], so a DuckDB oracle replays bucket
+  * assignment exactly (`conv(hex,16,10)` ≡ `('0x'||hex)::BIGINT`).
+  *
+  * Determinism discipline (the [[LangModel]] rules): per-gram log
+  * ratios are computed once per BUCKET (bounded table), rounded to 9
+  * decimals, and summed per document as DECIMAL(28,12) — exact on any
+  * partitioning and replayable by an exact-binary engine. The Gumbel
+  * noise is derived from md5 of the document id (not `rand()`), so
+  * the "random" sample is the same rows on every run, any layout, any
+  * engine.
+  *
+  * 100 TB shape: fitting is one count aggregation per corpus with
+  * map-side partials whose result is bounded by `buckets` (the target
+  * corpus is small by construction — it is the curated reference);
+  * scoring explodes grams but joins them to the BROADCAST ratio table
+  * and reduces immediately to (id, decimal) pairs — one key shuffle,
+  * no gram strings cross the wire (buckets are computed map-side);
+  * selection is a distributed top-k (TakeOrderedAndProject), never a
+  * global sort.
+  */
+object Dsir {
+
+  /** Fitted model: `(bucket, log_ratio)` for every bucket in
+    * `[0, buckets)` — log_ratio = ln p̂_target − ln p̂_raw under add-1
+    * smoothing over buckets, rounded to 9 dp. A bounded, broadcastable,
+    * trivially persistable table (`buckets` rows).
+    */
+  final case class DsirModel(buckets: Int, ratios: DataFrame)
+
+  /** Number of md5 hex chars that index `buckets` buckets. */
+  private def hexChars(buckets: Int): Int = {
+    val h = (math.log(buckets.toDouble) / math.log(16.0)).round.toInt
+    require(h >= 1 && h <= 4 && math.pow(16.0, h.toDouble).toInt == buckets,
+      s"buckets must be a power of 16 (16, 256, 4096, 65536), got $buckets")
+    h
+  }
+
+  /** Hash a gram string to `[0, buckets)`: integer value of the first
+    * `log16(buckets)` md5 hex chars. Uniform, engine-portable.
+    */
+  private[text] def bucketOf(gram: Column, buckets: Int): Column =
+    conv(substring(md5(gram), 1, hexChars(buckets)), 16, 10).cast("int")
+
+  /** Unigrams ++ adjacent bigrams over a token array column. */
+  private[text] def gramsCol(toks: Column): Column =
+    concat(toks, LangModel.bigramsCol(toks))
+
+  private def tokensOf(textCol: Column): Column =
+    TextOps.tokens(lower(textCol))
+
+  /** One count pass: `(bucket, c)` over a corpus's hashed grams —
+    * map-side partials, result bounded by `buckets`.
+    */
+  def bucketCounts(
+      docs: DataFrame, textCol: Column, buckets: Int): DataFrame =
+    docs.select(explode(gramsCol(tokensOf(textCol))).as("g"))
+      .select(bucketOf(col("g"), buckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** Fit the importance model from a target and a raw corpus: two
+    * bounded count passes, densified over all `buckets` buckets (a
+    * zero-count bucket still has a smoothed probability), log ratio
+    * per bucket rounded to 9 dp.
+    */
+  def fit(
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: Column,
+      buckets: Int = 4096): DsirModel = {
+    val spark = target.sparkSession
+    val tc = bucketCounts(target, textCol, buckets)
+      .withColumnRenamed("c", "ct")
+    val rc = bucketCounts(raw, textCol, buckets)
+      .withColumnRenamed("c", "cr")
+    // totals via a second tiny aggregation over the bounded count
+    // tables (never a second corpus pass)
+    val all = spark.range(buckets.toLong).select(col("id").cast("int").as("bucket"))
+      .join(tc, Seq("bucket"), "left")
+      .join(rc, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = all.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val b = buckets.toDouble
+    val ratios = all.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(
+          log((col("ct") + lit(1.0)) / (col("nt") + lit(b))) -
+          log((col("cr") + lit(1.0)) / (col("nr") + lit(b))), 9)
+          .as("log_ratio"))
+    DsirModel(buckets, ratios)
+  }
+
+  /** Per-document log importance weight under `model`:
+    * `(id, n_grams, logw_sum, dsir_logw)`. Empty documents get an
+    * exact zero sum (a no-evidence document is weight-neutral, not
+    * dropped). One shuffle, keyed by `id`, of decimal scalars; the
+    * ratio table attaches by broadcast before the reduce.
+    */
+  def scoreDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DsirModel): DataFrame = {
+    val terms = docs
+      .select(col(idCol), explode(gramsCol(tokensOf(col(textCol)))).as("g"))
+      .select(col(idCol), bucketOf(col("g"), model.buckets).as("bucket"))
+      .join(broadcast(model.ratios), Seq("bucket"))
+      .select(col(idCol), col("log_ratio").cast("decimal(28,12)").as("lr"))
+    val perDoc = terms.groupBy(col(idCol))
+      .agg(sum(col("lr")).as("logw_sum"), count(lit(1)).as("n_grams"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("logw_sum"),
+          lit(BigDecimal(0)).cast("decimal(38,12)")).as("logw_sum"),
+        coalesce(col("logw_sum"), lit(BigDecimal(0)).cast("decimal(38,12)"))
+          .cast("double").as("dsir_logw"))
+  }
+
+  /** Deterministic Gumbel noise for a document id: md5-derived uniform
+    * in (0,1) → −ln(−ln(u)). 12 hex chars = 48 bits, exact in a
+    * double; +1 on both sides keeps u strictly inside (0,1).
+    */
+  private[text] def gumbelOf(id: Column): Column = {
+    val m = math.pow(16.0, 12.0) // 2^48, exact
+    val u = (conv(substring(md5(id.cast("string")), 1, 12), 16, 10)
+      .cast("double") + lit(1.0)) / lit(m + 2.0)
+    -log(-log(u))
+  }
+
+  /** Gumbel-top-k importance resampling: draw `k` documents without
+    * replacement with probability ∝ exp(logw / temperature) — the
+    * Gumbel-max trick makes that a single distributed top-k on
+    * `logw/T + Gumbel(md5(id))`. Deterministic: same k rows on every
+    * run, any layout, any engine that agrees on md5 and IEEE doubles.
+    * Returns the scored schema plus `gumbel_key`, ordered by the key
+    * (ties broken by id).
+    */
+  def resample(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DsirModel,
+      k: Int,
+      temperature: Double = 1.0): DataFrame = {
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    scoreDocs(docs, idCol, textCol, model)
+      .withColumn("gumbel_key",
+        col("dsir_logw") / lit(temperature) + gumbelOf(col(idCol)))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -221,6 +221,29 @@ class PlanSpec extends SparkTestBase {
       s"epoch-order prefix lost TakeOrderedAndProject:\n$plan")
   }
 
+  test("q_dsir_weights broadcasts the ratio table, one doc-key shuffle " +
+      "after the gram reduce") {
+    // the bounded bucket→ratio table must attach to exploded grams by
+    // broadcast (never a shuffled join of gram volume), and only
+    // (id, decimal) pairs reach the per-doc aggregate
+    val plan = finalPlan(q("q_dsir_weights"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ratio table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"gram-volume shuffled join crept into DSIR scoring:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in DSIR scoring:\n$plan")
+  }
+
+  test("q_dsir_select draws its Gumbel-top-k as distributed top-k") {
+    // importance resampling must plan as TakeOrderedAndProject over
+    // the perturbed keys — a global single-partition Sort would be
+    // the 100 TB failure mode
+    val plan = finalPlan(q("q_dsir_select"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"Gumbel-top-k lost TakeOrderedAndProject:\n$plan")
+  }
+
   test("q_domain_mix applies solved rates as a join-free scan filter") {
     // the solver collects ≤|targets| counts up front; the applied
     // sample must then be a literal CASE filter + ONE aggregation
