@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hard quality signal for the approximate (no-DuckDB-oracle) queries:
@@ -153,7 +153,40 @@ object Recall {
       truth = qmRow.getLong(3),
       emitted = qmRow.getLong(3))
 
-    Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf, qm)
+    // -- deterministic k-means: internal objective floor. The
+    //    synthetic labels overlap too much for purity to discriminate
+    //    (even the SUPERVISED nearest-label-centroid rule scores only
+    //    0.41 here), so the gate is the unsupervised one: relative
+    //    WCSS reduction from the seed centroids after 5 Lloyd's
+    //    iterations — measured 0.42 at sf0.01 AND sf0.1, floor 0.3; a
+    //    broken assignment or update breaks monotone descent and lands
+    //    near 0. "precision" reports label purity (informational).
+    import graft.similarity.KMeans
+    def sqDistTo(v: Column, c: Array[Double]): Column =
+      aggregate(
+        zip_with(v, array(c.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def wcss(cen: Seq[Array[Double]]): Double =
+      emb.select(col("embedding").cast("array<double>").as("v"))
+        .select(least(cen.map(c => sqDistTo(col("v"), c)): _*).as("d"))
+        .agg(sum(col("d"))).head().getDouble(0)
+    val kmSeeds = KMeans.seeds(emb, "vec_id", "embedding", 10)
+    val kmCen = KMeans.train(emb, "vec_id", "embedding",
+      k = 10, dim = 64, iters = 5)
+    val kmReduction = 1.0 - wcss(kmCen) / wcss(kmSeeds)
+    val kmAssigned = KMeans.assign(emb, "embedding", kmCen)
+    val kmRow = kmAssigned.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("cluster")).agg(max(col("n")).as("top"),
+        sum(col("n")).as("all"))
+      .agg(sum(col("top")).as("hit"), sum(col("all")).as("n")).head()
+    val km = Metric("q_kmeans_assign",
+      recall = kmReduction,
+      precision = Some(kmRow.getLong(0).toDouble / kmRow.getLong(1)),
+      recallFloor = 0.3,
+      truth = kmRow.getLong(1), emitted = kmRow.getLong(1))
+
+    Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf, qm, km)
   }
 
   def toJson(ms: Seq[Metric]): String =

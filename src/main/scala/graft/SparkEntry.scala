@@ -1167,6 +1167,18 @@ object SparkEntry {
         64, 10, nlist = 16, nprobe = 4)
     }),
 
+    // ---- deterministic k-means clustering (exact-decimal Lloyd's):
+    //      content-addressed seeds, fixed 5 iterations, assignments
+    //      bit-identical on any layout — purity vs the embeddings
+    //      label column is floor-asserted in RECALL.json, the full
+    //      assignment pinned by an sf0.01 golden ----
+    "q_kmeans_assign" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      val (assigned, _) = graft.similarity.KMeans.fitPredict(
+        emb, "vec_id", "embedding", k = 10, dim = 64, iters = 5)
+      assigned.select(col("vec_id"), col("cluster"))
+    }),
+
     // ---- embedding-cosine near-dup pairs (scoped all-pairs) ----
     "q_embedding_neardup" -> ((s, d) => {
       graft.dedup.Dedup.embeddingNearDup(
