@@ -152,6 +152,23 @@ object SparkEntry {
       dir
     })
 
+  /** Z-ordered rewrite of the orders table over
+    * (o_custkey, o_totalprice), memoized per (JVM, sf dir) — fixture
+    * for q_zorder_roundtrip (ZOrderSpec proves the skipping; the
+    * query proves content preservation against the original table).
+    */
+  private val zorderFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderFixture(s: SparkSession, d: String): String =
+    zorderFixtureCache.computeIfAbsent(d, { _ =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_zorder_${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.ops.Layout.writeZOrdered(
+        t("orders")(s, d), dir, Seq("o_custkey", "o_totalprice"),
+        bits = 6, numFiles = 8)
+      dir
+    })
+
   /** ORC twin of the documents table (the other columnar interchange
     * format Spark ships a native reader for), memoized per (JVM, sf
     * dir) — fixture for q_orc_roundtrip.
@@ -1545,6 +1562,22 @@ object SparkEntry {
           countDistinct(md5(col("text").cast("binary")))
             .as("n_unique_texts"))
     }),
+
+    // ---- z-order layout round trip: orders rewritten along the
+    //      (o_custkey, o_totalprice) Morton curve — the multi-column
+    //      skipping layout — must preserve content exactly; the
+    //      order-insensitive per-status proof (counts, exact decimal
+    //      sums, distinct key-hash) catches a dropped, duplicated, or
+    //      corrupted row ----
+    "q_zorder_roundtrip" -> ((s, d) =>
+      s.read.parquet(zorderFixture(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          countDistinct(md5(concat_ws("|",
+            col("o_orderkey"), col("o_custkey")).cast("binary")))
+            .as("n_unique_rows"))),
 
     // ---- compressed JSONL round trip: the shipping format of real
     //      corpora (.jsonl.gz); same content-sensitive lossless-
@@ -3228,6 +3261,19 @@ object SparkEntry {
     "q_corpus_shuffle" ->
       """SELECT doc_id, source FROM documents
          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50""",
+
+    // the fixture only reorders rows, so the oracle is the ORIGINAL
+    // orders table — any drop/duplicate/corruption in the z-order
+    // rewrite breaks a count, the exact decimal sum, or the distinct
+    // row-key hash
+    "q_zorder_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(count(DISTINCT md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR))) AS BIGINT) AS n_unique_rows
+         FROM orders GROUP BY o_orderstatus""",
 
     "q_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
