@@ -94,27 +94,28 @@ object Dsir {
       textCol: Column,
       buckets: Int = 4096): DsirModel = {
     val spark = target.sparkSession
+    import spark.implicits._
+    // ONE count pass per corpus; both results are bounded by
+    // `buckets`, so they collect. Finishing the ratio arithmetic
+    // driver-side (identical IEEE ops — JVM log/divide match Spark's
+    // expressions and DuckDB's ln bit-for-bit, and
+    // BigDecimal.valueOf(..).setScale(9, HALF_UP) IS Spark's
+    // round(x, 9)) breaks the lineage: the model is literal bounded
+    // data, so scoring never silently re-runs a corpus count pass the
+    // way a live `crossJoin(totals)` plan would on every evaluation.
     val tc = bucketCounts(target, textCol, buckets)
-      .withColumnRenamed("c", "ct")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val rc = bucketCounts(raw, textCol, buckets)
-      .withColumnRenamed("c", "cr")
-    // totals via a second tiny aggregation over the bounded count
-    // tables (never a second corpus pass)
-    val all = spark.range(buckets.toLong).select(col("id").cast("int").as("bucket"))
-      .join(tc, Seq("bucket"), "left")
-      .join(rc, Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("ct"), lit(0L)).as("ct"),
-        coalesce(col("cr"), lit(0L)).as("cr"))
-    val totals = all.agg(
-      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nt = tc.values.sum.toDouble
+    val nr = rc.values.sum.toDouble
     val b = buckets.toDouble
-    val ratios = all.crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        round(
-          log((col("ct") + lit(1.0)) / (col("nt") + lit(b))) -
-          log((col("cr") + lit(1.0)) / (col("nr") + lit(b))), 9)
-          .as("log_ratio"))
+    val ratios = (0 until buckets).map { bk =>
+      val v = math.log((tc.getOrElse(bk, 0L) + 1.0) / (nt + b)) -
+        math.log((rc.getOrElse(bk, 0L) + 1.0) / (nr + b))
+      (bk, java.math.BigDecimal.valueOf(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue)
+    }.toDF("bucket", "log_ratio")
     DsirModel(buckets, ratios)
   }
 
