@@ -75,11 +75,16 @@ object Dsir {
     TextOps.tokens(lower(textCol))
 
   /** One count pass: `(bucket, c)` over a corpus's hashed grams —
-    * map-side partials, result bounded by `buckets`.
+    * map-side partials, result bounded by `buckets`. The token array
+    * is PROJECTED before the gram expression sees it (the
+    * [[LangModel]] rule): `element_at` inside the bigram lambda would
+    * otherwise re-run the tokenizer regex per window — quadratic in
+    * document length.
     */
   def bucketCounts(
       docs: DataFrame, textCol: Column, buckets: Int): DataFrame =
-    docs.select(explode(gramsCol(tokensOf(textCol))).as("g"))
+    docs.select(tokensOf(textCol).as("__toks"))
+      .select(explode(gramsCol(col("__toks"))).as("g"))
       .select(bucketOf(col("g"), buckets).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
 
@@ -131,7 +136,8 @@ object Dsir {
       textCol: String,
       model: DsirModel): DataFrame = {
     val terms = docs
-      .select(col(idCol), explode(gramsCol(tokensOf(col(textCol)))).as("g"))
+      .select(col(idCol), tokensOf(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(gramsCol(col("__toks"))).as("g"))
       .select(col(idCol), bucketOf(col("g"), model.buckets).as("bucket"))
       .join(broadcast(model.ratios), Seq("bucket"))
       .select(col(idCol), col("log_ratio").cast("decimal(28,12)").as("lr"))
