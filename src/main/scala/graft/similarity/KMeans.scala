@@ -125,6 +125,27 @@ object KMeans {
       clusterCol: String = "cluster"): DataFrame =
     df.withColumn(clusterCol, clusterOf(col(vecCol), centroids))
 
+  /** Centroids as a `(cluster, centroid)` DataFrame — the persistable
+    * model artifact (store via [[graft.streaming.TableStore]], reload
+    * with [[centroidsFromDf]]). Doubles survive the parquet round trip
+    * bit-for-bit, so a reloaded model assigns identically.
+    */
+  def centroidsDf(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "centroid")
+  }
+
+  /** Reload centroids persisted via [[centroidsDf]]. */
+  def centroidsFromDf(df: DataFrame): Seq[Array[Double]] =
+    df.select(col("cluster").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+
   /** Convenience: train then assign; returns (assigned, centroids). */
   def fitPredict(
       df: DataFrame,

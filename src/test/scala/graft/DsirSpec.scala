@@ -141,6 +141,26 @@ class DsirSpec extends SparkTestBase {
     assert(relaid == want, "draw depends on partitioning")
   }
 
+  test("the model persists and reloads through the table store") {
+    import org.apache.spark.sql.types._
+    val docs = corpus.toDF("doc_id", "text")
+    val model = Dsir.fit(
+      docs.filter(col("doc_id").isin(targetIds.toSeq: _*)),
+      docs, col("text"), buckets = 256)
+    val store = new graft.streaming.TableStore(
+      java.nio.file.Files.createTempDirectory("dsir_store").toString)
+    store.overwrite("dsir_ratios", model.ratios)
+    val reloaded = Dsir.DsirModel(256,
+      store.read(spark, "dsir_ratios", StructType(Seq(
+        StructField("bucket", IntegerType),
+        StructField("log_ratio", DoubleType)))))
+    val direct = Dsir.scoreDocs(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> String.valueOf(r.get(2))).toMap
+    val fromStore = Dsir.scoreDocs(docs, "doc_id", "text", reloaded)
+      .collect().map(r => r.getLong(0) -> String.valueOf(r.get(2))).toMap
+    assert(fromStore == direct, "weights drifted through the store")
+  }
+
   test("the ratio table is bounded by the bucket count") {
     val docs = corpus.toDF("doc_id", "text")
     val model = Dsir.fit(

@@ -123,6 +123,26 @@ class KMeansSpec extends SparkTestBase {
       "3 iterations should improve on the raw seeds")
   }
 
+  test("centroids persist and reload through the table store") {
+    // deployment loop: train offline → persist → assign in a later job
+    import org.apache.spark.sql.types._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cen = KMeans.train(emb, "vec_id", "embedding", 8, 64, 2)
+    val store = new graft.streaming.TableStore(
+      java.nio.file.Files.createTempDirectory("km_store").toString)
+    store.overwrite("km_centroids", KMeans.centroidsDf(spark, cen))
+    val reloaded = KMeans.centroidsFromDf(store.read(spark, "km_centroids",
+      StructType(Seq(StructField("cluster", IntegerType),
+        StructField("centroid", ArrayType(DoubleType))))))
+    assert(reloaded.map(_.toSeq) == cen.map(_.toSeq),
+      "centroids drifted through the parquet round trip")
+    val direct = KMeans.assign(emb, "embedding", cen)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fromStore = KMeans.assign(emb, "embedding", reloaded)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fromStore == direct, "assignments drifted through the store")
+  }
+
   test("q_kmeans_assign matches its committed sf0.01 golden output") {
     checkGoldenTsv("q_kmeans_assign")
   }
