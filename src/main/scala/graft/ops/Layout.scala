@@ -43,11 +43,16 @@ object Layout {
     require(bits >= 1 && bits <= 8, s"bits must be in [1,8], got $bits")
     val nb = 1 << bits
     val ps = (1 until nb).map(_.toDouble / nb)
+    require(cols.nonEmpty, "need at least one z-order column")
     val row = df.select(cols.map(c =>
       percentile_approx(col(c).cast("double"),
         array(ps.map(lit(_)): _*), lit(accuracy)).as(c)): _*).head()
     cols.zipWithIndex.map { case (c, i) =>
-      c -> row.getSeq[Double](i).toArray
+      // an all-NULL (or empty-input) column has no quantiles — give it
+      // zero boundaries, so every row bins to 0 and the column simply
+      // stops contributing to the curve instead of NPE-ing the write
+      c -> (if (row.isNullAt(i)) Array.empty[Double]
+            else row.getSeq[Double](i).toArray)
     }.toMap
   }
 
@@ -56,7 +61,8 @@ object Layout {
     * cluster together at the curve origin).
     */
   private[graft] def binOf(x: Column, boundaries: Array[Double]): Column =
-    coalesce(
+    if (boundaries.isEmpty) lit(0)
+    else coalesce(
       aggregate(
         array(boundaries.map(lit(_)): _*),
         lit(0),

@@ -36,6 +36,19 @@ class ZOrderSpec extends SparkTestBase {
     assert(got == Seq(0, 1, 2, 3, 0), s"bin fold broke: $got")
   }
 
+  test("an all-NULL column degrades to bin 0 instead of failing the write") {
+    val dir = Files.createTempDirectory("graft_zorder_null").toString
+    try {
+      val df = Seq((1L, Option.empty[Double], 5.0),
+        (2L, Option.empty[Double], 3.0)).toDF("id", "x", "y")
+      Layout.writeZOrdered(df, s"$dir/t", Seq("x", "y"), bits = 2,
+        numFiles = 1)
+      assert(spark.read.parquet(s"$dir/t").count() == 2L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   private def scanOutputRows(
       df: org.apache.spark.sql.DataFrame): (Long, Long) = {
     val resultRows = df.collect().length.toLong
