@@ -28,9 +28,14 @@ import graft.text.TextOps
   *   4. LM perplexity gate (optional) — [[graft.text.LangModel
   *      .scoreDocs]] against an offline-trained (usually pruned →
   *      broadcastable) bigram LM, per micro-batch, stateless;
-  *   5. decontamination   — [[graft.dedup.Dedup.decontaminate]]
+  *   5. DSIR distribution gate (optional) — [[graft.text.Dsir
+  *      .scoreDocs]] against an offline-fit bounded ratio table,
+  *      keeping documents whose log importance ratio clears a
+  *      minimum (the importance-weighted filter deployment; the
+  *      resampling deployment is a batch job), stateless;
+  *   6. decontamination   — [[graft.dedup.Dedup.decontaminate]]
   *      against a static benchmark set, broadcast per micro-batch;
-  *   6. partition-scoped persist — survivors land in a
+  *   7. partition-scoped persist — survivors land in a
   *      [[TableStore]] partition keyed by the micro-batch epoch via
   *      `overwritePartitions`: write cost O(|batch|), and a replayed
   *      epoch (failure/restart) rewrites ITS OWN partition rather
@@ -96,6 +101,7 @@ object CorpusIngest {
       shingleLen: Int = 4,
       scoreGate: Option[(org.apache.spark.sql.Column, Double)] = None,
       lmGate: Option[(graft.text.LangModel.BigramLm, Double)] = None,
+      dsirGate: Option[(graft.text.Dsir.DsirModel, Double)] = None,
       historical: Option[(DataFrame, Array[Byte])] = None,
       runId: String = ""): StreamingQuery = {
     // the historical gate exists for exactly the situations where a
@@ -116,8 +122,8 @@ object CorpusIngest {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[(String, Long, String)], epoch: Long) =>
         applyBatch(spark, batch.toDF("fp", "doc_id", "text"),
-          bench, store, table, epoch, shingleLen, lmGate, historical,
-          runId)
+          bench, store, table, epoch, shingleLen, lmGate, dsirGate,
+          historical, runId)
       }
       .start()
   }
@@ -159,6 +165,7 @@ object CorpusIngest {
       epoch: Long,
       shingleLen: Int = 4,
       lmGate: Option[(graft.text.LangModel.BigramLm, Double)] = None,
+      dsirGate: Option[(graft.text.Dsir.DsirModel, Double)] = None,
       historical: Option[(DataFrame, Array[Byte])] = None,
       runId: String = ""): Unit = {
     val fresh = historical.fold(batch) { case (index, bloom) =>
@@ -180,10 +187,23 @@ object CorpusIngest {
         .select(col("doc_id"))
       fresh.join(keep, Seq("doc_id"), "left_semi")
     }
+    // DSIR distribution gate: keep documents whose hashed-ngram log
+    // importance ratio (target-likeness vs the raw pool the model was
+    // fit on) clears `min` — the importance-weighted FILTER deployment
+    // of DSIR (the resampling deployment is Dsir.resample, a batch
+    // job, not a stream gate). Unlike the LM gate, every document
+    // scores (an empty doc has an exact-zero weight), so `min` alone
+    // decides no-evidence documents — threshold above 0 to drop them
+    val matched = dsirGate.fold(gated) { case (model, min) =>
+      val keep = graft.text.Dsir.scoreDocs(gated, "doc_id", "text", model)
+        .filter(col("dsir_logw") >= lit(min))
+        .select(col("doc_id"))
+      gated.join(keep, Seq("doc_id"), "left_semi")
+    }
     val leaked = graft.dedup.Dedup
-      .decontaminate(gated, bench, "doc_id", "text", shingleLen)
+      .decontaminate(matched, bench, "doc_id", "text", shingleLen)
       .select(col("doc_id"))
-    val clean = gated.join(leaked, Seq("doc_id"), "left_anti")
+    val clean = matched.join(leaked, Seq("doc_id"), "left_anti")
     // runId namespaces the epoch so partition identity is
     // (incarnation, epoch): replay WITHIN an incarnation still
     // rewrites its own partition (idempotence), while a later

@@ -238,6 +238,54 @@ class CorpusIngestSpec extends SparkTestBase {
       s"unscoreable doc must drop at any threshold, got $afterShort")
   }
 
+  test("an offline-fit DSIR gate composes into the micro-batch path") {
+    import graft.text.Dsir
+    // fit the importance model offline: target = on-distribution
+    // vocabulary, raw = target mixed with off-distribution text (the
+    // DSIR deployment shape — the model is NOT fit on the feed)
+    val onDist = (0 until 12).map(j => s"a${j % 4}").mkString(" ")
+    val offDist = (0 until 12).map(j => s"z${j % 4}").mkString(" ")
+    val target = (1 to 20).map(i => (i.toLong, onDist)).toDF("doc_id", "text")
+    val raw = ((1 to 20).map(i => (i.toLong, onDist)) ++
+      (21 to 40).map(i => (i.toLong, offDist))).toDF("doc_id", "text")
+    val model = Dsir.fit(target, raw, col("text"), buckets = 256)
+
+    val store = new TableStore(tmp("corpus_store_dsir"))
+    val bench = Seq((900L, "x y z w")).toDF("doc_id", "text")
+    val batch = Seq(("fp1", 1L, onDist), ("fp2", 2L, offDist))
+      .toDF("fp", "doc_id", "text")
+    // threshold 0 = "more target-like than the raw pool average"
+    CorpusIngest.applyBatch(spark, batch, bench, store, "corpus", 0L,
+      dsirGate = Some((model, 0.0)))
+    val got = CorpusIngest.corpus(spark, store, "corpus")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"DSIR gate kept $got")
+
+    // replay: deterministic function of batch + static model
+    CorpusIngest.applyBatch(spark, batch, bench, store, "corpus", 0L,
+      dsirGate = Some((model, 0.0)))
+    val replayed = CorpusIngest.corpus(spark, store, "corpus")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(replayed == Seq(1L), s"replay broke idempotence: $replayed")
+
+    // unlike the LM gate there is no NULL path: an empty doc scores an
+    // exact ZERO weight, so it passes a ≤0 threshold and drops above
+    CorpusIngest.applyBatch(spark,
+      Seq(("fp3", 3L, ""), ("fp4", 4L, onDist)).toDF("fp", "doc_id", "text"),
+      bench, store, "corpus", 1L, dsirGate = Some((model, 0.0)))
+    val afterEmpty = CorpusIngest.corpus(spark, store, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(afterEmpty == Seq(1L, 3L, 4L),
+      s"zero-weight doc must pass a 0.0 threshold, got $afterEmpty")
+    CorpusIngest.applyBatch(spark,
+      Seq(("fp5", 5L, ""), ("fp6", 6L, onDist)).toDF("fp", "doc_id", "text"),
+      bench, store, "corpus", 2L, dsirGate = Some((model, 1e-9)))
+    val afterStrict = CorpusIngest.corpus(spark, store, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(afterStrict == Seq(1L, 3L, 4L, 6L),
+      s"zero-weight doc must drop above 0, got $afterStrict")
+  }
+
   test("a historical-corpus gate drops pre-stream documents exactly") {
     import graft.dedup.Dedup
     // the migration scenario: a corpus built by an earlier stream
