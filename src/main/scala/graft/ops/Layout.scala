@@ -90,6 +90,24 @@ object Layout {
       bits: Int): Column =
     interleave(cols.map(c => binOf(col(c), boundaries(c))), bits)
 
+  /** `df` re-ordered along the curve: one range exchange on the
+    * z-value + within-partition sort, helper column dropped (the
+    * projection preserves per-partition order). Whatever writes the
+    * result inherits the layout.
+    */
+  def zOrdered(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 6,
+      numFiles: Int = 32,
+      accuracy: Int = 10000): DataFrame = {
+    val bounds = quantileBoundaries(df, cols, bits, accuracy)
+    df.withColumn("__z", zValue(cols, bounds, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** Rewrite `df` in z-order over `cols` into `numFiles` range-
     * partitioned parquet files at `path`. Content-preserving — only
     * the physical order (and therefore the footer stats) changes.
@@ -102,11 +120,7 @@ object Layout {
       numFiles: Int = 32,
       accuracy: Int = 10000,
       rowGroupBytes: Option[Long] = None): Unit = {
-    val bounds = quantileBoundaries(df, cols, bits, accuracy)
-    val ordered = df.withColumn("__z", zValue(cols, bounds, bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    val ordered = zOrdered(df, cols, bits, numFiles, accuracy)
       .write.mode("overwrite")
     // skipping granularity = row group; production keeps the parquet
     // default (fewer, larger groups), tests shrink it to get many
@@ -115,4 +129,21 @@ object Layout {
       ordered.option("parquet.block.size", b.toString))
       .parquet(path)
   }
+
+  /** Layout compaction for a [[graft.streaming.TableStore]] table:
+    * rewrite the whole stored corpus z-ordered as ONE fresh version —
+    * [[graft.streaming.TableStore.compact]]'s read-fan-out fold plus
+    * multi-column skipping for every read after it. Same single-writer
+    * contract as any store rewrite.
+    */
+  def compactZOrdered(
+      spark: org.apache.spark.sql.SparkSession,
+      store: graft.streaming.TableStore,
+      table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String],
+      bits: Int = 6,
+      numFiles: Int = 32): Unit =
+    store.overwrite(table,
+      zOrdered(store.read(spark, table, schema), cols, bits, numFiles))
 }

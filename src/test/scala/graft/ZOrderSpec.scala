@@ -36,6 +36,37 @@ class ZOrderSpec extends SparkTestBase {
     assert(got == Seq(0, 1, 2, 3, 0), s"bin fold broke: $got")
   }
 
+  test("z-order compaction folds a store table to one curve-ordered version") {
+    import org.apache.spark.sql.types._
+    val store = new graft.streaming.TableStore(
+      Files.createTempDirectory("zorder_store").toString)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("x", LongType), StructField("y", LongType),
+      StructField("epoch", StringType)))
+    val n = 20000
+    // three epoch-partition writes — the incremental-ingest read
+    // fan-out (one live version per epoch, the CorpusIngest shape)
+    (0 until 3).foreach { v =>
+      val part = ((v * n / 3) until ((v + 1) * n / 3)).map(i =>
+        (i.toLong, (i % 100).toLong, ((i.toLong * 2654435761L) % 997L),
+          v.toString))
+      store.overwritePartitions("t", part.toDF("id", "x", "y", "epoch"),
+        "epoch", Seq(v.toString))
+    }
+    assert(store.liveVersionCount("t") == 3)
+    val before = store.read(spark, "t", schema).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    Layout.compactZOrdered(spark, store, "t", schema, Seq("x", "y"),
+      bits = 4, numFiles = 4)
+    assert(store.liveVersionCount("t") == 1,
+      "compaction must fold the read fan-out to one version")
+    val after = store.read(spark, "t", schema).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    assert(after == before, "layout compaction changed table contents")
+  }
+
   test("an all-NULL column degrades to bin 0 instead of failing the write") {
     val dir = Files.createTempDirectory("graft_zorder_null").toString
     try {
