@@ -186,7 +186,27 @@ object Recall {
       recallFloor = 0.3,
       truth = kmRow.getLong(1), emitted = kmRow.getLong(1))
 
-    Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf, qm, km)
+    // -- PCA: variance explained by the top-8 of 64 components — the
+    //    internal objective for the no-oracle q_pca_project. The
+    //    isotropic (no-structure / broken-moments) baseline is
+    //    8/64 = 0.125; the synthetic embeddings measure 0.2049 at
+    //    sf0.01 and 0.1598 at sf0.1 (numpy-confirmed), so 0.14 holds
+    //    at both scales while sitting above the degenerate value.
+    //    "precision" reports the worst pairwise |dot| among the kept
+    //    components (orthogonality; 0 is perfect).
+    val pcaModel = graft.similarity.Pca.fit(emb, "embedding", 64, 8)
+    val pcaOrtho = (for {
+      (a, i) <- pcaModel.components.zipWithIndex
+      (b, j) <- pcaModel.components.zipWithIndex if j > i
+    } yield math.abs(a.zip(b).map { case (x, y) => x * y }.sum))
+      .foldLeft(0.0)(math.max)
+    val pca = Metric("q_pca_project",
+      recall = pcaModel.varianceExplained(8),
+      precision = Some(pcaOrtho),
+      recallFloor = 0.14,
+      truth = 64L, emitted = pcaModel.components.size.toLong)
+
+    Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf, qm, km, pca)
   }
 
   def toJson(ms: Seq[Metric]): String =

