@@ -244,6 +244,21 @@ class PlanSpec extends SparkTestBase {
       s"Gumbel-top-k lost TakeOrderedAndProject:\n$plan")
   }
 
+  test("q_pca_project projects shuffle-free over literal components") {
+    // the corpus-side cost of PCA scoring is a map pass: the moment
+    // pass happens once at fit (bounded collects), the projection
+    // plan itself must carry no Exchange at all
+    val plan = finalPlan(q("q_pca_project"))
+    assert(shuffles(plan) == 0,
+      s"PCA projection gained a shuffle:\n$plan")
+  }
+
+  test("q_kmeans_assign assigns shuffle-free over literal centroids") {
+    val plan = finalPlan(q("q_kmeans_assign"))
+    assert(shuffles(plan) == 0,
+      s"k-means assignment gained a shuffle:\n$plan")
+  }
+
   test("q_domain_mix applies solved rates as a join-free scan filter") {
     // the solver collects ≤|targets| counts up front; the applied
     // sample must then be a literal CASE filter + ONE aggregation
