@@ -992,6 +992,18 @@ object SparkEntry {
       graft.text.LangModel.scoreDocs(docs, "doc_id", "text", lm)
     }),
 
+    // ---- canonical text cleanup: NFC composition (native codegen'd
+    //      expression) + whitespace collapse + trim; the md5 of the
+    //      cleaned text proves the whole transform byte-equal to
+    //      DuckDB's independent nfc_normalize on multilingual text ----
+    "q_doc_normalize" -> ((s, d) =>
+      t("documents")(s, d)
+        .select(col("doc_id"),
+          graft.text.TextOps.normalizeText(col("text")).as("norm"))
+        .select(col("doc_id"),
+          length(col("norm")).as("n_chars_norm"),
+          md5(col("norm").cast("binary")).as("norm_fp"))),
+
     // ---- DSIR importance weights (Xie et al. 2023 importance
     //      resampling): hashed-ngram (uni+bigram, 4096 md5 buckets)
     //      distribution match of every document against a curated
@@ -2330,6 +2342,17 @@ object SparkEntry {
            CASE WHEN p.n_bigrams > 0
              THEN CAST(p.logp_sum AS DOUBLE) / p.n_bigrams END AS lm_score
          FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
+
+    // DuckDB's nfc_normalize implements the same Unicode canonical
+    // composition as java.text.Normalizer NFC; length() counts
+    // codepoints in both engines
+    "q_doc_normalize" ->
+      """SELECT doc_id,
+           length(trim(regexp_replace(nfc_normalize(text),
+             '\s+', ' ', 'g'))) AS n_chars_norm,
+           md5(trim(regexp_replace(nfc_normalize(text),
+             '\s+', ' ', 'g'))) AS norm_fp
+         FROM documents""",
 
     // replays Dsir.fit + scoreDocs: hashed grams (unigrams + adjacent
     // bigrams of lowercased \S+ tokens) bucketed by the first 3 md5

@@ -1059,6 +1059,60 @@ object CharEntropy {
   }
 }
 
+/** Unicode NFC normalization (java.text.Normalizer, canonical
+  * composition) as a native codegen'd expression — the first step of
+  * corpus text cleanup: visually-identical strings with different
+  * codepoint sequences (e + combining acute vs precomposed é) md5 to
+  * DIFFERENT fingerprints and dedup misses them until normalized.
+  * DuckDB's `nfc_normalize` implements the same Unicode algorithm, so
+  * cleanup queries stay oracle-checkable.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nfc_normalize requires string, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.eval(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} =
+         |  graft.functions.NfcNormalize$$.MODULE$$.eval($s);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def eval(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    // already-normalized fast path: isNormalized is a scan without
+    // allocation, and real corpora are mostly NFC already
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Segment text with a learned BPE merge table
   * ([[graft.text.Bpe.Codec]]) into subword tokens — the apply side of
   * vocabulary induction. The codec is an expression FIELD (serialized
@@ -1246,6 +1300,9 @@ object GraftFunctions {
   def charEntropy(text: Column): Column =
     toColumn(CharEntropy(exprOf(text)))
 
+  def nfcNormalize(text: Column): Column =
+    toColumn(NfcNormalize(exprOf(text)))
+
   /** Column-API only (the codec is a JVM object, not a SQL literal,
     * so this one has no `builders` entry).
     */
@@ -1275,6 +1332,7 @@ object GraftFunctions {
     "pack_windows" -> (exprs =>
       PackWindows(exprs.head, intArg(exprs(1)).toLong)),
     "char_entropy" -> (exprs => CharEntropy(exprs.head)),
+    "nfc_normalize" -> (exprs => NfcNormalize(exprs.head)),
     "positional_shingle_hashes" -> (exprs =>
       PositionalShingleHashes(exprs.head, intArg(exprs(1)))),
     "remove_token_spans" -> (exprs =>

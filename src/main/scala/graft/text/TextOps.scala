@@ -25,6 +25,18 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Canonical text cleanup: Unicode NFC composition (the native
+    * [[graft.functions.NfcNormalize]] expression — visually identical
+    * strings with different codepoint sequences fingerprint apart and
+    * slip every dedup until composed), whitespace runs collapsed to
+    * single spaces, ends trimmed. DuckDB replays it as
+    * `trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))`.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      graft.functions.GraftFunctions.nfcNormalize(text),
+      "\\s+", " "))
+
   def charCount(text: Column): Column = length(text)
 
   /** Count of punctuation characters (fixed class shared with RE2). */

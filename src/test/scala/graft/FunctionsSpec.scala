@@ -100,6 +100,37 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(got._1 - ln2) < 1e-15 && got._2.isEmpty)
   }
 
+  test("nfc_normalize: composition, idempotence, passthrough identity, " +
+      "SQL, null") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.NfcNormalize
+    def ev(s: String): String =
+      NfcNormalize.eval(UTF8String.fromString(s)).toString
+    // e + combining acute (U+0301) composes to precomposed U+00E9;
+    // explicit escapes so source-file encoding can never pre-normalize
+    // the fixture
+    val decomposed = "e\u0301cole"
+    assert(decomposed.length == 6 && ev(decomposed) == "\u00e9cole"
+      && ev(decomposed).length == 5)
+    // idempotent, and an already-NFC input returns the SAME UTF8String
+    // (the no-allocation fast path)
+    assert(ev(ev(decomposed)) == ev(decomposed))
+    val nfc = UTF8String.fromString("\u00e9cole \u4e2d\u6587 ok")
+    assert(NfcNormalize.eval(nfc) eq nfc)
+    // full cleanup composition matches the DuckDB oracle's form
+    val cleaned = Seq(("  a\u0301  b\t\nc  ")).toDF("text")
+      .select(graft.text.TextOps.normalizeText(col("text")))
+      .as[String].head()
+    assert(cleaned == "\u00e1 b c", s"got ${cleaned.toList}")
+    // SQL registration + null propagation
+    val got = spark.sql(
+      "SELECT nfc_normalize('e\u0301') a, " +
+        "nfc_normalize(CAST(NULL AS STRING)) b")
+      .as[(String, Option[String])].head()
+    assert(got._1 == "\u00e9" && got._2.isEmpty)
+  }
+
   test("positional_shingle_hashes: order, bit-compat, short-doc, SQL, null") {
     import org.apache.spark.sql.functions._
     // element i == xxhash64 of the window starting at token i — the
