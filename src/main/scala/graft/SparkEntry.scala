@@ -2354,6 +2354,94 @@ object SparkEntry {
              '\s+', ' ', 'g'))) AS norm_fp
          FROM documents""",
 
+
+
+    // same inlined-learned-table precedent as q_kmeans_assign: the
+    // mean vector and 8x64 component matrix (pinned by the
+    // q_pca_project golden) replay the projection as ordered double
+    // sums — sum((x_j - mu_j) * w_mj ORDER BY j) is the JVM's
+    // sequential zip_with fold bit-for-bit; components gather back
+    // into the array with list(p ORDER BY m)
+    "q_pca_project" ->
+      """WITH mn AS (
+           SELECT unnest([0.002164709854038e0, -0.004547794351472e0, 0.0039301543830219995e0, -0.004793201057444e0, 0.009943076466454e0, 0.0077725329525399995e0, -0.018231355694848e0, 0.009217355088108e0, -0.0024274034146979998e0, -6.178791260560001E-4, 0.0064360780684619995e0, 0.0033540127822220002e0, -0.002658891296398e0, 0.0020540317017200002e0, -2.1456623025E-4, 0.005910249243546e0, 0.0033342206681e0, 0.005826121678218e0, -4.61276365548E-4, 0.001231715519158e0, -0.00383913904242e0, 0.002302184066622e0, 0.004168265111642e0, -0.008054586122042e0, -0.001891165461356e0, 0.012808142676021999e0, -0.0015970649567740001e0, 0.010626326819823999e0, -0.001153276573406e0, 3.903653705E-4, 0.0056047214816639995e0, -0.005792685562478e0, 0.008335300238788e0, -0.006675379839846e0, 0.005155627750542e0, 0.001177179405798e0, -0.005335331542408e0, -0.001593796574154e0, -9.66701676796E-4, -0.00114098193581e0, -0.0017442115085020001e0, -0.011834114763304e0, 3.13518199068E-4, -5.631569666639999E-4, -0.011520562025558e0, 0.003832613509028e0, -5.98060307384E-4, 0.005890298187844e0, -0.003749661162348e0, -0.0102644046155e0, 0.00937715246751e0, -0.00148199218771e0, 0.0077700426972879995e0, -0.003917563282558e0, 0.004709782614142e0, -0.003577291431942e0, 0.0047738668488620005e0, -0.00247036390502e0, -0.004844514904162e0, -0.008721180955264e0, -2.8116569211600003E-4, 0.005004184705332e0, -0.001159062597512e0, -0.013266222528522e0]) AS mu,
+             generate_subscripts([0.002164709854038e0, -0.004547794351472e0, 0.0039301543830219995e0, -0.004793201057444e0, 0.009943076466454e0, 0.0077725329525399995e0, -0.018231355694848e0, 0.009217355088108e0, -0.0024274034146979998e0, -6.178791260560001E-4, 0.0064360780684619995e0, 0.0033540127822220002e0, -0.002658891296398e0, 0.0020540317017200002e0, -2.1456623025E-4, 0.005910249243546e0, 0.0033342206681e0, 0.005826121678218e0, -4.61276365548E-4, 0.001231715519158e0, -0.00383913904242e0, 0.002302184066622e0, 0.004168265111642e0, -0.008054586122042e0, -0.001891165461356e0, 0.012808142676021999e0, -0.0015970649567740001e0, 0.010626326819823999e0, -0.001153276573406e0, 3.903653705E-4, 0.0056047214816639995e0, -0.005792685562478e0, 0.008335300238788e0, -0.006675379839846e0, 0.005155627750542e0, 0.001177179405798e0, -0.005335331542408e0, -0.001593796574154e0, -9.66701676796E-4, -0.00114098193581e0, -0.0017442115085020001e0, -0.011834114763304e0, 3.13518199068E-4, -5.631569666639999E-4, -0.011520562025558e0, 0.003832613509028e0, -5.98060307384E-4, 0.005890298187844e0, -0.003749661162348e0, -0.0102644046155e0, 0.00937715246751e0, -0.00148199218771e0, 0.0077700426972879995e0, -0.003917563282558e0, 0.004709782614142e0, -0.003577291431942e0, 0.0047738668488620005e0, -0.00247036390502e0, -0.004844514904162e0, -0.008721180955264e0, -2.8116569211600003E-4, 0.005004184705332e0, -0.001159062597512e0, -0.013266222528522e0], 1) AS j),
+         comp(m, w) AS (VALUES
+             (0, [-0.20963933001660917e0, -0.12057271532350737e0, 0.03654785815859466e0, 0.011819566737748876e0, 0.07567008238187792e0, 0.013214628821235912e0, 0.09058411852044125e0, 0.2866187923593287e0, 0.049546962195220104e0, 0.41405652648225794e0, 0.06530498182067808e0, 0.1820788538775707e0, 0.0651322414995371e0, -0.03653205475441454e0, 0.17114897510592436e0, -0.18534977731335603e0, 0.08898987447997779e0, -0.1570265546025708e0, -0.030136686336467246e0, 0.03217896951219557e0, 0.06121320408469091e0, -0.11068832311900659e0, -0.0834751278603199e0, -0.05543746863536199e0, 0.01955001202914878e0, 0.1991254285423887e0, -0.03751725244878448e0, 0.14950769892561727e0, -0.17287963096050163e0, -0.006123114077691251e0, -0.05871572669953374e0, 0.062037717986125285e0, 0.2965385435349478e0, 0.10616457882249865e0, -0.03204193889327297e0, 0.10414385148135125e0, 0.0445387595303467e0, 0.06146405309501749e0, 0.013006698193774865e0, 0.021771205655377334e0, -0.11667898780274165e0, 0.005524586413773768e0, -0.24083692027805878e0, 0.09570759065728734e0, -0.028307708366412002e0, -0.2251274447283311e0, 0.008731835913525856e0, -0.07903750804845348e0, -0.08368084415481639e0, -0.11845091152668759e0, 0.12045949821580305e0, 0.07248325158316381e0, -0.017186482161962786e0, 0.08160437407387762e0, -0.01503135563436264e0, -0.06676477469736715e0, -0.05565063626853766e0, -0.051376057816845115e0, 0.06019601766800317e0, -0.09113914347460655e0, 0.12198699564332222e0, 0.0506498338712592e0, -0.21821146492232518e0, -0.10201388635750254e0]),
+             (1, [-0.0038371272178442774e0, -0.05443024576998093e0, -0.012567933474663662e0, -0.08813365797898151e0, 0.17485769775552182e0, 0.02521436579671955e0, 0.07494656338927617e0, -0.0699807010684233e0, 0.07744817020876264e0, 0.030696056211884735e0, 0.10575814459832654e0, -0.017882873010644278e0, 0.01297565633274454e0, 0.13369681742662004e0, 0.014559198311941312e0, 0.04139191933550652e0, 0.1484110007875666e0, 0.36030985112321995e0, -0.05418865141815595e0, -0.05076477591545886e0, 0.03254316973743793e0, 0.03539112684091356e0, 0.06533467377919937e0, -0.30912280550609017e0, -0.2576821382605434e0, -0.23906586362569213e0, -0.020637632795840292e0, -2.2331336849215036E-4, -0.086285703720871e0, -0.17453292226773034e0, -0.024067927226567427e0, -0.21754493603778577e0, 0.02946393515704353e0, 0.06153867891647976e0, 0.033753328418890324e0, 0.07921967482666384e0, 0.059467100157193156e0, 0.03649840257691226e0, 0.18210698157164804e0, 0.046673884815412056e0, 8.626501519717648E-6, 0.046986755636598376e0, -0.06276704623365596e0, -0.1791897959341835e0, 0.17268649020299884e0, -0.18883522295762112e0, -0.0469458713151727e0, 0.1457794821094592e0, 0.11292397757439994e0, -0.11328063222949568e0, -0.15743104349240672e0, -0.08197501073208928e0, 0.01297994674114663e0, -0.016092353745218453e0, 0.23803515092474636e0, 0.02338431738872954e0, -0.3028202755248806e0, 0.016382840102416047e0, 0.1354336430091741e0, -0.12158606610581471e0, -0.08367049602357303e0, 0.08483882908448488e0, -4.43184871000075E-4, -0.07861586992632029e0]),
+             (2, [-0.14804403755815895e0, -0.08512440644998978e0, -0.06394747371956834e0, -4.575970201240018E-4, -0.20437466508182192e0, -0.043741735015420204e0, 0.1177552992592136e0, -0.2844978534926144e0, 0.044402396334653614e0, 0.023717338004903093e0, -0.051179527610385814e0, 0.03570203353229534e0, -0.06017956430592028e0, -0.03455060720843053e0, 0.009449519109243581e0, -0.2345457561483918e0, 0.1713735271107476e0, -0.08492758805401059e0, 0.11604706769427074e0, 0.07732840317408864e0, 0.013131626733886142e0, 0.17530755089595007e0, -0.10064801517312597e0, 0.05337470422634762e0, 0.09255730929911114e0, 0.10008395001912332e0, 0.09063736312349312e0, -0.13414209860845425e0, 0.010277697047014488e0, -0.10540482797841033e0, -0.12285966843834287e0, 0.09091210818976429e0, 0.04825216629301643e0, -0.18066130224597782e0, -0.029769890420987995e0, -0.10216258213077538e0, 0.13907849924224627e0, -0.21255244175528065e0, -0.0634565230880271e0, -0.10392899603783254e0, 0.18947963434178755e0, 0.1901101011089473e0, -0.12585555806895554e0, -0.20893277874847216e0, 0.1658656822300189e0, 0.05283627633080003e0, 0.04279757474294514e0, 0.018020015398095814e0, -0.0683200932325407e0, -0.05127551298029621e0, -0.12949844498207916e0, -0.10645450056375991e0, 0.22780031589634683e0, -0.1532947679383263e0, -0.1791520941492177e0, -0.0019200152184037755e0, -0.005381095593825273e0, 0.10972460099833248e0, 0.18279524157657598e0, -0.05268508459170053e0, -0.06955779387215426e0, 0.28843060582872376e0, -0.09008107781928475e0, -0.07553050141660803e0]),
+             (3, [0.06808659693094951e0, 0.06269221088299325e0, 0.008780757116996734e0, 0.1725269858455775e0, -0.25796105061745256e0, 0.10712924749587659e0, -0.023209209794969335e0, 0.1775430928743085e0, -0.11522019045015919e0, 0.1362019579827542e0, 0.007640884131473202e0, 0.20195047577195088e0, -0.060775444643881765e0, -0.1402193539510056e0, -0.09311367889119303e0, 0.049308065764735974e0, 0.09682486294738626e0, 0.07142426949770989e0, -0.009319477546489877e0, -0.2031684878199457e0, -0.22547295139974305e0, 0.15765898139356085e0, -0.011856441219378937e0, 0.07323162374923427e0, 0.027470748408213765e0, -0.11908308265806468e0, 0.1164542921404111e0, -0.003835251874894934e0, 0.128924483354123e0, -0.10452312733725226e0, 0.1521165649383989e0, 0.20057539618799664e0, -0.08141318128026967e0, -0.01767746907675964e0, -0.11650295044770947e0, 0.31619012195899365e0, -0.11671862241394834e0, -0.14843441727756065e0, -0.010252064338617079e0, -0.04828886545343362e0, -0.014507537290526312e0, -1.7919676217341906E-4, -0.08565322476317755e0, -0.017434761713197872e0, -0.07573379922142465e0, -0.041520825433724054e0, -0.013620431383834123e0, 0.36940447483735406e0, -0.10851089305569518e0, -0.15344609944152524e0, 0.06647233909088046e0, -0.01977800936403107e0, 0.009329623084683328e0, 0.005401021766640027e0, -0.021917540551676485e0, 0.10147291470916524e0, -0.17091025495367873e0, 0.09292951417043605e0, -0.17072042742250215e0, -0.07391767731523063e0, -0.19206043423679497e0, -0.09621918573463016e0, -0.08404634245618917e0, 0.02629688585025799e0]),
+             (4, [-0.01508534756984492e0, 0.013517865822976037e0, -0.17389132048524455e0, 0.02253742213756608e0, 0.16896698435455432e0, 0.3086630920578376e0, -0.2530950596384524e0, -0.10693042062475487e0, -0.017906200376105887e0, -0.06613281138270266e0, -0.14284835419829972e0, 0.3619618957920015e0, 0.11830375330568042e0, 0.11743309808598881e0, 0.11494380704496351e0, 0.055716544102439855e0, -0.11872343460538165e0, -0.11316167148703979e0, -0.01902053430515011e0, -0.24534483030901935e0, 0.031918236059532736e0, 0.0344519168618401e0, -0.011091880158803752e0, -0.10927001971166007e0, 0.12474957921915723e0, 0.16616884568066395e0, 0.03526854804529071e0, -0.1413783366013091e0, -0.026189293634676012e0, -0.1825991578540295e0, 0.04226625183245487e0, 0.016172195476406786e0, -0.06229191535003857e0, -0.028462604620836485e0, -0.03986889349850858e0, -0.05384708017492382e0, -0.08802504604115466e0, 0.2352514010832318e0, 0.04905411981839351e0, -0.2630745924494191e0, -0.05655833933150154e0, -0.10089457052345881e0, -0.007513654284286321e0, -0.05056559009259299e0, 0.11724159723331354e0, 0.009091732565537637e0, -0.03499876040897467e0, -0.020604323570515785e0, 0.10296227463480699e0, -0.21235460233870632e0, -0.13375687696074512e0, -0.08333561356841654e0, -0.16669651257419996e0, 0.09694053144683577e0, -0.217877433966349e0, -0.004216181308929742e0, -0.005630303019847207e0, 0.04229455935676747e0, 0.10565659882668936e0, -0.004698642659135171e0, 0.05406348794632309e0, 0.03249524823892772e0, 0.07261703253232357e0, 0.06545658155625234e0]),
+             (5, [-0.08544207411390912e0, 0.011076242789586178e0, -0.1744330539498953e0, 0.1997158227382775e0, 0.008519457705322723e0, -0.02935471483859419e0, 0.16018544728919742e0, -0.01384658819402983e0, -0.11290145070413776e0, -0.04229772769115366e0, 0.02215837524009635e0, 0.03605046975048862e0, -0.18230215304147662e0, 0.4784807238869084e0, -0.08551788850375193e0, -0.017420528279437755e0, 0.024875500962044418e0, -0.19661496147871627e0, -0.2096973240755571e0, -0.10289007389534918e0, -0.06340424749883157e0, 0.03467842363236146e0, 0.16836503422452503e0, 0.03422494667760793e0, 0.006176514512886136e0, -0.022542977943764343e0, -0.18434962747246933e0, -0.02527352779620449e0, 0.012000127806995728e0, -0.05242866309612357e0, 0.16064800817800848e0, -0.10225656235882602e0, -0.15891143460209756e0, -0.18394127657206466e0, -0.09522292106472229e0, 0.015104919158700781e0, 0.17046990841537257e0, 0.05533662712546347e0, -0.07520278543372658e0, 0.20414406991756767e0, -0.0418525187634915e0, 0.2693909839460649e0, -0.1791556716660383e0, -0.04481312590088191e0, -0.038453382304453436e0, -0.11610530059464434e0, 0.12082475546500947e0, -0.007047023984702731e0, 0.030184523340581904e0, 0.04781309536236092e0, 0.16379574987809273e0, 0.014019726440658655e0, 0.06607626122156827e0, 0.11155759478261534e0, -0.09857967354725018e0, -0.09315850574202432e0, -0.08969349432894608e0, -0.10318157108385237e0, -0.017876517960484933e0, 0.13658261990810786e0, 0.07658137891812629e0, -0.07416291204804207e0, 0.07691180885388507e0, 0.01438098028834065e0]),
+             (6, [-0.104677032287696e0, 0.04334903473169027e0, 0.3308233466634177e0, 0.05281115210180784e0, 0.07154724254474129e0, -0.23957893423096915e0, -0.035970206907013844e0, -0.050250640582803124e0, 0.005446403017656507e0, 0.21559012725716142e0, -0.25725132543057033e0, 0.08007311348834399e0, 0.23352969305550197e0, 0.06344687151082529e0, 0.106959372062481e0, 0.19554398223566835e0, 0.05497151097418605e0, -0.15899119528663444e0, -0.06773789164231446e0, 0.04729157369161087e0, -0.04121476171772915e0, -0.06668512606089907e0, -0.0477899042308312e0, 0.027070002081949502e0, -0.05888062996802145e0, 0.008833017874950399e0, -0.13899058855228566e0, -0.15865816066784721e0, 0.040306950589685864e0, -0.12584152716451177e0, 0.1536627626756421e0, -0.22586041349742994e0, -0.11182059620532897e0, 0.10493781231285376e0, 0.01450336954178789e0, -0.18891690793743088e0, 0.0072130098264476415e0, -0.20401995139228216e0, -0.132550859095582e0, -0.20449431762633943e0, 0.19571794479598256e0, 0.08722166889780034e0, 0.024970696636133518e0, -0.017672627369704708e0, -0.06601916272387814e0, -0.06466506768777844e0, -0.13659525086433424e0, 0.044331846478360956e0, -0.13211726951125286e0, -0.0860836438252544e0, -0.05007145655058547e0, 0.21818178555972692e0, 0.04603151276024757e0, 0.14948532648150578e0, 0.10036773912785972e0, 0.06536654088408791e0, -0.014218162855062815e0, -0.01194769128862153e0, -0.02457567182919416e0, 0.01462271114353275e0, -0.1582386979643647e0, -0.04525846389625555e0, 0.13015213607435974e0, -0.037122946418153925e0]),
+             (7, [0.28053834556296997e0, -0.13715906812846676e0, -0.041266920857311665e0, 0.07332610324034254e0, -0.019158560091254443e0, -0.14848892176939218e0, -0.11300436697000635e0, 0.08889731754426959e0, -0.017383141184218187e0, 0.09350298184162589e0, 0.15384331717530159e0, -0.0953387630499059e0, 0.10336993990334269e0, 0.022934882237139652e0, 0.07543842908721819e0, 0.18178213560325862e0, -0.16023107870939482e0, 0.02863289346479167e0, -0.05134798748767351e0, -0.017840531442841562e0, -0.009984333275665008e0, 0.1667173656233132e0, -0.0036041623705857836e0, 0.25852724160569207e0, -0.15791550699054446e0, 0.05612739386357318e0, -0.09822172387174434e0, -0.040300239804647885e0, -0.014822404979673432e0, 0.04401133555576706e0, 0.0482368115572287e0, -0.08010611845362679e0, 0.029625486993663665e0, 0.045614000096223184e0, 0.10346268551222576e0, -0.20726140108276592e0, -0.14479500270500792e0, -0.11211549327326459e0, -0.03295226754086049e0, 0.027501799002280978e0, -0.10105638318843091e0, -0.12730956527183704e0, -0.19101634335540363e0, -0.0889929477113711e0, 0.11129272032578011e0, 0.06580293908179483e0, -0.1425633892509241e0, 0.21676374381785535e0, 0.14131254421355485e0, -0.01800817498345244e0, 0.23205685634128487e0, -0.19508721033424792e0, 0.010139005428824543e0, 0.01670622449826584e0, -0.18769487157623593e0, -0.04931118633401414e0, 0.012939834002709046e0, -0.045929942721279524e0, 0.31640769191890916e0, 0.13303036695919554e0, 0.003273279892846201e0, 0.05165375785180388e0, -0.15850982823746454e0, -0.20279568057058536e0])),
+         cdim AS (
+           SELECT m, unnest(w) AS cw, generate_subscripts(w, 1) AS j
+           FROM comp),
+         edim AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS j
+           FROM embeddings),
+         proj AS (
+           -- list(ORDER BY) is order-guaranteed, list_reduce folds
+           -- sequentially — the exact left fold Spark's aggregate HOF
+           -- performs (sum(ORDER BY) does NOT pin double addition
+           -- order and drifts in the last ulp)
+           SELECT e.vec_id, c.m,
+             list_reduce(list((e.x - mn.mu) * c.cw ORDER BY e.j),
+               (a, b) -> a + b) AS p
+           FROM edim e
+           JOIN cdim c ON e.j = c.j
+           JOIN mn ON e.j = mn.j
+           GROUP BY e.vec_id, c.m)
+         SELECT vec_id, list(p ORDER BY m) AS projected
+         FROM proj GROUP BY vec_id""",
+
+    // q_doc_bpe_apply precedent: a bounded deterministic learned table
+    // (here the 10x64 centroid matrix, itself pinned by the
+    // q_kmeans_assign golden) may be inlined as VALUES — the
+    // correctness gate always runs at sf0.01, the scale it was
+    // trained at. The replay mirrors ArgTopCells exactly: dot =
+    // (ordered sum over dims of v_j*c_j) + bias added LAST, bias =
+    // -0.5 * ordered sum of c_j^2, ties to the LARGER cluster index
+    // (ORDER BY dot DESC, cluster DESC). Ordered double sums match the
+    // JVM's sequential fold bit-for-bit (the q_temperature_mix rule).
+    "q_kmeans_assign" ->
+      """WITH cen(cluster, w) AS (VALUES
+             (0, [0.027674780953428575e0, 0.03091342489164286e0, -0.05425491070909524e0, 0.028569055477214285e0, 0.01330180334797619e0, 0.06556863425342857e0, -0.023533889829904762e0, -0.003358426379095238e0, -0.060944316354309525e0, -0.005714051303595238e0, 0.027374715849071425e0, 0.046876268073357145e0, 0.07559927163780952e0, -0.04968642604183333e0, 0.015850797772285714e0, -0.05741506772338095e0, -0.010644343155e0, -0.0034804160795238095e0, 0.005209908355071428e0, -0.03927501779980952e0, 0.01270190128157143e0, 7.749966781190476E-4, -0.09068885632135715e0, 0.0019329549478809523e0, 0.05188305719221428e0, 0.07403609136645238e0, 0.011989027766214286e0, 0.013008683820142858e0, -0.013990043740166666e0, 0.0507574122e0, -0.017426749380952383e0, -0.015226893232285715e0, 0.0650592514402381e0, 0.006728623400500001e0, -0.03955031970202381e0, 0.02704768862921429e0, -0.022752619259785715e0, -0.034479180813809525e0, 0.041107317449357146e0, -0.11004232903492857e0, 0.007835500590880952e0, -0.06229920852154761e0, -0.06479744324483334e0, -0.06339737875090476e0, 0.021362085139357143e0, 0.007071135320333334e0, -0.039501819820571424e0, -0.005030805710714285e0, -0.010159178021642857e0, -0.11378086995819048e0, 0.004779457253285714e0, -0.04020452098723809e0, -0.005520906221738096e0, -0.002996664050785714e0, -0.031589151509785716e0, -0.012670741682666667e0, 0.052304353986309525e0, 0.015611940102309525e0, 0.03239217198766667e0, -0.0012503592741190475e0, 0.016973104571880955e0, -0.013009250820999999e0, -0.06648277051242857e0, -0.016330139107261905e0]),
+             (1, [-0.038166633869244446e0, 0.03067005561251111e0, 0.010583489396022223e0, 0.0029877184838888893e0, -0.005169629812688889e0, 0.03458634790082222e0, 0.030428785799733335e0, 0.06351999425742222e0, -0.024965531787733333e0, -0.006372045684222222e0, -0.01648438716202222e0, -0.034518085413688886e0, -0.026252220395088885e0, -0.019687421987288886e0, -0.032905850031711106e0, -0.014616721723666666e0, 0.022032980124266667e0, -0.06757711110022223e0, -0.04324904715431111e0, 0.04649606311388889e0, -0.07973349312731111e0, -0.026106769456933333e0, -0.018373362864844443e0, -0.013286735588177776e0, -0.0021417347206666667e0, 0.021108181587155554e0, -0.010170353638644445e0, -0.002725964976111111e0, -0.0024928104572222226e0, -0.044244967284555556e0, 0.05365292892484445e0, -0.014370618465733334e0, 0.05850423654128889e0, 0.007971172227466667e0, 0.04926679628997777e0, 0.024346515639866666e0, -0.022830609785800003e0, 0.03973525014388889e0, -0.025404646112933336e0, 0.06421543315784445e0, -0.06301187475522221e0, -0.0049093091861111115e0, -0.05315571233837778e0, -0.009837308977377777e0, -0.03793778707171111e0, 0.006195884404866667e0, -0.057202432620222225e0, 0.032912642964133335e0, 9.006139589555555E-4, 0.016739674285044446e0, 0.059134115899555556e0, 6.49991722E-4, -0.01240634845268889e0, 0.007610934351933333e0, 0.037298831193577776e0, -0.04855998112144444e0, 0.037869660069955555e0, 0.038638851587177774e0, 0.015467409631111111e0, -0.04986123825528889e0, -0.040021721770333335e0, -0.026423373707222222e0, -0.01379556970468889e0, -0.047123703650244445e0]),
+             (2, [0.03415851351224528e0, -0.004847747119962264e0, 0.03220419663684906e0, 0.014508253626792453e0, 0.00598064322854717e0, 0.07129816896388678e0, -0.007477937849679246e0, -0.0036959699685094336e0, -0.013402886109943396e0, 0.061054175563660384e0, 0.026646607643301887e0, 0.08741019777781132e0, -0.00999024956054717e0, 0.02240438705726415e0, -0.003171774575792453e0, 0.036126182064226416e0, 0.0166718171984717e0, 0.006204123074981132e0, -0.03668064959696226e0, -0.039711950203509434e0, -0.02653353924009434e0, -0.016499174271188678e0, 0.002946391785169811e0, 0.02270586514090566e0, 0.004281470360962264e0, -0.015494462190547169e0, -0.019294742814415095e0, 0.01328877437001887e0, 0.0925807600845283e0, -0.020497406951509433e0, 0.07665634202939622e0, -0.047643718999415094e0, -0.01027755031609434e0, -0.021742176987150943e0, -0.010875031554132076e0, -0.015772623673339623e0, -0.007442205538113207e0, -0.04398322922079245e0, -0.005832425931547171e0, 0.00442507231764151e0, -0.007093982665584905e0, 0.01397018593228302e0, 0.04731585322181132e0, -0.020921281834301888e0, -0.006093918293113208e0, -0.028407448599603775e0, -0.0012617661597924528e0, 0.0690435327695283e0, 0.012787900856245283e0, 0.023215203168245283e0, -0.010690661459132075e0, 0.004257316648358491e0, 0.017522599758981135e0, -0.019037033062207546e0, 0.0174994357545283e0, 0.06202041517224528e0, -0.03931530432798113e0, 0.012240452075264151e0, -0.08691992945437736e0, -0.0709352766068868e0, -0.0031789889707547173e0, -0.007866965316849057e0, 0.015122794458301888e0, -0.01079346272509434e0]),
+             (3, [0.010795183643148937e0, -0.003729222491042553e0, 0.005121361939851064e0, 0.0073545194885106385e0, 0.06624087386151063e0, 0.011330983601489363e0, -0.02514298706548936e0, 0.004577936238021277e0, 5.8809508361702125E-5, 9.691692056170212E-4, 0.06283417032004256e0, 0.021536759421659574e0, -0.05417060244212766e0, 0.017943709672638298e0, 0.03308129683142553e0, 0.0013842265507659575e0, -0.0034169630999361703e0, -0.011982261813829788e0, 0.008966372873446808e0, 0.00979661876138298e0, 0.030031136795659573e0, -0.01614922838919149e0, -0.03577032136395745e0, 0.05874746162046809e0, -0.035228908802617025e0, -0.012682743172446808e0, 0.0239964352346383e0, 0.02327823610680851e0, -0.019041912536085105e0, 0.02474765315338298e0, -0.025722393790787234e0, -0.04534833130751064e0, 0.004485996846255319e0, -4.306389217021276E-4, 0.02987669253506383e0, -0.05196040558780851e0, 0.018811771358787234e0, 0.08066029684925531e0, -0.010032892098361702e0, 0.011056627310468086e0, -0.07230066815680851e0, -0.023339241921404255e0, -0.012444076544404256e0, 0.032055853497042555e0, -1.558548203829787E-4, -0.034063551411404255e0, 0.02671393241357447e0, -0.024334632811404255e0, 0.046950337285106385e0, -0.04262977745880851e0, 0.07250405850502127e0, -0.009724956139574468e0, -0.0487444906772766e0, -0.027401291007361703e0, -0.0109111782103617e0, 0.040913325486787236e0, 0.012852892789851062e0, 0.0446649699056383e0, 0.01126086465031915e0, 0.03786318482178724e0, 0.08217493454580851e0, -0.02180441326280851e0, -0.01028094621019149e0, 0.06510742842782978e0]),
+             (4, [-0.020486721394391304e0, 0.06126691094271739e0, -0.03264436371741304e0, -0.035922675365695655e0, -0.004788062641456522e0, -0.0015296354666304347e0, -0.023874066980173914e0, -0.04731957011082609e0, -1.1025921415217392E-4, -0.06738002294845652e0, -0.04787401351880435e0, 0.011883591387804347e0, 0.004621799613978261e0, 0.050726767339565215e0, -0.02570319145845652e0, 0.021561874937195653e0, 0.04611991676904347e0, 0.021781449773086957e0, 0.03185528672158695e0, -0.009423260172065217e0, 0.04147438473154348e0, -0.0026251431351956523e0, 0.06271235769343478e0, -0.07673421731402173e0, 0.06549240710497826e0, -0.03159330234582609e0, -0.00989918625071739e0, -0.024076349542260872e0, -0.06533972266554348e0, -0.017178070690934782e0, -0.022455780594847825e0, 0.025826823047369562e0, -0.04584442573073913e0, -0.04456712228606522e0, -0.05052233418034782e0, -0.01854128462430435e0, 0.06181345237726087e0, 0.025632077842891305e0, 0.018620082976956522e0, -0.047754847808999995e0, 0.009901714680760869e0, 0.05103250964143478e0, -0.036162153129413045e0, -0.04150007992128261e0, 0.01741220970873913e0, 0.009034205698804348e0, 0.04731597999395652e0, -0.005194464024065217e0, -0.03561144126780435e0, -0.0346474401835e0, -0.022033395400065218e0, 0.007900501014239131e0, -0.01697370371752174e0, 0.006753598420826087e0, 0.037613784347673915e0, -0.055780046113326084e0, -0.004759372156326087e0, 0.020828436498260872e0, -0.04772413015980435e0, 0.008980059145934782e0, -9.703518438695653E-4, 0.007900760331934781e0, 0.05868550333306522e0, 0.00630836021e0]),
+             (5, [-0.04434690434486e0, -0.08117959820670001e0, 0.012254382963299998e0, 0.00538136059414e0, 0.04476336588154e0, 0.0016260420182e0, -0.06364761736702e0, 0.00976751565936e0, 0.017580664372079998e0, 0.01902678760466e0, -0.049899933787480005e0, -1.0874427391999999E-4, -0.0033520722947999997e0, -0.05419328236252e0, 0.02065216876098e0, 0.01940723998472e0, -0.02268904210766e0, -0.04035405145028e0, 0.03056599613276e0, -0.03264655236618e0, 0.03285514864136e0, 0.02646281568338e0, 0.03241793034368e0, -0.02394179818686e0, -0.01548460696818e0, 0.09979551545464e0, 0.03839666712858e0, -0.02191411100326e0, -0.005701861390900001e0, -0.06758689627976e0, 0.023188628633500002e0, 0.0409783301537e0, 0.02553606608984e0, -0.036922382740319996e0, 0.03645075949256e0, -0.10248972183090001e0, -0.0227935889875e0, -0.02137675860014e0, 0.006448867809960001e0, 9.631311125E-4, 0.0072766102012400006e0, -0.0296696674521e0, -0.00745370153806e0, 0.0198828919931e0, 0.00756394446124e0, 0.05370402770582e0, 0.027304405849400002e0, 0.02038090975954e0, -0.033959835688540004e0, -0.02217288732996e0, -0.026200171108260003e0, 0.04534695056244e0, 0.00778772845862e0, -0.0032795925299e0, -0.06863204948838e0, -0.021550881946499997e0, 0.0388385737545e0, 0.0016779334004999999e0, 0.06929214105124e0, 0.023442250010539997e0, -0.03469534503294e0, 0.057258088955139994e0, -0.0282678205194e0, -0.05976949621462e0]),
+             (6, [0.024394058132245613e0, -0.03139999243349123e0, 0.014477177331087719e0, 0.030372448204333335e0, -0.006160245671210526e0, -0.024335761092947366e0, -0.036072783148649125e0, 0.08098591881878948e0, -0.029449895865263157e0, -0.008765491940789474e0, -0.034689639074052626e0, -0.007491055941333334e0, -0.00578902941045614e0, -0.03407913895440351e0, -0.029325005761789473e0, 0.029100069171649125e0, -0.03031021232401754e0, -0.052678117377350876e0, 0.017650154444754387e0, 0.03369684791775439e0, -0.0313033129317193e0, -0.022899834275824562e0, -0.0036604354002982456e0, 0.038088418314561404e0, 0.0254953404717193e0, 0.0377546084244386e0, -0.007370732773701754e0, 0.039739125547070174e0, 0.04933475494885965e0, 0.0358408581605614e0, 0.02319377717933333e0, 0.08071879439845614e0, -0.02628640290105263e0, 0.0014718104799473684e0, -0.005152381622631579e0, 0.039731587250614035e0, -0.02047096337022807e0, 0.01854099792410526e0, -0.0697220520508421e0, 0.01138027480463158e0, 0.02315451104191228e0, -0.03303173393524561e0, 0.03344309226282456e0, 0.0464351587081579e0, -0.08441820983338597e0, 0.013316382321105264e0, 0.008606036803333333e0, -0.03214193365475439e0, -0.05338138356608772e0, 0.02930017677542105e0, 0.007851121424333333e0, -1.1145615780701755E-4, 0.03255162830050877e0, -0.015375237495298247e0, -0.036015619295070175e0, -0.009455008853070174e0, 0.04016461148912281e0, -0.05452186612640351e0, -0.07242662627914036e0, -0.022340535463964913e0, -5.428079973508772E-4, 0.0037721590376140353e0, 0.005700119779245614e0, 0.043743983948649125e0]),
+             (7, [0.021027989048289474e0, 0.0226063207175e0, 0.01150927501486842e0, -0.011278569293947369e0, -0.08294294441226316e0, -0.04623744539355263e0, 0.035919739442e0, -0.08658303176728947e0, 0.02247347595713158e0, -0.06261069492407895e0, 0.030379704898263155e0, 0.003886267604131579e0, 0.051268481772026316e0, 0.057301688259236844e0, -7.504409816052631E-4, -0.03758667011155263e0, -0.056890247674499995e0, 0.02789064428286842e0, -0.03340662056936842e0, 0.03996715586826316e0, 0.0077597067667105266e0, 0.06322953020107895e0, -0.0014321158937631577e0, 0.029511825469526312e0, 0.013324829618052633e0, 0.04355364010405263e0, -0.011922874916842106e0, 0.004386011166421053e0, 0.008613355641605263e0, 0.027675679371710525e0, -0.04117515273889474e0, -0.07518840174021052e0, 0.013231348037973685e0, -0.03688542863455263e0, -0.012775125971447369e0, -0.03139177007657895e0, -0.007952525427500001e0, -0.08268279307160527e0, -0.014092126077e0, 0.020856329752710526e0, 0.09387099675184211e0, -0.01987416523905263e0, 0.052400847271894736e0, -0.03694851344794737e0, 0.0036809912723947368e0, 0.0592912026485e0, -0.027604950175236845e0, 0.0019311128968684211e0, 0.03959515992413158e0, 0.030599749769657892e0, 0.0035797055124736844e0, -0.049535837847e0, 0.018602103852789476e0, -0.015671795417868423e0, -0.02665920175718421e0, 0.03260459252144737e0, -0.009460756769657894e0, -0.01485711106831579e0, 0.053823341039578955e0, -0.025485419864289472e0, 0.003548763827184211e0, 0.03272066394002632e0, 0.06807647366081579e0, 0.015323570280052634e0]),
+             (8, [0.01259922131175e0, -0.04867662541457353e0, -0.018450673500088235e0, 0.003165828745676471e0, 0.02120404453570588e0, 0.01650221835520588e0, -0.022489389682e0, 0.0072402857049264704e0, 0.001618393549632353e0, -0.009194194584470588e0, 0.03641566076672059e0, -0.04017545182179411e0, -0.06360636443504411e0, 0.051406099638838236e0, -0.020807388190720588e0, -0.011128464159014707e0, 0.03453375134101471e0, 0.09845178200767647e0, -0.008951391148205881e0, -0.02423783171897059e0, -0.009243861861132354e0, 0.04577977518438235e0, 0.06201902132907353e0, -0.07470617060352941e0, -0.06850080385883824e0, -0.03534820970308823e0, 0.005285827867632353e0, 0.03282633350529412e0, -0.0037832511503235293e0, -0.016985650639985292e0, 0.005591652927867647e0, -0.03775957735955882e0, -0.020239384186588237e0, 0.0020687044528676472e0, 0.03408094203126471e0, 0.08000247781030882e0, -0.01815787706907353e0, -0.015360606981558823e0, 0.05283964244564705e0, 0.03530357090520588e0, 6.416086999852941E-4, 0.00869190760482353e0, -0.016391018611044115e0, -0.027604508015147057e0, -0.002577544959985294e0, -0.03311496059692647e0, 0.015006165658235296e0, 0.007112243954897059e0, -0.001657326506117647e0, 0.012868130640352941e0, -0.013982484030705882e0, -0.028103568909647058e0, 0.03676575647158824e0, 0.020947939294088235e0, 0.061509394004779415e0, -0.027646137129205883e0, -0.07170243720483824e0, -0.01005199629307353e0, 0.05015108889736765e0, 0.01205658477817647e0, -4.917464685441176E-4, 0.012495563164367647e0, -0.02670906538225e0, -0.01981911799342647e0]),
+             (9, [-0.01049629150875926e0, 0.017801156431370372e0, 0.05001881125835185e0, -0.09222394964422222e0, 0.023303224472333333e0, -0.05044980393727778e0, -0.02624877312875926e0, 0.03225922155957407e0, 0.055882173124722226e0, 0.047936236015833335e0, 0.0275636889057963e0, -0.03543363788811111e0, 0.04470819232259259e0, -0.02565448746275926e0, 0.04788356635255556e0, 0.04830889785835185e0, 0.01766355466785185e0, 0.04811850019305556e0, 0.016626890229185183e0, 0.038738441386203706e0, -0.005607492169759259e0, -0.027518958099074075e0, -0.0039811298139074075e0, -0.017791135572925925e0, -0.02109992470596296e0, -0.02181247879183333e0, -0.03519116456753704e0, 0.011672469351851853e0, -0.06444625056312964e0, 0.04088098794238889e0, -0.03700034490237037e0, 0.011726705961092591e0, 0.043336877282444446e0, 0.04197904642212963e0, 0.0029114717013888885e0, 0.020379355125537037e0, -0.003228843022388889e0, 0.007826131971148148e0, -0.010155365353925926e0, -0.023812787581481483e0, -0.006322105803185185e0, -0.028520034613203706e0, 0.04815990886979629e0, 0.07361478217511111e0, -0.017627978602685185e0, 0.010852387873425927e0, -0.0233010388587037e0, -0.006393153663444445e0, 0.011367439650240741e0, -0.024796373624759258e0, 0.031046834231074075e0, 0.0429401160477037e0, 0.025305335433444445e0, 4.107522761111111E-4, 0.04024468734001852e0, 0.010037792875777777e0, 0.022009908997777775e0, -0.05673669842590741e0, -0.05551494181983333e0, -0.004583448202907407e0, -0.019208926664314816e0, 0.002682468075e0, 0.002472288095925926e0, -0.09897012704192593e0])),
+         cdim AS (
+           SELECT cluster, unnest(w) AS cw,
+             generate_subscripts(w, 1) AS j
+           FROM cen),
+         bias AS (
+           SELECT cluster, -0.5 * sum(cw * cw ORDER BY j) AS b
+           FROM cdim GROUP BY cluster),
+         edim AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS j
+           FROM embeddings),
+         dots AS (
+           SELECT e.vec_id, c.cluster,
+             sum(e.x * c.cw ORDER BY e.j) AS s
+           FROM edim e JOIN cdim c ON e.j = c.j
+           GROUP BY e.vec_id, c.cluster),
+         keyed AS (
+           SELECT d.vec_id, d.cluster, d.s + b.b AS dot,
+             row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY d.s + b.b DESC, d.cluster DESC) AS rn
+           FROM dots d JOIN bias b ON d.cluster = b.cluster)
+         SELECT vec_id, CAST(cluster AS INTEGER) AS cluster
+         FROM keyed WHERE rn = 1""",
+
     // replays Dsir.fit + scoreDocs: hashed grams (unigrams + adjacent
     // bigrams of lowercased \S+ tokens) bucketed by the first 3 md5
     // hex chars (('0x'||hex)::BIGINT ≡ Spark's conv(hex,16,10));
