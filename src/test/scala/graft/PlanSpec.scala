@@ -244,6 +244,15 @@ class PlanSpec extends SparkTestBase {
       s"Gumbel-top-k lost TakeOrderedAndProject:\n$plan")
   }
 
+  test("q_doc_normalize cleans shuffle-free in one codegen span") {
+    val plan = finalPlan(q("q_doc_normalize"))
+    assert(shuffles(plan) == 0,
+      s"text cleanup gained a shuffle:\n$plan")
+    // the executed-plan tree marks WholeStageCodegen stages "*(n)"
+    assert(plan.contains("*(1) Project"),
+      s"nfc_normalize fell out of codegen:\n$plan")
+  }
+
   test("q_pca_project projects shuffle-free over literal components") {
     // the corpus-side cost of PCA scoring is a map pass: the moment
     // pass happens once at fit (bounded collects), the projection
