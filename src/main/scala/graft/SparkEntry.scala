@@ -1220,6 +1220,20 @@ object SparkEntry {
         .select(col("vec_id"), col("projected"))
     }),
 
+
+    // ---- SemDeDup (arXiv:2303.09540), the published shape composed
+    //      from the engine's own primitives: exact-decimal k-means
+    //      partition -> within-cell cosine near-dup -> component
+    //      collapse to the min-id member; sub-quadratic by the
+    //      cell-scoping approximation ----
+    "q_semdedup" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      val cen = graft.similarity.KMeans.train(
+        emb, "vec_id", "embedding", k = 10, dim = 64, iters = 5)
+      graft.dedup.Dedup.semDeDup(emb, "vec_id", "embedding", cen, 0.4)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // ---- embedding-cosine near-dup pairs (scoped all-pairs) ----
     "q_embedding_neardup" -> ((s, d) => {
       graft.dedup.Dedup.embeddingNearDup(
@@ -2355,6 +2369,77 @@ object SparkEntry {
          FROM documents""",
 
 
+
+    // SemDeDup replay: the inlined sf0.01 centroid matrix (same
+    // VALUES as q_kmeans_assign) assigns cells, within-cell cosine
+    // pairs at >= 0.4 (the q_semantic_collapse list_reduce cosine),
+    // recursive-CTE components, min-id collapse; zero-norm rows are
+    // never paired and always survive
+    "q_semdedup" ->
+      """WITH RECURSIVE cen(cluster, w) AS (VALUES
+             (0, [0.027674780953428575e0, 0.03091342489164286e0, -0.05425491070909524e0, 0.028569055477214285e0, 0.01330180334797619e0, 0.06556863425342857e0, -0.023533889829904762e0, -0.003358426379095238e0, -0.060944316354309525e0, -0.005714051303595238e0, 0.027374715849071425e0, 0.046876268073357145e0, 0.07559927163780952e0, -0.04968642604183333e0, 0.015850797772285714e0, -0.05741506772338095e0, -0.010644343155e0, -0.0034804160795238095e0, 0.005209908355071428e0, -0.03927501779980952e0, 0.01270190128157143e0, 7.749966781190476E-4, -0.09068885632135715e0, 0.0019329549478809523e0, 0.05188305719221428e0, 0.07403609136645238e0, 0.011989027766214286e0, 0.013008683820142858e0, -0.013990043740166666e0, 0.0507574122e0, -0.017426749380952383e0, -0.015226893232285715e0, 0.0650592514402381e0, 0.006728623400500001e0, -0.03955031970202381e0, 0.02704768862921429e0, -0.022752619259785715e0, -0.034479180813809525e0, 0.041107317449357146e0, -0.11004232903492857e0, 0.007835500590880952e0, -0.06229920852154761e0, -0.06479744324483334e0, -0.06339737875090476e0, 0.021362085139357143e0, 0.007071135320333334e0, -0.039501819820571424e0, -0.005030805710714285e0, -0.010159178021642857e0, -0.11378086995819048e0, 0.004779457253285714e0, -0.04020452098723809e0, -0.005520906221738096e0, -0.002996664050785714e0, -0.031589151509785716e0, -0.012670741682666667e0, 0.052304353986309525e0, 0.015611940102309525e0, 0.03239217198766667e0, -0.0012503592741190475e0, 0.016973104571880955e0, -0.013009250820999999e0, -0.06648277051242857e0, -0.016330139107261905e0]),
+             (1, [-0.038166633869244446e0, 0.03067005561251111e0, 0.010583489396022223e0, 0.0029877184838888893e0, -0.005169629812688889e0, 0.03458634790082222e0, 0.030428785799733335e0, 0.06351999425742222e0, -0.024965531787733333e0, -0.006372045684222222e0, -0.01648438716202222e0, -0.034518085413688886e0, -0.026252220395088885e0, -0.019687421987288886e0, -0.032905850031711106e0, -0.014616721723666666e0, 0.022032980124266667e0, -0.06757711110022223e0, -0.04324904715431111e0, 0.04649606311388889e0, -0.07973349312731111e0, -0.026106769456933333e0, -0.018373362864844443e0, -0.013286735588177776e0, -0.0021417347206666667e0, 0.021108181587155554e0, -0.010170353638644445e0, -0.002725964976111111e0, -0.0024928104572222226e0, -0.044244967284555556e0, 0.05365292892484445e0, -0.014370618465733334e0, 0.05850423654128889e0, 0.007971172227466667e0, 0.04926679628997777e0, 0.024346515639866666e0, -0.022830609785800003e0, 0.03973525014388889e0, -0.025404646112933336e0, 0.06421543315784445e0, -0.06301187475522221e0, -0.0049093091861111115e0, -0.05315571233837778e0, -0.009837308977377777e0, -0.03793778707171111e0, 0.006195884404866667e0, -0.057202432620222225e0, 0.032912642964133335e0, 9.006139589555555E-4, 0.016739674285044446e0, 0.059134115899555556e0, 6.49991722E-4, -0.01240634845268889e0, 0.007610934351933333e0, 0.037298831193577776e0, -0.04855998112144444e0, 0.037869660069955555e0, 0.038638851587177774e0, 0.015467409631111111e0, -0.04986123825528889e0, -0.040021721770333335e0, -0.026423373707222222e0, -0.01379556970468889e0, -0.047123703650244445e0]),
+             (2, [0.03415851351224528e0, -0.004847747119962264e0, 0.03220419663684906e0, 0.014508253626792453e0, 0.00598064322854717e0, 0.07129816896388678e0, -0.007477937849679246e0, -0.0036959699685094336e0, -0.013402886109943396e0, 0.061054175563660384e0, 0.026646607643301887e0, 0.08741019777781132e0, -0.00999024956054717e0, 0.02240438705726415e0, -0.003171774575792453e0, 0.036126182064226416e0, 0.0166718171984717e0, 0.006204123074981132e0, -0.03668064959696226e0, -0.039711950203509434e0, -0.02653353924009434e0, -0.016499174271188678e0, 0.002946391785169811e0, 0.02270586514090566e0, 0.004281470360962264e0, -0.015494462190547169e0, -0.019294742814415095e0, 0.01328877437001887e0, 0.0925807600845283e0, -0.020497406951509433e0, 0.07665634202939622e0, -0.047643718999415094e0, -0.01027755031609434e0, -0.021742176987150943e0, -0.010875031554132076e0, -0.015772623673339623e0, -0.007442205538113207e0, -0.04398322922079245e0, -0.005832425931547171e0, 0.00442507231764151e0, -0.007093982665584905e0, 0.01397018593228302e0, 0.04731585322181132e0, -0.020921281834301888e0, -0.006093918293113208e0, -0.028407448599603775e0, -0.0012617661597924528e0, 0.0690435327695283e0, 0.012787900856245283e0, 0.023215203168245283e0, -0.010690661459132075e0, 0.004257316648358491e0, 0.017522599758981135e0, -0.019037033062207546e0, 0.0174994357545283e0, 0.06202041517224528e0, -0.03931530432798113e0, 0.012240452075264151e0, -0.08691992945437736e0, -0.0709352766068868e0, -0.0031789889707547173e0, -0.007866965316849057e0, 0.015122794458301888e0, -0.01079346272509434e0]),
+             (3, [0.010795183643148937e0, -0.003729222491042553e0, 0.005121361939851064e0, 0.0073545194885106385e0, 0.06624087386151063e0, 0.011330983601489363e0, -0.02514298706548936e0, 0.004577936238021277e0, 5.8809508361702125E-5, 9.691692056170212E-4, 0.06283417032004256e0, 0.021536759421659574e0, -0.05417060244212766e0, 0.017943709672638298e0, 0.03308129683142553e0, 0.0013842265507659575e0, -0.0034169630999361703e0, -0.011982261813829788e0, 0.008966372873446808e0, 0.00979661876138298e0, 0.030031136795659573e0, -0.01614922838919149e0, -0.03577032136395745e0, 0.05874746162046809e0, -0.035228908802617025e0, -0.012682743172446808e0, 0.0239964352346383e0, 0.02327823610680851e0, -0.019041912536085105e0, 0.02474765315338298e0, -0.025722393790787234e0, -0.04534833130751064e0, 0.004485996846255319e0, -4.306389217021276E-4, 0.02987669253506383e0, -0.05196040558780851e0, 0.018811771358787234e0, 0.08066029684925531e0, -0.010032892098361702e0, 0.011056627310468086e0, -0.07230066815680851e0, -0.023339241921404255e0, -0.012444076544404256e0, 0.032055853497042555e0, -1.558548203829787E-4, -0.034063551411404255e0, 0.02671393241357447e0, -0.024334632811404255e0, 0.046950337285106385e0, -0.04262977745880851e0, 0.07250405850502127e0, -0.009724956139574468e0, -0.0487444906772766e0, -0.027401291007361703e0, -0.0109111782103617e0, 0.040913325486787236e0, 0.012852892789851062e0, 0.0446649699056383e0, 0.01126086465031915e0, 0.03786318482178724e0, 0.08217493454580851e0, -0.02180441326280851e0, -0.01028094621019149e0, 0.06510742842782978e0]),
+             (4, [-0.020486721394391304e0, 0.06126691094271739e0, -0.03264436371741304e0, -0.035922675365695655e0, -0.004788062641456522e0, -0.0015296354666304347e0, -0.023874066980173914e0, -0.04731957011082609e0, -1.1025921415217392E-4, -0.06738002294845652e0, -0.04787401351880435e0, 0.011883591387804347e0, 0.004621799613978261e0, 0.050726767339565215e0, -0.02570319145845652e0, 0.021561874937195653e0, 0.04611991676904347e0, 0.021781449773086957e0, 0.03185528672158695e0, -0.009423260172065217e0, 0.04147438473154348e0, -0.0026251431351956523e0, 0.06271235769343478e0, -0.07673421731402173e0, 0.06549240710497826e0, -0.03159330234582609e0, -0.00989918625071739e0, -0.024076349542260872e0, -0.06533972266554348e0, -0.017178070690934782e0, -0.022455780594847825e0, 0.025826823047369562e0, -0.04584442573073913e0, -0.04456712228606522e0, -0.05052233418034782e0, -0.01854128462430435e0, 0.06181345237726087e0, 0.025632077842891305e0, 0.018620082976956522e0, -0.047754847808999995e0, 0.009901714680760869e0, 0.05103250964143478e0, -0.036162153129413045e0, -0.04150007992128261e0, 0.01741220970873913e0, 0.009034205698804348e0, 0.04731597999395652e0, -0.005194464024065217e0, -0.03561144126780435e0, -0.0346474401835e0, -0.022033395400065218e0, 0.007900501014239131e0, -0.01697370371752174e0, 0.006753598420826087e0, 0.037613784347673915e0, -0.055780046113326084e0, -0.004759372156326087e0, 0.020828436498260872e0, -0.04772413015980435e0, 0.008980059145934782e0, -9.703518438695653E-4, 0.007900760331934781e0, 0.05868550333306522e0, 0.00630836021e0]),
+             (5, [-0.04434690434486e0, -0.08117959820670001e0, 0.012254382963299998e0, 0.00538136059414e0, 0.04476336588154e0, 0.0016260420182e0, -0.06364761736702e0, 0.00976751565936e0, 0.017580664372079998e0, 0.01902678760466e0, -0.049899933787480005e0, -1.0874427391999999E-4, -0.0033520722947999997e0, -0.05419328236252e0, 0.02065216876098e0, 0.01940723998472e0, -0.02268904210766e0, -0.04035405145028e0, 0.03056599613276e0, -0.03264655236618e0, 0.03285514864136e0, 0.02646281568338e0, 0.03241793034368e0, -0.02394179818686e0, -0.01548460696818e0, 0.09979551545464e0, 0.03839666712858e0, -0.02191411100326e0, -0.005701861390900001e0, -0.06758689627976e0, 0.023188628633500002e0, 0.0409783301537e0, 0.02553606608984e0, -0.036922382740319996e0, 0.03645075949256e0, -0.10248972183090001e0, -0.0227935889875e0, -0.02137675860014e0, 0.006448867809960001e0, 9.631311125E-4, 0.0072766102012400006e0, -0.0296696674521e0, -0.00745370153806e0, 0.0198828919931e0, 0.00756394446124e0, 0.05370402770582e0, 0.027304405849400002e0, 0.02038090975954e0, -0.033959835688540004e0, -0.02217288732996e0, -0.026200171108260003e0, 0.04534695056244e0, 0.00778772845862e0, -0.0032795925299e0, -0.06863204948838e0, -0.021550881946499997e0, 0.0388385737545e0, 0.0016779334004999999e0, 0.06929214105124e0, 0.023442250010539997e0, -0.03469534503294e0, 0.057258088955139994e0, -0.0282678205194e0, -0.05976949621462e0]),
+             (6, [0.024394058132245613e0, -0.03139999243349123e0, 0.014477177331087719e0, 0.030372448204333335e0, -0.006160245671210526e0, -0.024335761092947366e0, -0.036072783148649125e0, 0.08098591881878948e0, -0.029449895865263157e0, -0.008765491940789474e0, -0.034689639074052626e0, -0.007491055941333334e0, -0.00578902941045614e0, -0.03407913895440351e0, -0.029325005761789473e0, 0.029100069171649125e0, -0.03031021232401754e0, -0.052678117377350876e0, 0.017650154444754387e0, 0.03369684791775439e0, -0.0313033129317193e0, -0.022899834275824562e0, -0.0036604354002982456e0, 0.038088418314561404e0, 0.0254953404717193e0, 0.0377546084244386e0, -0.007370732773701754e0, 0.039739125547070174e0, 0.04933475494885965e0, 0.0358408581605614e0, 0.02319377717933333e0, 0.08071879439845614e0, -0.02628640290105263e0, 0.0014718104799473684e0, -0.005152381622631579e0, 0.039731587250614035e0, -0.02047096337022807e0, 0.01854099792410526e0, -0.0697220520508421e0, 0.01138027480463158e0, 0.02315451104191228e0, -0.03303173393524561e0, 0.03344309226282456e0, 0.0464351587081579e0, -0.08441820983338597e0, 0.013316382321105264e0, 0.008606036803333333e0, -0.03214193365475439e0, -0.05338138356608772e0, 0.02930017677542105e0, 0.007851121424333333e0, -1.1145615780701755E-4, 0.03255162830050877e0, -0.015375237495298247e0, -0.036015619295070175e0, -0.009455008853070174e0, 0.04016461148912281e0, -0.05452186612640351e0, -0.07242662627914036e0, -0.022340535463964913e0, -5.428079973508772E-4, 0.0037721590376140353e0, 0.005700119779245614e0, 0.043743983948649125e0]),
+             (7, [0.021027989048289474e0, 0.0226063207175e0, 0.01150927501486842e0, -0.011278569293947369e0, -0.08294294441226316e0, -0.04623744539355263e0, 0.035919739442e0, -0.08658303176728947e0, 0.02247347595713158e0, -0.06261069492407895e0, 0.030379704898263155e0, 0.003886267604131579e0, 0.051268481772026316e0, 0.057301688259236844e0, -7.504409816052631E-4, -0.03758667011155263e0, -0.056890247674499995e0, 0.02789064428286842e0, -0.03340662056936842e0, 0.03996715586826316e0, 0.0077597067667105266e0, 0.06322953020107895e0, -0.0014321158937631577e0, 0.029511825469526312e0, 0.013324829618052633e0, 0.04355364010405263e0, -0.011922874916842106e0, 0.004386011166421053e0, 0.008613355641605263e0, 0.027675679371710525e0, -0.04117515273889474e0, -0.07518840174021052e0, 0.013231348037973685e0, -0.03688542863455263e0, -0.012775125971447369e0, -0.03139177007657895e0, -0.007952525427500001e0, -0.08268279307160527e0, -0.014092126077e0, 0.020856329752710526e0, 0.09387099675184211e0, -0.01987416523905263e0, 0.052400847271894736e0, -0.03694851344794737e0, 0.0036809912723947368e0, 0.0592912026485e0, -0.027604950175236845e0, 0.0019311128968684211e0, 0.03959515992413158e0, 0.030599749769657892e0, 0.0035797055124736844e0, -0.049535837847e0, 0.018602103852789476e0, -0.015671795417868423e0, -0.02665920175718421e0, 0.03260459252144737e0, -0.009460756769657894e0, -0.01485711106831579e0, 0.053823341039578955e0, -0.025485419864289472e0, 0.003548763827184211e0, 0.03272066394002632e0, 0.06807647366081579e0, 0.015323570280052634e0]),
+             (8, [0.01259922131175e0, -0.04867662541457353e0, -0.018450673500088235e0, 0.003165828745676471e0, 0.02120404453570588e0, 0.01650221835520588e0, -0.022489389682e0, 0.0072402857049264704e0, 0.001618393549632353e0, -0.009194194584470588e0, 0.03641566076672059e0, -0.04017545182179411e0, -0.06360636443504411e0, 0.051406099638838236e0, -0.020807388190720588e0, -0.011128464159014707e0, 0.03453375134101471e0, 0.09845178200767647e0, -0.008951391148205881e0, -0.02423783171897059e0, -0.009243861861132354e0, 0.04577977518438235e0, 0.06201902132907353e0, -0.07470617060352941e0, -0.06850080385883824e0, -0.03534820970308823e0, 0.005285827867632353e0, 0.03282633350529412e0, -0.0037832511503235293e0, -0.016985650639985292e0, 0.005591652927867647e0, -0.03775957735955882e0, -0.020239384186588237e0, 0.0020687044528676472e0, 0.03408094203126471e0, 0.08000247781030882e0, -0.01815787706907353e0, -0.015360606981558823e0, 0.05283964244564705e0, 0.03530357090520588e0, 6.416086999852941E-4, 0.00869190760482353e0, -0.016391018611044115e0, -0.027604508015147057e0, -0.002577544959985294e0, -0.03311496059692647e0, 0.015006165658235296e0, 0.007112243954897059e0, -0.001657326506117647e0, 0.012868130640352941e0, -0.013982484030705882e0, -0.028103568909647058e0, 0.03676575647158824e0, 0.020947939294088235e0, 0.061509394004779415e0, -0.027646137129205883e0, -0.07170243720483824e0, -0.01005199629307353e0, 0.05015108889736765e0, 0.01205658477817647e0, -4.917464685441176E-4, 0.012495563164367647e0, -0.02670906538225e0, -0.01981911799342647e0]),
+             (9, [-0.01049629150875926e0, 0.017801156431370372e0, 0.05001881125835185e0, -0.09222394964422222e0, 0.023303224472333333e0, -0.05044980393727778e0, -0.02624877312875926e0, 0.03225922155957407e0, 0.055882173124722226e0, 0.047936236015833335e0, 0.0275636889057963e0, -0.03543363788811111e0, 0.04470819232259259e0, -0.02565448746275926e0, 0.04788356635255556e0, 0.04830889785835185e0, 0.01766355466785185e0, 0.04811850019305556e0, 0.016626890229185183e0, 0.038738441386203706e0, -0.005607492169759259e0, -0.027518958099074075e0, -0.0039811298139074075e0, -0.017791135572925925e0, -0.02109992470596296e0, -0.02181247879183333e0, -0.03519116456753704e0, 0.011672469351851853e0, -0.06444625056312964e0, 0.04088098794238889e0, -0.03700034490237037e0, 0.011726705961092591e0, 0.043336877282444446e0, 0.04197904642212963e0, 0.0029114717013888885e0, 0.020379355125537037e0, -0.003228843022388889e0, 0.007826131971148148e0, -0.010155365353925926e0, -0.023812787581481483e0, -0.006322105803185185e0, -0.028520034613203706e0, 0.04815990886979629e0, 0.07361478217511111e0, -0.017627978602685185e0, 0.010852387873425927e0, -0.0233010388587037e0, -0.006393153663444445e0, 0.011367439650240741e0, -0.024796373624759258e0, 0.031046834231074075e0, 0.0429401160477037e0, 0.025305335433444445e0, 4.107522761111111E-4, 0.04024468734001852e0, 0.010037792875777777e0, 0.022009908997777775e0, -0.05673669842590741e0, -0.05551494181983333e0, -0.004583448202907407e0, -0.019208926664314816e0, 0.002682468075e0, 0.002472288095925926e0, -0.09897012704192593e0])),
+         cdim AS (
+           SELECT cluster, unnest(w) AS cw,
+             generate_subscripts(w, 1) AS j
+           FROM cen),
+         bias AS (
+           SELECT cluster, -0.5 * sum(cw * cw ORDER BY j) AS b
+           FROM cdim GROUP BY cluster),
+         e0 AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+           FROM embeddings),
+         e AS (SELECT vec_id, v FROM e0
+           WHERE sqrt(list_reduce(list_transform(v, x -> x * x),
+             (acc, x) -> acc + x)) > 0),
+         edim AS (
+           SELECT vec_id, unnest(v) AS x,
+             generate_subscripts(v, 1) AS j
+           FROM e),
+         dots AS (
+           SELECT ed.vec_id, cd.cluster,
+             sum(ed.x * cd.cw ORDER BY ed.j) AS s
+           FROM edim ed JOIN cdim cd ON ed.j = cd.j
+           GROUP BY ed.vec_id, cd.cluster),
+         keyed AS (
+           SELECT d.vec_id, d.cluster,
+             row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY d.s + b.b DESC, d.cluster DESC) AS rn
+           FROM dots d JOIN bias b ON d.cluster = b.cluster),
+         asg AS (SELECT vec_id, cluster FROM keyed WHERE rn = 1),
+         s AS (
+           SELECT a.vec_id id_a, b.vec_id id_b,
+             list_reduce(list_transform(list_zip(a.v, b.v),
+               p -> p[1] * p[2]), (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                  (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                  (acc, x) -> acc + x))) AS cos
+           FROM e a
+           JOIN asg ca ON a.vec_id = ca.vec_id,
+           e b
+           JOIN asg cb ON b.vec_id = cb.vec_id
+           WHERE a.vec_id < b.vec_id AND ca.cluster = cb.cluster),
+         pp AS (SELECT id_a, id_b FROM s WHERE cos >= 0.4),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pp
+                   UNION SELECT id_b, id_a FROM pp),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION SELECT a, a FROM edges
+           UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         cl AS (SELECT a AS vec_id, min(b) AS cluster_id
+                FROM reach GROUP BY a)
+         SELECT e0.vec_id, e0.label FROM e0
+         WHERE NOT EXISTS (SELECT 1 FROM cl
+           WHERE cl.vec_id = e0.vec_id AND cl.cluster_id <> cl.vec_id)""",
 
     // same inlined-learned-table precedent as q_kmeans_assign: the
     // mean vector and 8x64 component matrix (pinned by the

@@ -1274,4 +1274,51 @@ object Dedup {
       .agg(sort_array(collect_list(col("pos"))).as("dup_starts"))
     cutTokenSpans(batch, idCol, textCol, dupStarts, k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the actual
+    * published shape, composed from the engine's own primitives:
+    * a trained k-means partition scopes the cosine near-dup search
+    * (pairs form ONLY within a cell — the approximation that makes
+    * semantic dedup sub-quadratic: candidate volume is Σ cell², and
+    * the cells are the data's own density structure), connected
+    * components collapse each near-dup group to its minimum-id member,
+    * and losers leave by broadcast anti-join.
+    *
+    * Pass [[graft.similarity.KMeans.train]]'s centroids (exact-decimal
+    * training — the partition is layout-independent, so the ENTIRE
+    * dedup decision replays deterministically; the oracle inlines the
+    * same centroids). Zero-norm vectors have no direction and are
+    * never paired (the [[embeddingNearDup]] rule). Boundary caveat by
+    * design: a near-dup pair straddling two cells is missed — SemDeDup
+    * accepts this for the Σ cell² cost bound (the paper's k controls
+    * the dial).
+    */
+  def semDeDup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]],
+      threshold: Double): DataFrame = {
+    import graft.similarity.{KMeans, Knn}
+    val e = embeddings.select(
+        col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+      .filter(col("nrm") > 0)
+      .withColumn("cell", KMeans.clusterOf(col("v"), centroids))
+    val a = e.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = e.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        Knn.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val losers = nearDupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    embeddings.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
 }

@@ -674,4 +674,40 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(2L -> Some(11L), 4L -> None),
       "reloaded index + bloom must dedup exactly like the in-memory pair")
   }
+
+  test("semDeDup collapses within-cell near-dups, spares cross-cell " +
+      "pairs and zero-norm rows") {
+    import graft.dedup.Dedup
+    // two far-apart cells with explicit centroids; ids 1/2 are
+    // near-identical in cell A (2 must collapse into 1), ids 3/4 are
+    // near-identical but land in DIFFERENT cells (both survive — the
+    // documented SemDeDup boundary approximation), id 5 is zero-norm
+    // (never paired, always survives)
+    val cenA = Array(10.0, 0.0)
+    val cenB = Array(-10.0, 0.0)
+    val rows = Seq(
+      (1L, Seq(10.0, 1.0)),
+      (2L, Seq(10.0, 1.0001)),     // same cell, cosine ~ 1
+      (3L, Seq(0.6, 1.0)),         // nearest A (dot-bias argmin L2)
+      (4L, Seq(-0.6, 1.0)),        // nearest B, but cosine(3,4) high?
+      (5L, Seq(0.0, 0.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Dedup.semDeDup(df, "vec_id", "embedding",
+      Seq(cenA, cenB), threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // cosine(3,4) = (-0.36+1)/ (sqrt(1.36)*sqrt(1.36)) = 0.64/1.36 ≈ 0.47
+    // — below 0.9 anyway; make the cross-cell miss explicit with a
+    // genuinely near pair straddling the boundary:
+    val rows2 = rows ++ Seq(
+      (6L, Seq(0.05, 1.0)),        // cell A side of the boundary
+      (7L, Seq(-0.05, 1.0)))       // cell B side; cosine(6,7) ≈ 0.995
+    val kept2 = Dedup.semDeDup(rows2.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", Seq(cenA, cenB), threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L),
+      s"within-cell near-dup must collapse to min id, got $kept")
+    assert(kept2 == Seq(1L, 3L, 4L, 5L, 6L, 7L),
+      s"cross-cell near pair must BOTH survive (the documented " +
+        s"boundary approximation), got $kept2")
+  }
 }
