@@ -7,7 +7,9 @@ parquet and compares (schema-insensitively: columns sorted by name,
 rows sorted by all values) with the Spark result parquet produced by
 `sbt "runMain graft.Verify <sfDir> <outDir>"`.
 
-Usage: python3 scripts/local_verify.py <sfDir> <outDir>
+Usage: python3 scripts/local_verify.py <sfDir> <outDir> [query...]
+(trailing query names restrict the compare — pair with the same
+trailing names on graft.Verify for a targeted loop)
 """
 import json
 import math
@@ -19,30 +21,44 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+class ArrayColumnError(Exception):
+    """A LIST/STRUCT-typed output column. The driver's pandas row-sort
+    cannot factorize these (unhashable ndarray) — the query must emit
+    scalars (e.g. long form (id, j, value)) instead."""
+
+
 def canon(rows, cols):
+    # BIT-EXACT compare — the driver hash-matches exact values, so any
+    # local rounding here would mask driver-red divergence (the r7
+    # lesson: three queries passed a round(v, 9) local compare and
+    # failed the driver's exact hash).
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
+            if isinstance(v, (list, tuple, dict)):
+                raise ArrayColumnError(
+                    f"column '{cols[i]}' is array/struct-typed "
+                    f"(sample {v!r:.60}); the driver harness crashes on "
+                    "these — emit scalars (long form) instead")
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
             vals.append(repr(v))
         out.append(tuple(vals))
     out.sort()
     return out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -79,4 +95,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], frozenset(sys.argv[3:])))

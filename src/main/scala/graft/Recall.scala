@@ -118,6 +118,14 @@ object Recall {
       pairSet(Ivf.ivfKnn(queries, corpus, 64, 10, nlist = 16, nprobe = 4),
         "query_id", "vec_id"),
       floor = 0.75)
+    // IVF-PQ: compressed codes + asymmetric-distance ranking — the
+    // lossy trade is recall, so it carries its own (lower) floor; ADC
+    // arithmetic itself is pinned exactly in IvfSpec
+    val knnIvfPq = pairMetric("q_knn_ivfpq", knnTruth,
+      pairSet(Ivf.ivfPqKnn(queries, corpus, 64, 10,
+          nlist = 16, nprobe = 8, m = 16, ksub = 32),
+        "query_id", "vec_id"),
+      floor = 0.6)
 
     // -- learned quality filter: predictive floor for the no-oracle
     //    model queries (q_quality_model / q_quality_scores). Same
@@ -173,7 +181,13 @@ object Recall {
     val kmSeeds = KMeans.seeds(emb, "vec_id", "embedding", 10)
     val kmCen = KMeans.train(emb, "vec_id", "embedding",
       k = 10, dim = 64, iters = 5)
-    val kmReduction = 1.0 - wcss(kmCen) / wcss(kmSeeds)
+    // float-sum WCSS is order-dependent in the last ulps — fine for a
+    // floor-gated metric. Degenerate corpus (every vector a seed) has
+    // seed WCSS 0: training cannot reduce an already-zero objective,
+    // so report full reduction instead of 0/0 = NaN failing the floor.
+    val seedWcss = wcss(kmSeeds)
+    val kmReduction =
+      if (seedWcss == 0.0) 1.0 else 1.0 - wcss(kmCen) / seedWcss
     val kmAssigned = KMeans.assign(emb, "embedding", kmCen)
     val kmRow = kmAssigned.groupBy(col("cluster"), col("label"))
       .agg(count(lit(1)).as("n"))
@@ -206,7 +220,7 @@ object Recall {
       recallFloor = 0.14,
       truth = 64L, emitted = pcaModel.components.size.toLong)
 
-    Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf, qm, km, pca)
+    Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf, knnIvfPq, qm, km, pca)
   }
 
   def toJson(ms: Seq[Metric]): String =

@@ -1196,6 +1196,19 @@ object SparkEntry {
         64, 10, nlist = 16, nprobe = 4)
     }),
 
+    // ---- IVF-PQ ANN: product-quantized codes (m=8 ints per vector
+    //      instead of 64 doubles) ranked by asymmetric distance —
+    //      the memory-bound scale path (rows-only; ADC arithmetic
+    //      pinned in IvfSpec, recall floor 0.6 in RECALL.json) ----
+    "q_knn_ivfpq" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      graft.similarity.Ivf.ivfPqKnn(
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("vector")),
+        emb.select(col("vec_id"), col("embedding").as("vector")),
+        64, 10, nlist = 16, nprobe = 8, m = 16, ksub = 32)
+    }),
+
     // ---- deterministic k-means clustering (exact-decimal Lloyd's):
     //      content-addressed seeds, fixed 5 iterations, assignments
     //      bit-identical on any layout — purity vs the embeddings
@@ -1212,12 +1225,19 @@ object SparkEntry {
     //      + driver Jacobi eigensolve; projection is a shuffle-free
     //      map with the component matrix as plan literals —
     //      deterministic on any layout, pinned by golden + a
-    //      variance-explained floor in RECALL.json ----
+    //      variance-explained floor in RECALL.json. Emitted LONG FORM
+    //      (vec_id, m, p): scalar columns only — the oracle harness
+    //      cannot sort/hash array cells. p is the raw ordered-fold
+    //      double, NOT re-rounded: both engines run the identical
+    //      IEEE multiply/add sequence over identical literals (no
+    //      libm), so the fold is bit-equal as-is, while a 9-dp
+    //      re-round would reintroduce engine-specific round()
+    //      disagreement on generic values ----
     "q_pca_project" -> ((s, d) => {
       val emb = t("embeddings")(s, d)
       val model = graft.similarity.Pca.fit(emb, "embedding", dim = 64, k = 8)
       graft.similarity.Pca.project(emb, "embedding", model)
-        .select(col("vec_id"), col("projected"))
+        .select(col("vec_id"), posexplode(col("projected")).as(Seq("m", "p")))
     }),
 
 
@@ -2353,8 +2373,19 @@ object SparkEntry {
          SELECT d.doc_id,
            COALESCE(p.n_bigrams, 0) AS n_bigrams,
            COALESCE(p.logp_sum, CAST(0 AS DECIMAL(38,12))) AS logp_sum,
-           CASE WHEN p.n_bigrams > 0
-             THEN CAST(p.logp_sum AS DOUBLE) / p.n_bigrams END AS lm_score
+           -- 9-dp HALF_UP mean in exact LONG arithmetic (the sum is a
+           -- 9-dp lattice value, so S9 = sum*1e9 is an exact integer;
+           -- k = (2|S9|+n)//(2n) is integer HALF_UP of |S9|/n; one
+           -- correctly-rounded double division at the end). float
+           -- round(x,9) would coin-flip on the exact half-boundaries
+           -- this quotient family produces.
+           CASE WHEN p.n_bigrams > 0 THEN
+             (CASE WHEN p.logp_sum < 0 THEN -1 ELSE 1 END) *
+             CAST((2 * abs(CAST(CAST(p.logp_sum AS DECIMAL(26,12)) *
+                 CAST(1000000000 AS DECIMAL(10,0)) AS BIGINT)) +
+                 p.n_bigrams) // (2 * p.n_bigrams) AS DOUBLE)
+               / 1000000000.0
+             END AS lm_score
          FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
 
     // DuckDB's nfc_normalize implements the same Unicode canonical
@@ -2444,9 +2475,9 @@ object SparkEntry {
     // same inlined-learned-table precedent as q_kmeans_assign: the
     // mean vector and 8x64 component matrix (pinned by the
     // q_pca_project golden) replay the projection as ordered double
-    // sums — sum((x_j - mu_j) * w_mj ORDER BY j) is the JVM's
-    // sequential zip_with fold bit-for-bit; components gather back
-    // into the array with list(p ORDER BY m)
+    // sums — list((x_j - mu_j) * w_mj ORDER BY j) folded with
+    // list_reduce is the JVM's sequential zip_with fold bit-for-bit;
+    // emitted long-form (vec_id, m, p), scalars only
     "q_pca_project" ->
       """WITH mn AS (
            SELECT unnest([0.002164709854038e0, -0.004547794351472e0, 0.0039301543830219995e0, -0.004793201057444e0, 0.009943076466454e0, 0.0077725329525399995e0, -0.018231355694848e0, 0.009217355088108e0, -0.0024274034146979998e0, -6.178791260560001E-4, 0.0064360780684619995e0, 0.0033540127822220002e0, -0.002658891296398e0, 0.0020540317017200002e0, -2.1456623025E-4, 0.005910249243546e0, 0.0033342206681e0, 0.005826121678218e0, -4.61276365548E-4, 0.001231715519158e0, -0.00383913904242e0, 0.002302184066622e0, 0.004168265111642e0, -0.008054586122042e0, -0.001891165461356e0, 0.012808142676021999e0, -0.0015970649567740001e0, 0.010626326819823999e0, -0.001153276573406e0, 3.903653705E-4, 0.0056047214816639995e0, -0.005792685562478e0, 0.008335300238788e0, -0.006675379839846e0, 0.005155627750542e0, 0.001177179405798e0, -0.005335331542408e0, -0.001593796574154e0, -9.66701676796E-4, -0.00114098193581e0, -0.0017442115085020001e0, -0.011834114763304e0, 3.13518199068E-4, -5.631569666639999E-4, -0.011520562025558e0, 0.003832613509028e0, -5.98060307384E-4, 0.005890298187844e0, -0.003749661162348e0, -0.0102644046155e0, 0.00937715246751e0, -0.00148199218771e0, 0.0077700426972879995e0, -0.003917563282558e0, 0.004709782614142e0, -0.003577291431942e0, 0.0047738668488620005e0, -0.00247036390502e0, -0.004844514904162e0, -0.008721180955264e0, -2.8116569211600003E-4, 0.005004184705332e0, -0.001159062597512e0, -0.013266222528522e0]) AS mu,
@@ -2479,8 +2510,7 @@ object SparkEntry {
            JOIN cdim c ON e.j = c.j
            JOIN mn ON e.j = mn.j
            GROUP BY e.vec_id, c.m)
-         SELECT vec_id, list(p ORDER BY m) AS projected
-         FROM proj GROUP BY vec_id""",
+         SELECT vec_id, m, p FROM proj""",
 
     // q_doc_bpe_apply precedent: a bounded deterministic learned table
     // (here the 10x64 centroid matrix, itself pinned by the
@@ -2571,16 +2601,18 @@ object SparkEntry {
          SELECT d.doc_id,
            COALESCE(p.n_grams, 0) AS n_grams,
            COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12))) AS logw_sum,
-           CAST(COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12)))
-             AS DOUBLE) AS dsir_logw
+           round(CAST(COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12)))
+             AS DOUBLE), 9) AS dsir_logw
          FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
 
     // q_dsir_weights plus the deterministic Gumbel-top-k draw: key =
-    // logw + (-ln(-ln(u))) with u from the first 12 md5 hex chars of
-    // the doc id (48 bits, exact in a double; +1/+2 keep u inside
-    // (0,1)); 16^12 + 2 = 281474976710658. ORDER BY key DESC, id
-    // LIMIT 100 replays Spark's TakeOrdered exactly (IEEE doubles +
-    // bit-identical ln on both engines)
+    // round(logw + (-ln(-ln(u))), 9) with u from the first 12 md5 hex
+    // chars of the doc id (48 bits, exact in a double; +1/+2 keep u
+    // inside (0,1)); 16^12 + 2 = 281474976710658. ORDER BY key DESC,
+    // id LIMIT 100 replays Spark's TakeOrdered — ranking on the
+    // ROUNDED key (ties to id) absorbs the last-ulp ln() divergence
+    // between libm implementations, so the selected set and the
+    // emitted values are both engine-stable
     "q_dsir_select" ->
       """WITH toks AS (
            SELECT doc_id, source,
@@ -2619,14 +2651,14 @@ object SparkEntry {
            SELECT d.doc_id,
              COALESCE(p.n_grams, 0) AS n_grams,
              COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12))) AS logw_sum,
-             CAST(COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12)))
-               AS DOUBLE) AS dsir_logw
+             round(CAST(COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12)))
+               AS DOUBLE), 9) AS dsir_logw
            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id),
          keyed AS (
-           SELECT *, dsir_logw + (- ln(- ln(
+           SELECT *, round(dsir_logw + (- ln(- ln(
                (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
                   ::BIGINT + CAST(1 AS DOUBLE)) /
-               CAST(281474976710658 AS DOUBLE)))) AS gumbel_key
+               CAST(281474976710658 AS DOUBLE)))), 9) AS gumbel_key
            FROM scored)
          SELECT * FROM keyed
          ORDER BY gumbel_key DESC, doc_id LIMIT 100""",

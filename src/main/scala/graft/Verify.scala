@@ -21,9 +21,14 @@ object Verify {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // oracle-checked queries must pass the hash-stability lint
+        // (no array cells, no unrounded high-scale decimal→double) —
+        // fail the dump loudly rather than hand the driver a red row
+        if (SparkEntry.oracleSql.contains(name)) OracleLint.enforce(name, df)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // some queries persist signature tables; keep runs independent

@@ -1292,20 +1292,45 @@ object Dedup {
     * design: a near-dup pair straddling two cells is missed — SemDeDup
     * accepts this for the Σ cell² cost bound (the paper's k controls
     * the dial).
+    *
+    * Keeper rule — a DELIBERATE deviation from the paper: Abbas et al.
+    * keep the member with the LOWEST cosine to its cluster centroid
+    * (a diversity heuristic); this engine collapses each group to its
+    * minimum-id member so the survivor set is a pure function of the
+    * pair graph — oracle-replayable with no float comparisons in the
+    * keep decision, and stable under re-clustering. Callers wanting
+    * the paper's keeper can rank within [[nearDupClusters]] output by
+    * centroid cosine (ties to id) before the anti-join.
+    *
+    * Skew guard: the within-cell self-join is quadratic PER CELL, so
+    * one giant cell (bad k, or a degenerate clustering) dominates —
+    * `maxCellSize > 0` drops cells above that size from PAIRING
+    * (mirroring the LSH `dropOversizedBuckets` rule: their members
+    * all survive — dedup degrades to a no-op on the skewed region
+    * rather than a runaway join; re-train with a larger k to actually
+    * dedup it). `maxIter`/`driverMaxPairs` pass through to
+    * [[nearDupClusters]] so a pair-volume blowup fails with that
+    * method's clear bound error instead of an opaque OOM.
     */
   def semDeDup(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: Seq[Array[Double]],
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxCellSize: Int = 0,
+      maxIter: Int = 20,
+      driverMaxPairs: Long = 1000000L): DataFrame = {
     import graft.similarity.{KMeans, Knn}
-    val e = embeddings.select(
+    val e0 = embeddings.select(
         col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Knn.norm(col("v")))
       .filter(col("nrm") > 0)
       .withColumn("cell", KMeans.clusterOf(col("v"), centroids))
+    val e =
+      if (maxCellSize > 0) dropOversizedBuckets(e0, "cell", maxCellSize)
+      else e0
     val a = e.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = e.select(col("cell"), col("vec_id").as("id_b"),
@@ -1316,7 +1341,9 @@ object Dedup {
         Knn.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val losers = nearDupClusters(pairs)
+    val losers =
+      nearDupClusters(pairs, maxIter = maxIter,
+        driverMaxPairs = driverMaxPairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
     embeddings.join(broadcast(losers), Seq(idCol), "left_anti")

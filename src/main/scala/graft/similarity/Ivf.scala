@@ -253,25 +253,62 @@ object Ivf {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** IVF top-k: corpus shuffles once on its cell, each query joins only
-    * its `nprobe` best cells, exact cosine reranks, windowed top-k (no
-    * global sort). Output shape matches [[Knn.bruteForceKnn]].
+  // ------------------- persistable index (IVF-Flat) -----------------
+
+  /** Coarse centroids as a `(cell, centroid)` DataFrame — the
+    * persistable quantizer artifact (the [[KMeans.centroidsDf]]
+    * precedent): store via [[graft.streaming.TableStore.overwrite]],
+    * reload with [[centroidsFromDf]]. Doubles survive the parquet
+    * round trip bit-for-bit, so a reloaded quantizer assigns and
+    * probes identically — 100 TB ANN must NOT retrain per query.
     */
-  def ivfKnn(
-      queries: DataFrame, // (query_id, vector)
-      corpus: DataFrame,  // (vec_id, vector)
-      dim: Int,
+  def centroidsDf(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+  }
+
+  /** Reload centroids persisted via [[centroidsDf]]. */
+  def centroidsFromDf(df: DataFrame): Seq[Array[Double]] =
+    df.select(col("cell").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+
+  /** Assign the corpus to its cells ONCE: `(vec_id, vector, cell)` —
+    * the persistable posting-list layout. Persist it partitioned by
+    * cell (`TableStore.overwrite(..., partitionBy = Seq("cell"))`) and
+    * a probe becomes a PARTITION-PRUNED read
+    * (`read(..., partValues = Some(probedCells))`): a query touches
+    * ~nprobe/nlist of the stored bytes and the assignment scan is
+    * never re-paid — the on-disk inverted-file property.
+    */
+  def index(corpus: DataFrame, centroids: Seq[Array[Double]]): DataFrame =
+    corpus
+      .select(col("vec_id"), col("vector").cast("array<double>").as("vector"))
+      .withColumn("__n", Knn.norm(col("vector")))
+      .filter(col("__n") > 0) // no-direction rows: see Knn.bruteForceKnn
+      .withColumn("cell", bestCell(col("vector"), centroids))
+      .select("vec_id", "vector", "cell")
+
+  /** IVF top-k over a PREBUILT index (see [[index]]): each query joins
+    * only its `nprobe` best cells, exact cosine reranks, windowed
+    * top-k (no global sort). Output shape matches
+    * [[Knn.bruteForceKnn]].
+    */
+  def searchIndex(
+      queries: DataFrame,  // (query_id, vector)
+      indexed: DataFrame,  // (vec_id, vector, cell) — from [[index]]
+      centroids: Seq[Array[Double]],
       k: Int,
-      nlist: Int = 0, // 0 = auto ≈ √n (see autoNlist)
-      nprobe: Int = 4,
-      iters: Int = 5): DataFrame = {
-    val nl = if (nlist > 0) nlist else autoNlist(corpus)
-    val centroids = train(corpus, dim, nl, iters)
-    val c = corpus.select(
-      col("vec_id"), col("vector").cast("array<double>").as("cv"))
+      nprobe: Int = 4): DataFrame = {
+    val c = indexed.select(col("vec_id"), col("cell"),
+        col("vector").cast("array<double>").as("cv"))
       .withColumn("cn", Knn.norm(col("cv")))
-      .filter(col("cn") > 0) // no-direction rows: see Knn.bruteForceKnn
-      .withColumn("cell", bestCell(col("cv"), centroids))
+      .filter(col("cn") > 0)
     // nprobe best cells per query; dot ranking against unit centroids
     // is scale-invariant in the query too, so raw qv works
     val q = broadcast(queries
@@ -289,5 +326,239 @@ object Ivf {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "score", "rank")
+  }
+
+  /** One-shot IVF top-k: train + [[index]] + [[searchIndex]]. The
+    * deployment path trains/indexes once, persists both artifacts, and
+    * serves every query from [[searchIndex]].
+    */
+  def ivfKnn(
+      queries: DataFrame, // (query_id, vector)
+      corpus: DataFrame,  // (vec_id, vector)
+      dim: Int,
+      k: Int,
+      nlist: Int = 0, // 0 = auto ≈ √n (see autoNlist)
+      nprobe: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val nl = if (nlist > 0) nlist else autoNlist(corpus)
+    val centroids = train(corpus, dim, nl, iters)
+    searchIndex(queries, index(corpus, centroids), centroids, k, nprobe)
+  }
+
+  // ---------------- product quantization (IVF-PQ) -------------------
+
+  /** PQ codebooks: `m` subspaces of `dsub = dim/m` dims, `ksub`
+    * centroids each — vectors compress to `m` small ints, the FAISS
+    * IVF-PQ composition (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"). At 10⁹+ vectors MEMORY is the binding
+    * constraint: IVF-Flat stores `dim` doubles/vector (512 B at
+    * dim 64), PQ stores `m` codes (8 B at m=8) — a 64× reduction the
+    * stored-index path needs to fit hot shards in executor memory.
+    */
+  final case class PqModel(
+      dim: Int, m: Int, ksub: Int,
+      codebooks: Seq[Seq[Array[Double]]]) { // m × ksub × dsub
+    val dsub: Int = dim / m
+    require(m >= 1 && dim % m == 0, s"dim $dim must be divisible by m $m")
+    require(codebooks.size == m && codebooks.forall(_.size <= ksub) &&
+      codebooks.forall(_.forall(_.length == dsub)),
+      "codebook shape must be m × (≤ksub) × dsub")
+  }
+
+  /** `c :+ −½|c|²` — the [[KMeans.clusterOf]] augmentation that turns
+    * L2 argmin into a dot argmax over `[v, 1]`.
+    */
+  private def augmentL2(cen: Seq[Array[Double]]): Seq[Array[Double]] =
+    cen.map(c => c :+ (-0.5 * c.map(x => x * x).sum))
+
+  /** Driver-side L2 argmin matching the [[graft.functions.ArgTopCells]]
+    * tie rule (`>=` keeps the LARGER index) over augmented vectors.
+    */
+  private def assignL2(
+      v: Array[Double], off: Int, cen: Seq[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.NegativeInfinity
+    var i = 0
+    while (i < cen.length) {
+      val c = cen(i)
+      var d = 0.0; var j = 0
+      while (j < c.length) { d += v(off + j) * c(j); j += 1 }
+      d += -0.5 * {
+        var s = 0.0; var j2 = 0
+        while (j2 < c.length) { s += c(j2) * c(j2); j2 += 1 }
+        s
+      }
+      if (java.lang.Double.compare(d, bestD) >= 0) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Train PQ codebooks on a bounded deterministic sample (the lowest
+    * `sampleMax` vec_ids, unitized) — per-subspace Lloyd's on the
+    * driver, the FAISS practice (PQ codebooks are always trained on a
+    * sample; the ENCODE pass is the distributed one). Fixed iteration
+    * count and first-`ksub` init keep the model reproducible.
+    */
+  def trainPq(
+      corpus: DataFrame, // (vec_id, vector)
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 32,
+      iters: Int = 10,
+      sampleMax: Int = 20000): PqModel = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    val sample = corpus
+      .select(col("vec_id"), col("vector").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .orderBy(col("vec_id")).limit(sampleMax)
+      .select(col("v")).collect()
+      .map(r => unitize(r.getSeq[Double](0).toArray))
+      .filter(v => v.exists(_ != 0.0))
+    require(sample.nonEmpty, "PQ training needs at least one unit vector")
+    val codebooks = (0 until m).map { s =>
+      val off = s * dsub
+      var cen: Seq[Array[Double]] =
+        sample.take(ksub).map(v => v.slice(off, off + dsub)).toSeq
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cen.size)(new Array[Double](dsub))
+        val counts = new Array[Long](cen.size)
+        sample.foreach { v =>
+          val best = assignL2(v, off, cen)
+          var j = 0
+          while (j < dsub) { sums(best)(j) += v(off + j); j += 1 }
+          counts(best) += 1
+        }
+        // plain mean (PQ is L2 in the subspace — no renormalize);
+        // empty cell keeps its centroid
+        cen = cen.zipWithIndex.map { case (o, i) =>
+          if (counts(i) == 0L) o else sums(i).map(_ / counts(i))
+        }
+      }
+      cen
+    }
+    PqModel(dim, m, ksub, codebooks)
+  }
+
+  /** PQ codes (array of `m` ints) for an ALREADY-UNIT vector column —
+    * per subspace, L2-nearest codebook entry via the native
+    * [[graft.functions.ArgTopCells]] over the augmented form (ties to
+    * the larger index; codegen, no UDF).
+    */
+  def pqCodes(unitVec: Column, pq: PqModel): Column =
+    array((0 until pq.m).map { s =>
+      element_at(
+        graft.functions.GraftFunctions.argTopCells(
+          concat(slice(unitVec, s * pq.dsub + 1, pq.dsub), array(lit(1.0))),
+          augmentL2(pq.codebooks(s)), 1), 1)
+    }: _*)
+
+  /** The compressed index: `(vec_id, cell, codes)` — `m` ints per
+    * vector instead of `dim` doubles. One distributed encode pass;
+    * persist partitioned by cell exactly like [[index]].
+    */
+  def indexPq(
+      corpus: DataFrame,
+      centroids: Seq[Array[Double]],
+      pq: PqModel): DataFrame =
+    corpus
+      .select(col("vec_id"), col("vector").cast("array<double>").as("v"))
+      .withColumn("__n", Knn.norm(col("v")))
+      .filter(col("__n") > 0) // no-direction rows: see Knn.bruteForceKnn
+      .withColumn("__u", transform(col("v"), x => x / col("__n")))
+      .select(col("vec_id"),
+        bestCell(col("v"), centroids).as("cell"),
+        pqCodes(col("__u"), pq).as("codes"))
+
+  /** IVF-PQ top-k by ASYMMETRIC DISTANCE (ADC): the query stays
+    * full-precision; per subspace it precomputes the `ksub` dots
+    * against the codebook ONCE (a per-query LUT, built before the
+    * probe fan-out), and scoring a corpus vector is `m` table lookups
+    * summed — never a reconstruction, never a stored float vector.
+    * `score ≈ cos(q, v)` because codes encode the UNIT corpus vector.
+    * Output shape matches [[Knn.bruteForceKnn]]; ranking quality is
+    * recall-floored in RECALL.json beside q_knn_ivf.
+    */
+  def searchIndexPq(
+      queries: DataFrame,   // (query_id, vector)
+      indexedPq: DataFrame, // (vec_id, cell, codes) — from [[indexPq]]
+      centroids: Seq[Array[Double]],
+      pq: PqModel,
+      k: Int,
+      nprobe: Int = 8): DataFrame = {
+    val lut = array((0 until pq.m).map { s =>
+      array(pq.codebooks(s).map { c =>
+        graft.functions.GraftFunctions.vectorDot(
+          slice(col("qv"), s * pq.dsub + 1, pq.dsub),
+          array(c.map(lit(_)): _*))
+      }: _*)
+    }: _*)
+    val q = broadcast(queries
+      .select(col("query_id"), col("vector").cast("array<double>").as("qv"))
+      .withColumn("qn", Knn.norm(col("qv")))
+      .filter(col("qn") > 0)
+      .withColumn("lut", lut) // once per query, BEFORE the cell explode
+      .withColumn("cell", probeCellsExploded(col("qv"), centroids, nprobe))
+      .select("query_id", "qn", "lut", "cell"))
+    val adc = aggregate(
+      zip_with(col("codes"), col("lut"),
+        (code, l) => element_at(l, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = indexedPq.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(adc / col("qn"), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "score", "rank")
+  }
+
+  /** One-shot IVF-PQ top-k: coarse train + PQ train + encode + ADC
+    * search. Deployment persists the three artifacts ([[centroidsDf]],
+    * [[pqDf]], [[indexPq]]) and serves from [[searchIndexPq]].
+    */
+  def ivfPqKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      dim: Int,
+      k: Int,
+      nlist: Int = 0,
+      nprobe: Int = 8,
+      m: Int = 8,
+      ksub: Int = 32,
+      iters: Int = 5): DataFrame = {
+    val nl = if (nlist > 0) nlist else autoNlist(corpus)
+    val centroids = train(corpus, dim, nl, iters)
+    val pq = trainPq(corpus, dim, m, ksub)
+    searchIndexPq(queries, indexPq(corpus, centroids, pq), centroids, pq,
+      k, nprobe)
+  }
+
+  /** PQ codebooks as a `(subspace, code, centroid)` DataFrame — the
+    * persistable artifact; reload with [[pqFromDf]].
+    */
+  def pqDf(
+      spark: org.apache.spark.sql.SparkSession, pq: PqModel): DataFrame = {
+    import spark.implicits._
+    (for {
+      s <- pq.codebooks.indices
+      c <- pq.codebooks(s).indices
+    } yield (s, c, pq.codebooks(s)(c).toSeq))
+      .toDF("subspace", "code", "centroid")
+  }
+
+  /** Reload a PQ model persisted via [[pqDf]]. */
+  def pqFromDf(dim: Int, ksub: Int, df: DataFrame): PqModel = {
+    val rows = df.select(col("subspace").cast("int"), col("code").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val codebooks = (0 until m).map(s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3).toSeq)
+    PqModel(dim, m, ksub, codebooks)
   }
 }

@@ -50,13 +50,23 @@ object KMeans {
     vecCol.cast("array<double>")
 
   /** Cluster index (0-based) of the nearest centroid by squared L2
-    * distance; ties to the larger index.
+    * distance; ties to the larger index. NULL for a null vector or one
+    * whose length differs from the centroid dimension — the dot
+    * product truncates at min(dim, |v|), so an unguarded short vector
+    * would get a plausible-looking but meaningless cell instead of a
+    * visible null (callers that pre-filter to the trained dim, as
+    * [[train]] does, never see the null branch).
     */
-  def clusterOf(vecCol: Column, centroids: Seq[Array[Double]]): Column =
-    element_at(
-      graft.functions.GraftFunctions.argTopCells(
-        concat(vecAsDouble(vecCol), array(lit(1.0))),
-        augment(centroids), 1), 1)
+  def clusterOf(vecCol: Column, centroids: Seq[Array[Double]]): Column = {
+    val v = vecAsDouble(vecCol)
+    val d = centroids.headOption.map(_.length)
+      .getOrElse(throw new IllegalArgumentException("no centroids"))
+    when(size(v) === d,
+      element_at(
+        graft.functions.GraftFunctions.argTopCells(
+          concat(v, array(lit(1.0))),
+          augment(centroids), 1), 1))
+  }
 
   /** The k seed vectors: smallest `(md5(id), id)` — one distributed
     * top-k, no sort of the corpus.

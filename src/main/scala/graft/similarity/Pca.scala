@@ -41,43 +41,48 @@ object Pca {
     }
   }
 
-  /** (i, j, xi*xj) triples for the UPPER triangle (j ≥ i; the matrix
-    * is symmetric, the driver mirrors) — one nested-transform
-    * expression over a projected array column, no UDF.
+  /** Moment triples for ONE fused pass: `(i, -1, xi)` first-moment
+    * rows followed by `(i, j, xi*xj)` UPPER-triangle second-moment
+    * rows (j ≥ i; the matrix is symmetric, the driver mirrors) — one
+    * nested-transform expression over a projected array column, no
+    * UDF. The j = -1 sentinel lets a single (i, j)-keyed aggregate
+    * carry means, covariance AND the row count (every row contributes
+    * every key exactly once, so any group's count is n) — the corpus
+    * is scanned once, not once per moment order.
     */
   private def momentTriples(v: Column, dim: Int): Column =
-    flatten(transform(v, (xi, i) =>
-      transform(slice(v, i + 1, lit(dim) - i), (xj, jo) => struct(
-        i.cast("int").as("i"), (i + jo).cast("int").as("j"),
-        (xi * xj).as("p")))))
+    concat(
+      transform(v, (xi, i) => struct(
+        i.cast("int").as("i"), lit(-1).as("j"), xi.as("p"))),
+      flatten(transform(v, (xi, i) =>
+        transform(slice(v, i + 1, lit(dim) - i), (xj, jo) => struct(
+          i.cast("int").as("i"), (i + jo).cast("int").as("j"),
+          (xi * xj).as("p"))))))
 
-  /** Accumulate mean and second moments: ONE corpus pass. Returns
-    * (n, sums[d], moments[d][d]) with exact decimal accumulation.
+  /** Accumulate mean and second moments: ONE corpus pass (a single
+    * scan → map-side-combined (i, j)-keyed DECIMAL aggregate →
+    * d(d+3)/2 rows to the driver). Returns (n, sums[d], moments[d][d])
+    * with exact decimal accumulation.
     */
   private def moments(
       df: DataFrame, vecCol: String, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
     val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && size(col("v")) === dim)
-    val firsts = vecs
-      .select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(sum(col("x").cast("decimal(28,12)")).as("s"),
-        count(lit(1)).as("n"))
-      .collect()
-    val n = if (firsts.isEmpty) 0L else firsts.head.getLong(2)
-    val sums = new Array[Double](dim)
-    firsts.foreach(r => sums(r.getInt(0)) = r.getDecimal(1).doubleValue)
-    val seconds = vecs
+    val agg = vecs
       .select(explode(momentTriples(col("v"), dim)).as("t"))
       .select(col("t.i"), col("t.j"),
         col("t.p").cast("decimal(28,12)").as("p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
       .collect()
+    val n = agg.headOption.map(_.getLong(3)).getOrElse(0L)
+    val sums = new Array[Double](dim)
     val m = Array.fill(dim, dim)(0.0)
-    seconds.foreach { r =>
+    agg.foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1)
       val x = r.getDecimal(2).doubleValue
-      m(i)(j) = x; m(j)(i) = x
+      if (j < 0) sums(i) = x
+      else { m(i)(j) = x; m(j)(i) = x }
     }
     (n, sums, m)
   }

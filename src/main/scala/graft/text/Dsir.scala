@@ -102,12 +102,16 @@ object Dsir {
     import spark.implicits._
     // ONE count pass per corpus; both results are bounded by
     // `buckets`, so they collect. Finishing the ratio arithmetic
-    // driver-side (identical IEEE ops — JVM log/divide match Spark's
-    // expressions and DuckDB's ln bit-for-bit, and
-    // BigDecimal.valueOf(..).setScale(9, HALF_UP) IS Spark's
-    // round(x, 9)) breaks the lineage: the model is literal bounded
-    // data, so scoring never silently re-runs a corpus count pass the
-    // way a live `crossJoin(totals)` plan would on every evaluation.
+    // driver-side (BigDecimal.valueOf(..).setScale(9, HALF_UP) IS
+    // Spark's round(x, 9)) breaks the lineage: the model is literal
+    // bounded data, so scoring never silently re-runs a corpus count
+    // pass the way a live `crossJoin(totals)` plan would on every
+    // evaluation. libm log implementations are only ~0.5–1 ulp
+    // accurate and not guaranteed identical across engines — the 9-dp
+    // rounding here (and on every column derived from these ratios)
+    // is the tolerance mechanism that absorbs that last ulp; a ratio
+    // landing within an ulp of a 9-dp HALF_UP boundary could still in
+    // principle flip, which is why downstream sums stay DECIMAL.
     val tc = bucketCounts(target, textCol, buckets)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val rc = bucketCounts(raw, textCol, buckets)
@@ -129,6 +133,12 @@ object Dsir {
     * exact zero sum (a no-evidence document is weight-neutral, not
     * dropped). One shuffle, keyed by `id`, of decimal scalars; the
     * ratio table attaches by broadcast before the reduce.
+    *
+    * `dsir_logw` is the decimal sum rounded to 9 dp as a double — the
+    * [[LangModel.scoreDocs]] rule: a bare DECIMAL(38,12)→double cast
+    * diverges in the last ulp between engines once the unscaled
+    * magnitude nears 2^53; the sum is exactly a 9-dp value, so a 9-dp
+    * round on both sides recovers the identical double.
     */
   def scoreDocs(
       docs: DataFrame,
@@ -149,8 +159,9 @@ object Dsir {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("logw_sum"),
           lit(BigDecimal(0)).cast("decimal(38,12)")).as("logw_sum"),
-        coalesce(col("logw_sum"), lit(BigDecimal(0)).cast("decimal(38,12)"))
-          .cast("double").as("dsir_logw"))
+        round(coalesce(col("logw_sum"),
+          lit(BigDecimal(0)).cast("decimal(38,12)")).cast("double"), 9)
+          .as("dsir_logw"))
   }
 
   /** Deterministic Gumbel noise for a document id: md5-derived uniform
@@ -171,6 +182,12 @@ object Dsir {
     * run, any layout, any engine that agrees on md5 and IEEE doubles.
     * Returns the scored schema plus `gumbel_key`, ordered by the key
     * (ties broken by id).
+    *
+    * The key is rounded to 9 dp and the ORDERING uses the rounded key:
+    * the Gumbel noise passes through `ln` twice, and libm `ln` is only
+    * ~0.5 ulp accurate across platforms — ranking on the rounded key
+    * (ties to id) makes the selected SET, not just the emitted values,
+    * invariant to that last ulp.
     */
   def resample(
       docs: DataFrame,
@@ -182,7 +199,7 @@ object Dsir {
     require(temperature > 0.0, s"temperature must be > 0, got $temperature")
     scoreDocs(docs, idCol, textCol, model)
       .withColumn("gumbel_key",
-        col("dsir_logw") / lit(temperature) + gumbelOf(col(idCol)))
+        round(col("dsir_logw") / lit(temperature) + gumbelOf(col(idCol)), 9))
       .orderBy(col("gumbel_key").desc, col(idCol))
       .limit(k)
   }

@@ -86,6 +86,24 @@ object LangModel {
     * `(id, n_bigrams, logp_sum, lm_score)`; documents with fewer than
     * two tokens score null (no bigram evidence), with `n_bigrams` 0
     * and an exact zero sum.
+    *
+    * `lm_score` is the 9-dp HALF_UP rounding of `logp_sum/n_bigrams`,
+    * computed entirely in LONG INTEGER arithmetic. Neither a bare
+    * DECIMAL→double cast (not correctly rounded in every engine once
+    * the unscaled magnitude nears 2^53) nor `round(double, 9)` (an
+    * engine rounding via `x*1e9` float multiply disagrees with exact
+    * decimal HALF_UP precisely on half-boundaries) is cross-engine
+    * hash-stable here — and because the sum is an exact 9-dp lattice
+    * value, quotients by 10-smooth counts land EXACTLY on 9-dp
+    * half-boundaries (2% of the sf0.01 corpus measured). So:
+    * `S9 = logp_sum·10^9` (exact — the sum of 9-dp terms has ≤ 9
+    * decimals), `k = (2·|S9| + n) div (2·n)` (the integer HALF_UP of
+    * `|S9|/n`), `lm_score = ±k / 10^9` (k ≈ |score|·10^9 is exact in
+    * a double; one correctly-rounded division). Every step is exact
+    * integer math an oracle replays bit-for-bit. Bound: |logp_sum| <
+    * 4.6·10^9 keeps 2·|S9| inside a long — a mean-log-prob sum only
+    * nears that with ~10^8-token documents, far past the engine's
+    * per-document envelope.
     */
   def scoreDocs(
       docs: DataFrame,
@@ -111,9 +129,15 @@ object LangModel {
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("logp_sum"),
-          lit(BigDecimal(0)).cast("decimal(38,12)")).as("logp_sum"),
+          lit(BigDecimal(0)).cast("decimal(38,12)")).as("logp_sum"))
+      .withColumn("__s9",
+        (col("logp_sum").cast("decimal(26,12)") * lit(1000000000L))
+          .cast("long"))
+      .withColumn("lm_score",
         when(col("n_bigrams") > 0,
-          col("logp_sum").cast("double") / col("n_bigrams"))
-          .as("lm_score"))
+          (when(col("__s9") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(2 * abs(__s9) + n_bigrams) div (2 * n_bigrams)"))
+            .cast("double") / lit(1.0e9)))
+      .drop("__s9")
   }
 }

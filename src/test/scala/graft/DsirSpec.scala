@@ -130,8 +130,13 @@ class DsirSpec extends SparkTestBase {
       docs, col("text"), buckets = 256)
     val got = Dsir.resample(docs, "doc_id", "text", model, k = 4)
       .select("doc_id").as[Long].collect().toSeq
+    def round9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
     val want = naiveWeights(corpus.filter(d => targetIds(d._1)), corpus, 256)
-      .toSeq.map { case (id, (_, _, logw)) => (id, logw + gumbel(id)) }
+      .toSeq.map { case (id, (_, _, logw)) =>
+        (id, round9(logw + gumbel(id)))
+      }
       .sortBy { case (id, key) => (-key, id) }
       .take(4).map(_._1)
     assert(got == want, s"draw diverged: $got vs $want")

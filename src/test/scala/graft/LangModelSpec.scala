@@ -38,9 +38,17 @@ class LangModelSpec extends SparkTestBase {
           .setScale(12)
       }
       val sum = lps.foldLeft(BigDecimal(0).setScale(12))(_ + _)
+      // the engine's exact integer-space 9-dp HALF_UP mean:
+      // k = (2|S9| + n) div (2n) with S9 = sum·10^9 (exact — the sum
+      // is a 9-dp lattice value), score = ±k/10^9
       val score =
         if (pairs.isEmpty) None
-        else Some(sum.toDouble / pairs.size)
+        else {
+          val s9 = (sum * BigDecimal(1000000000L)).toBigIntExact.get
+          val n = BigInt(pairs.size)
+          val k = (s9.abs * 2 + n) / (n * 2)
+          Some((if (s9 < 0) -k else k).toDouble / 1.0e9)
+        }
       id -> ((pairs.size.toLong, sum, score))
     }.toMap
   }

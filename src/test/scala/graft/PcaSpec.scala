@@ -95,7 +95,9 @@ class PcaSpec extends SparkTestBase {
   test("q_pca_project matches its committed sf0.01 golden output") {
     // custom golden compare (checkGoldenTsv stringifies array cells
     // via Seq.toString, which is Scala-version-shaped): exact doubles
-    // per (vec_id, component)
+    // per (vec_id, component). The query emits long form
+    // (vec_id, m, p) — scalars only, the oracle-harness contract —
+    // so regroup before comparing with the wide golden rows.
     val in = getClass.getResourceAsStream("/golden/q_pca_project_sf0.01.tsv")
     assert(in != null, "missing golden fixture for q_pca_project")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
@@ -107,7 +109,9 @@ class PcaSpec extends SparkTestBase {
       finally src.close()
     val got = SparkEntry.queries("q_pca_project")(
         spark, "/root/testdata/sf0.01")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     assert(got.keySet == want.keySet, "vec_id set drifted from golden")
     val bad = got.collect {
       case (id, v) if v != want(id) => id
