@@ -1649,6 +1649,106 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(md5(col("text").cast("binary")))
             .as("n_unique_texts"))
+    }),
+
+    // ========== warehouse-maintenance operators (round 8) ==========
+
+    // ---- SCD2 type-2 dimension merge: bootstrap a history from the
+    //      customer snapshot, then merge one batch where ⅓ of keys
+    //      change (acctbal +100), ⅓ are byte-identical no-ops (must
+    //      leave NO churn version), and ⅓ arrive as brand-new keys ----
+    "q_scd2_merge" -> ((s, d) => {
+      val c = t("customer")(s, d)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val hist = graft.ops.Scd.scd2Init(c, lit("1994-01-01"))
+      val updates = c.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100.0, 2))
+        .unionByName(c.filter(pmod(col("c_custkey"), lit(3)) === 1))
+        .unionByName(c.filter(pmod(col("c_custkey"), lit(3)) === 2)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+      graft.ops.Scd.scd2Merge(hist, updates, "c_custkey", lit("1995-06-01"))
+    }),
+
+    // ---- incremental aggregate maintenance: three batch partials
+    //      folded through merge() must equal a one-shot recompute —
+    //      the materialized-view algebra that replaces full-history
+    //      rescans at refresh time ----
+    "q_agg_maintain" -> ((s, d) => {
+      import graft.ops.AggMaintain
+      val li = t("lineitem")(s, d)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val parts = (0 to 2).map(i => AggMaintain.partial(
+        li.filter(pmod(col("l_orderkey"), lit(3)) === i),
+        Seq("l_returnflag"), "l_quantity"))
+      AggMaintain.finish(
+        parts.reduce((a, b) => AggMaintain.merge(a, b, Seq("l_returnflag"))))
+    }),
+
+    // ---- keyed snapshot diff across TableStore versions: v1 vs the
+    //      current snapshot (earliest month rewritten ×1.1 by the
+    //      store fixture) — only (key, fingerprint) pairs shuffle ----
+    "q_snapshot_diff" -> ((s, d) => {
+      val store = new graft.streaming.TableStore(storeFixture(s, d))
+      graft.ops.SnapshotDiff.diff(
+        store.readAt(s, "orders", storeOrdersSchema, 1L),
+        store.read(s, "orders", storeOrdersSchema),
+        "o_orderkey")
+    }),
+
+    // ---- quarantine routing: clean rows tagged 'ok', failing rows
+    //      tagged with the FIRST breached rule in rule order — both
+    //      outputs from one map-side pass over one scan ----
+    "q_quarantine" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_discount", "l_tax")
+      val (clean, quar) = graft.ops.DataQuality.quarantine(li, Seq(
+        "qty_range" -> (col("l_quantity") > 0 && col("l_quantity") <= 45),
+        "discount_range" ->
+          (col("l_discount") >= 0 && col("l_discount") <= 0.06),
+        "tax_range" -> (col("l_tax") <= 0.07)))
+      clean.withColumn("status", lit("ok"))
+        .unionByName(quar.withColumnRenamed("failed_rule", "status"))
+        .select("l_orderkey", "l_linenumber", "status")
+    }),
+
+    // ---- mergeable HLL sketches across epochs: per-day sketch state
+    //      unioned to a whole-corpus estimate without re-scanning any
+    //      closed epoch; asserted against the exact distinct count and
+    //      against the direct one-shot sketch inside the query ----
+    "q_hll_epochs" -> ((s, d) => {
+      val ev = t("events")(s, d)
+      val sk = graft.ops.Sketches.epochSketches(
+        ev, date_format(col("ts"), "yyyy-MM-dd"), col("user_id"))
+      val merged = graft.ops.Sketches.mergeEstimate(sk)
+        .withColumnRenamed("n_rows", "n_rows_merged")
+      val epochs = sk.agg(count(lit(1)).as("n_epochs"))
+      val direct = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+          .as("direct_est"),
+        countDistinct(col("user_id")).as("n_exact"),
+        count(lit(1)).as("n_rows"))
+      direct.crossJoin(merged).crossJoin(epochs).select(
+        col("n_epochs"), col("n_rows"), col("n_exact"),
+        (abs(col("estimate") - col("n_exact")).cast("double") <=
+          lit(0.05) * col("n_exact")).as("merged_in_bounds"),
+        (abs(col("estimate") - col("direct_est")).cast("double") <=
+          greatest(lit(1.0), lit(0.005) * col("n_exact")))
+          .as("merge_consistent"),
+        (col("n_rows_merged") === col("n_rows")).as("rows_consistent"))
+    }),
+
+    // ---- token-length histogram (fixed 32-token buckets): the
+    //      sequence-length distribution that sizes packing windows ----
+    "q_doc_length_hist" -> ((s, d) => {
+      t("documents")(s, d)
+        .select(graft.text.TextOps.tokenCount(col("text")).as("n_tokens"))
+        .select((floor(col("n_tokens") / lit(32)) * 32).as("bucket"),
+          col("n_tokens"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
     })
   )
 
@@ -3532,6 +3632,104 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
-         FROM documents GROUP BY source"""
+         FROM documents GROUP BY source""",
+
+    // SCD2 replay: sup = keys whose open row is superseded (null-safe
+    // attribute comparison, the engine's <=> mirrored as IS NOT
+    // DISTINCT FROM); the original snapshot closes where superseded,
+    // inserts are changed-or-new update rows
+    "q_scd2_merge" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+         upd AS (
+           SELECT c_custkey, round(c_acctbal + 100, 2) AS c_acctbal,
+             c_mktsegment
+           FROM c WHERE c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_custkey, c_acctbal, c_mktsegment FROM c
+           WHERE c_custkey % 3 = 1
+           UNION ALL
+           SELECT c_custkey + 1000000, CAST(0.0 AS DOUBLE), 'NEW'
+           FROM c WHERE c_custkey % 3 = 2),
+         sup AS (
+           SELECT u.c_custkey FROM upd u JOIN c ON u.c_custkey = c.c_custkey
+           WHERE NOT (u.c_acctbal IS NOT DISTINCT FROM c.c_acctbal
+                  AND u.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment)),
+         ins AS (
+           SELECT u.* FROM upd u
+           WHERE EXISTS (SELECT 1 FROM sup s WHERE s.c_custkey = u.c_custkey)
+              OR NOT EXISTS (SELECT 1 FROM c WHERE c.c_custkey = u.c_custkey))
+         SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+           '1994-01-01' AS valid_from,
+           CASE WHEN EXISTS (SELECT 1 FROM sup s
+                             WHERE s.c_custkey = c.c_custkey)
+             THEN '1995-06-01' END AS valid_to,
+           NOT EXISTS (SELECT 1 FROM sup s
+                       WHERE s.c_custkey = c.c_custkey) AS is_current
+         FROM c
+         UNION ALL
+         SELECT c_custkey, c_acctbal, c_mktsegment,
+           '1995-06-01', NULL, TRUE
+         FROM ins""",
+
+    // merged partials must equal the one-shot recompute; avg_v is the
+    // 2-dp HALF_UP mean in exact long arithmetic (the q_lm_score
+    // discipline — S2 = sum·100 exact, integer HALF_UP quotient, one
+    // correctly-rounded double division)
+    "q_agg_maintain" ->
+      """WITH st AS (
+           SELECT l_returnflag, count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(28,2))) AS sum_d,
+             min(l_quantity) AS min_v, max(l_quantity) AS max_v
+           FROM lineitem GROUP BY l_returnflag),
+         w AS (SELECT *,
+           CAST(CAST(sum_d AS DECIMAL(30,2)) * 100 AS BIGINT) AS s2
+           FROM st)
+         SELECT l_returnflag, n, CAST(sum_d AS DOUBLE) AS sum_v,
+           min_v, max_v,
+           (CASE WHEN s2 < 0 THEN -1 ELSE 1 END) *
+             CAST((2 * abs(s2) + n) // (2 * n) AS DOUBLE) / 100.0 AS avg_v
+         FROM w""",
+
+    // the store fixture rewrote exactly the earliest month's prices
+    // (×1.1 — always a change on positive prices), so the v1→latest
+    // diff is 'update' for exactly those keys
+    "q_snapshot_diff" ->
+      """SELECT o_orderkey, 'update' AS change FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m') =
+           (SELECT min(strftime(o_orderdate, '%Y-%m')) FROM orders)""",
+
+    // first-breached-rule-in-order tag; NULL predicate = violation
+    "q_quarantine" ->
+      """SELECT l_orderkey, l_linenumber,
+           coalesce(
+             CASE WHEN NOT coalesce(l_quantity > 0 AND l_quantity <= 45,
+               FALSE) THEN 'qty_range' END,
+             CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 0.06,
+               FALSE) THEN 'discount_range' END,
+             CASE WHEN NOT coalesce(l_tax <= 0.07, FALSE)
+               THEN 'tax_range' END,
+             'ok') AS status
+         FROM lineitem""",
+
+    // sketch estimates are engine-specific — the oracle checks the
+    // exact counts and asserts the in-query accuracy/consistency
+    // booleans are all TRUE (the q_sketch_accuracy pattern)
+    "q_hll_epochs" ->
+      """SELECT
+           (SELECT count(DISTINCT strftime(ts, '%Y-%m-%d')) FROM events)
+             AS n_epochs,
+           (SELECT count(*) FROM events) AS n_rows,
+           (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
+           TRUE AS merged_in_bounds,
+           TRUE AS merge_consistent,
+           TRUE AS rows_consistent""",
+
+    "q_doc_length_hist" ->
+      """WITH tk AS (
+           SELECT len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents)
+         SELECT (n_tokens // 32) * 32 AS bucket, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM tk GROUP BY 1"""
   )
 }

@@ -1,0 +1,389 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+import org.apache.datasketches.theta.{Intersection, SetOperation, Sketches, Union}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable sketch aggregates over the bundled Apache DataSketches
+  * library (the "Mergeable Summaries" algebra, Agarwal et al.
+  * PODS'12), complementing Spark's built-in HLL pair:
+  *
+  *  - [[KllSketchAgg]] / [[KllMergeAgg]] / [[KllQuantile]] — KLL
+  *    streaming quantiles (Karnin, Lang, Liberty FOCS'16): per-epoch
+  *    distribution state in ~3 KB that answers any quantile later,
+  *    and UNIONS across epochs without re-scanning them. Spark's own
+  *    `approx_percentile` aggregates in one job but its state is not
+  *    a storable column — this is the persistable form.
+  *  - [[ThetaSketchAgg]] / [[ThetaUnionAgg]] / [[ThetaIntersectAgg]] /
+  *    [[ThetaEstimate]] — Theta sketches: distinct-count state that
+  *    supports INTERSECTION (and union) estimates. HLL unions but
+  *    cannot intersect; retention/overlap questions ("users active in
+  *    BOTH January and June") need theta.
+  *
+  * All are TypedImperativeAggregates: partial sketches combine
+  * map-side, so a group-by shuffles one ≤~2^lgK-byte sketch per
+  * (group × partition) regardless of row count. Theta sketch state is
+  * a pure set property of the input's hash values (the k smallest
+  * hashes), so its estimates are DETERMINISTIC under any partitioning
+  * or row order; KLL compaction is order-sensitive, so KLL estimates
+  * carry rank-error bounds (±1.65% at k=200) but may vary at the
+  * margin across layouts — oracle checks must assert rank bounds, not
+  * exact values (the q_sketch_accuracy pattern).
+  */
+object SketchAggs {
+
+  private def toColumn(e: Expression): Column =
+    org.apache.spark.sql.GraftSqlShims.column(e)
+  private def exprOf(c: Column): Expression =
+    org.apache.spark.sql.GraftSqlShims.expression(c)
+
+  def kllSketchAgg(value: Column, k: Int = 200): Column =
+    toColumn(KllSketchAgg(exprOf(value), k).toAggregateExpression())
+
+  def kllMergeAgg(sketch: Column): Column =
+    toColumn(KllMergeAgg(exprOf(sketch)).toAggregateExpression())
+
+  def kllQuantile(sketch: Column, rank: Double): Column =
+    toColumn(KllQuantile(exprOf(sketch), rank))
+
+  def thetaSketchAgg(value: Column): Column =
+    toColumn(ThetaSketchAgg(exprOf(value)).toAggregateExpression())
+
+  def thetaUnionAgg(sketch: Column): Column =
+    toColumn(ThetaUnionAgg(exprOf(sketch)).toAggregateExpression())
+
+  def thetaIntersectAgg(sketch: Column): Column =
+    toColumn(ThetaIntersectAgg(exprOf(sketch)).toAggregateExpression())
+
+  def thetaEstimate(sketch: Column): Column =
+    toColumn(ThetaEstimate(exprOf(sketch)))
+}
+
+/** KLL doubles sketch of a numeric column → binary sketch bytes. */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case DoubleType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kll_sketch_agg requires double input, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KllSketchAgg = copy(child = c.head)
+}
+
+/** Union of stored KLL sketches (binary column) → binary sketch. */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kll_merge_agg requires binary sketches, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KllMergeAgg = copy(child = c.head)
+}
+
+/** Quantile readout of a stored KLL sketch at `rank` ∈ [0,1]
+  * (inclusive criteria); null for an empty sketch. Post-aggregation
+  * scalar — runs on ≤|groups| rows, so CodegenFallback costs nothing.
+  */
+case class KllQuantile(child: Expression, rank: Double)
+  extends UnaryExpression with CodegenFallback {
+
+  require(rank >= 0.0 && rank <= 1.0, s"rank $rank outside [0,1]")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kll_quantile requires binary sketch, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val sk = KllDoublesSketch.heapify(
+      Memory.wrap(input.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else java.lang.Double.valueOf(
+      sk.getQuantile(rank, QuantileSearchCriteria.INCLUSIVE))
+  }
+
+  override protected def withNewChildInternal(c: Expression): KllQuantile =
+    copy(child = c)
+}
+
+private object ThetaBuffers {
+  def newUnion(): Union = SetOperation.builder().buildUnion()
+  def newIntersection(): Intersection =
+    SetOperation.builder().buildIntersection()
+
+  /** (de)serialize a union through its COMPACT result — the union's
+    * state is itself a theta set, so union(result) is lossless.
+    */
+  def serializeUnion(u: Union): Array[Byte] = u.getResult.toByteArray
+  def deserializeUnion(bytes: Array[Byte]): Union = {
+    val u = newUnion()
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  /** A virgin intersection is the identity (the universal set) and
+    * serializes as zero bytes; otherwise its compact result.
+    */
+  def serializeIntersection(i: Intersection): Array[Byte] =
+    if (!i.hasResult) Array.emptyByteArray else i.getResult.toByteArray
+  def deserializeIntersection(bytes: Array[Byte]): Intersection = {
+    val i = newIntersection()
+    if (bytes.nonEmpty) i.intersect(Sketches.wrapSketch(Memory.wrap(bytes)))
+    i
+  }
+}
+
+/** Theta sketch of a column's distinct values → binary compact sketch.
+  * Accepts long, int, double, string, or binary inputs.
+  */
+case class ThetaSketchAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | DoubleType | StringType | BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "theta_sketch_agg requires bigint/int/double/string/binary, got " +
+          other.catalogString)
+    }
+
+  override def createAggregationBuffer(): Union = ThetaBuffers.newUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    child.eval(input) match {
+      case null             => ()
+      case l: java.lang.Long    => buf.update(l.longValue())
+      case i: java.lang.Integer => buf.update(i.longValue())
+      case d: java.lang.Double  => buf.update(d.doubleValue())
+      case s: UTF8String        => buf.update(s.toString)
+      case b: Array[Byte]       => buf.update(b)
+      case other => throw new IllegalStateException(
+        s"unsupported theta input $other")
+    }
+    buf
+  }
+
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult); buf
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+  override def serialize(buf: Union): Array[Byte] =
+    ThetaBuffers.serializeUnion(buf)
+  override def deserialize(bytes: Array[Byte]): Union =
+    ThetaBuffers.deserializeUnion(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ThetaSketchAgg = copy(child = c.head)
+}
+
+/** Union of stored theta sketches (binary column) → binary sketch. */
+case class ThetaUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"theta_union_agg requires binary sketches, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): Union = ThetaBuffers.newUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buf.union(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult); buf
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+  override def serialize(buf: Union): Array[Byte] =
+    ThetaBuffers.serializeUnion(buf)
+  override def deserialize(bytes: Array[Byte]): Union =
+    ThetaBuffers.deserializeUnion(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ThetaUnionAgg = copy(child = c.head)
+}
+
+/** Intersection of stored theta sketches — the estimate HLL cannot
+  * give. Null over an empty group (an empty intersection is the
+  * universal set, which has no meaningful sketch).
+  */
+case class ThetaIntersectAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Intersection] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"theta_intersect_agg requires binary sketches, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): Intersection =
+    ThetaBuffers.newIntersection()
+
+  override def update(buf: Intersection, input: InternalRow): Intersection = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.intersect(Sketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(buf: Intersection, other: Intersection): Intersection = {
+    if (other.hasResult) buf.intersect(other.getResult)
+    buf
+  }
+
+  override def eval(buf: Intersection): Any =
+    if (!buf.hasResult) null else buf.getResult.toByteArray
+  override def serialize(buf: Intersection): Array[Byte] =
+    ThetaBuffers.serializeIntersection(buf)
+  override def deserialize(bytes: Array[Byte]): Intersection =
+    ThetaBuffers.deserializeIntersection(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaIntersectAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaIntersectAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ThetaIntersectAgg = copy(child = c.head)
+}
+
+/** Distinct-count estimate of a stored theta sketch. Deterministic:
+  * theta state is the set of k smallest hashes — a pure set property
+  * of the input, independent of row order or partitioning.
+  */
+case class ThetaEstimate(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"theta_estimate requires binary sketch, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(
+      Sketches.wrapSketch(Memory.wrap(input.asInstanceOf[Array[Byte]]))
+        .getEstimate)
+
+  override protected def withNewChildInternal(c: Expression): ThetaEstimate =
+    copy(child = c)
+}

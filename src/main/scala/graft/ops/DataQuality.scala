@@ -62,6 +62,35 @@ object DataQuality {
     df
   }
 
+  /** Quarantine routing — the non-fatal sibling of [[gate]]: instead
+    * of rejecting the whole load when expectations are breached, ROUTE
+    * each failing row to a quarantine output (tagged with the first
+    * rule it failed, in rule order — a scalar tag, so the quarantine
+    * table stays flat and joinable) and pass the clean remainder
+    * through. The standard shape for 100 TB ingest, where "3 bad rows
+    * out of 10¹¹ abort the load" (gate) is usually the wrong policy
+    * but silently dropping them is worse.
+    *
+    * A NULL predicate result fails the rule (unknown is not a pass).
+    * Both outputs are single-pass map-side filters over the same scan
+    * — no shuffle, no second job; write both in one lineage (e.g.
+    * `foreachBatch` to two TableStore tables) and the source is still
+    * read once.
+    */
+  def quarantine(
+      df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)])
+      : (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "no rules given")
+    val firstFailed = coalesce(
+      rules.map { case (name, cond) =>
+        when(!coalesce(cond, lit(false)), lit(name))
+      }: _*)
+    val tagged = df.withColumn("failed_rule", firstFailed)
+    (tagged.filter(col("failed_rule").isNull).drop("failed_rule"),
+      tagged.filter(col("failed_rule").isNotNull))
+  }
+
   def nullProfile(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
     // backtick-quote source names so dots profile as literal column

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension merge — the history-keeping
+  * upgrade of the reference's type-1 upsert (POS_spark_dag.py:178–191
+  * overwrites a customer row in place; SCD2 instead closes the old
+  * version and appends a new one, so "what did this customer look like
+  * when the model trained?" stays answerable). The reproducibility
+  * twin of TableStore.readAt, at row granularity.
+  *
+  * History-table contract: the key column, the tracked attribute
+  * columns, and three bookkeeping columns —
+  * `valid_from` (inclusive), `valid_to` (null while open), and
+  * `is_current` (exactly one open row per key).
+  *
+  * Merge semantics for one batch of updates (key + attributes):
+  *  - key unseen before            → insert an open row at `batchTime`
+  *  - open row differs (null-safe) → close it (`valid_to = batchTime`,
+  *                                   `is_current = false`) and insert
+  *                                   the new open row
+  *  - open row identical           → no-op (no churn versions)
+  *  - closed rows                  → pass through untouched
+  *
+  * Scale shape: ONE key-hash shuffle joins updates against only the
+  * OPEN slice of history (`is_current` is a scan filter — with history
+  * partitioned/z-ordered on `is_current`, closed history is never
+  * read). Change detection is a null-safe column conjunction evaluated
+  * map-side post-join; a batch far smaller than the dimension
+  * broadcasts. Closed rows union in without a shuffle. Nothing is
+  * proportional to |closed history|.
+  */
+object Scd {
+
+  def scd2Merge(
+      history: DataFrame,
+      updates: DataFrame,
+      key: String,
+      batchTime: Column): DataFrame = {
+    val bookkeeping = Seq("valid_from", "valid_to", "is_current")
+    val attrs = updates.columns.filterNot(_ == key).toSeq
+    require(updates.columns.contains(key), s"updates missing key '$key'")
+    require(bookkeeping.forall(history.columns.contains),
+      s"history missing bookkeeping columns $bookkeeping")
+    require((attrs :+ key).forall(history.columns.contains),
+      "history missing tracked attribute columns")
+    require(!attrs.exists(bookkeeping.contains),
+      "updates must not carry bookkeeping columns")
+
+    val validToType = history.schema("valid_to").dataType
+
+    val open = history.filter(col("is_current"))
+    val closed = history.filter(!col("is_current"))
+
+    // <=> (null-safe equality) per attribute: a null attribute equals
+    // null, so a no-change update with nulls stays a no-op instead of
+    // spawning a version per batch. Exact and oracle-expressible
+    // (IS NOT DISTINCT FROM); for very wide dimensions compare a
+    // map-side xxhash64 fingerprint instead and ship (key, fp) only.
+    val u = updates.alias("u")
+    val o = open.alias("o")
+    val unchanged = attrs
+      .map(a => col(s"u.`$a`") <=> col(s"o.`$a`"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val changedOrNew = u
+      .join(o, col(s"u.`$key`") === col(s"o.`$key`"), "left")
+      .filter(col(s"o.`$key`").isNull || !unchanged)
+      .cache()
+
+    val outCols = history.columns.toSeq
+    val inserts = changedOrNew.select(outCols.map {
+      case c if c == key        => col(s"u.`$key`").as(key)
+      case "valid_from"         => batchTime.as("valid_from")
+      case "valid_to"           => lit(null).cast(validToType).as("valid_to")
+      case "is_current"         => lit(true).as("is_current")
+      case a                    => col(s"u.`$a`").as(a)
+    }: _*)
+
+    // keys whose open row is being superseded this batch
+    val superseded = changedOrNew
+      .filter(col(s"o.`$key`").isNotNull)
+      .select(col(s"u.`$key`").as(key))
+      .withColumn("_superseded", lit(true))
+    val openAdjusted = open
+      .join(superseded, Seq(key), "left")
+      .withColumn("valid_to",
+        when(col("_superseded"), batchTime.cast(validToType))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current",
+        when(col("_superseded"), lit(false)).otherwise(col("is_current")))
+      .drop("_superseded")
+      .select(outCols.map(c => col(s"`$c`")): _*)
+
+    closed.select(outCols.map(c => col(s"`$c`")): _*)
+      .unionByName(openAdjusted)
+      .unionByName(inserts)
+  }
+
+  /** Bootstrap a history table from an initial dimension snapshot. */
+  def scd2Init(snapshot: DataFrame, loadTime: Column): DataFrame = {
+    val timeType = snapshot.select(loadTime.as("t")).schema.head.dataType
+    snapshot
+      .withColumn("valid_from", loadTime)
+      .withColumn("valid_to", lit(null).cast(timeType))
+      .withColumn("is_current", lit(true))
+  }
+}
