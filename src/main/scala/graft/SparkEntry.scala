@@ -1739,6 +1739,66 @@ object SparkEntry {
         (col("n_rows_merged") === col("n_rows")).as("rows_consistent"))
     }),
 
+    // ---- mergeable KLL quantile sketches: per-day distribution
+    //      state merged to whole-corpus p50/p95 without re-scanning
+    //      closed epochs. KLL compaction is order-sensitive, so the
+    //      oracle-checked output asserts the RANK of each estimate
+    //      (±2.5%; k=200 guarantees ±1.65%) plus the exact discrete
+    //      quantiles, never the raw estimates ----
+    "q_kll_quantiles" -> ((s, d) => {
+      import graft.functions.SketchAggs._
+      val ev = t("events")(s, d)
+        .filter(col("value").isNotNull)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      val merged = ev.groupBy(col("day"))
+        .agg(kllSketchAgg(col("value")).as("sketch"))
+        .agg(kllMergeAgg(col("sketch")).as("m"))
+        .select(kllQuantile(col("m"), 0.5).as("p50_est"),
+          kllQuantile(col("m"), 0.95).as("p95_est"))
+      val cds = ev.select(col("value"),
+        cume_dist().over(Window.orderBy(col("value"))).as("cd"))
+      val exact = cds.filter(col("cd") >= 0.5).agg(min("value").as("p50_exact"))
+        .crossJoin(
+          cds.filter(col("cd") >= 0.95).agg(min("value").as("p95_exact")))
+      ev.crossJoin(merged).agg(
+        count(lit(1)).as("n"),
+        (sum(when(col("value") <= col("p50_est"), 1L).otherwise(0L)) /
+          count(lit(1))).as("r50"),
+        (sum(when(col("value") <= col("p95_est"), 1L).otherwise(0L)) /
+          count(lit(1))).as("r95"))
+        .crossJoin(exact)
+        .select(col("n"), col("p50_exact"), col("p95_exact"),
+          (abs(col("r50") - 0.5) <= 0.025).as("p50_rank_ok"),
+          (abs(col("r95") - 0.95) <= 0.025).as("p95_rank_ok"))
+    }),
+
+    // ---- theta-sketch retention: distinct-user INTERSECTION between
+    //      the two halves of the month — the estimate HLL cannot give.
+    //      Theta state is a pure set property (k smallest hashes), so
+    //      the estimates are deterministic under any partitioning ----
+    "q_theta_retention" -> ((s, d) => {
+      import graft.functions.SketchAggs._
+      val ev = t("events")(s, d)
+        .select(col("user_id"), (dayofmonth(col("ts")) <= 15).as("h1"))
+      val est = ev.groupBy(col("h1"))
+        .agg(thetaSketchAgg(col("user_id")).as("sketch"))
+        .agg(
+          thetaEstimate(thetaIntersectAgg(col("sketch"))).as("est_both"),
+          thetaEstimate(thetaUnionAgg(col("sketch"))).as("est_any"))
+      val flags = ev.groupBy(col("user_id")).agg(
+        max(when(col("h1"), 1).otherwise(0)).as("a"),
+        max(when(!col("h1"), 1).otherwise(0)).as("b"))
+      flags.agg(
+        sum(col("a")).as("n_h1"), sum(col("b")).as("n_h2"),
+        sum(col("a") * col("b")).as("n_both"), count(lit(1)).as("n_any"))
+        .crossJoin(est)
+        .select(col("n_h1"), col("n_h2"), col("n_both"), col("n_any"),
+          (abs(col("est_both") - col("n_both")) <=
+            greatest(lit(2.0), lit(0.05) * col("n_both"))).as("both_ok"),
+          (abs(col("est_any") - col("n_any")) <=
+            greatest(lit(2.0), lit(0.05) * col("n_any"))).as("any_ok"))
+    }),
+
     // ---- token-length histogram (fixed 32-token buckets): the
     //      sequence-length distribution that sizes packing windows ----
     "q_doc_length_hist" -> ((s, d) => {
@@ -3723,6 +3783,31 @@ object SparkEntry {
            TRUE AS merged_in_bounds,
            TRUE AS merge_consistent,
            TRUE AS rows_consistent""",
+
+    // sketch estimates assert as rank-bound booleans; the exact
+    // discrete quantiles (pure value selection, no FP arithmetic)
+    // hash-compare directly
+    "q_kll_quantiles" ->
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+         o AS (SELECT value, cume_dist() OVER (ORDER BY value) AS cd
+               FROM v)
+         SELECT (SELECT count(*) FROM v) AS n,
+           (SELECT min(value) FROM o WHERE cd >= 0.5) AS p50_exact,
+           (SELECT min(value) FROM o WHERE cd >= 0.95) AS p95_exact,
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok""",
+
+    "q_theta_retention" ->
+      """WITH f AS (
+           SELECT user_id,
+             max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS b
+           FROM events GROUP BY user_id)
+         SELECT CAST(sum(a) AS BIGINT) AS n_h1,
+           CAST(sum(b) AS BIGINT) AS n_h2,
+           CAST(sum(a * b) AS BIGINT) AS n_both,
+           count(*) AS n_any,
+           TRUE AS both_ok, TRUE AS any_ok
+         FROM f""",
 
     "q_doc_length_hist" ->
       """WITH tk AS (

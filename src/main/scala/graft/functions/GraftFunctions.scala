@@ -1317,6 +1317,17 @@ object GraftFunctions {
         s"expected integer literal, got $other")
     }
 
+  private def doubleArg(e: Expression): Double =
+    e.eval(null) match {
+      case d: Double  => d
+      case f: Float   => f.toDouble
+      case i: Int     => i.toDouble
+      case l: Long    => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"expected numeric literal, got $other")
+    }
+
   /** (name, builder) for every native expression — shared by the
     * session-local [[register]] and the [[GraftExtensions]] injection.
     */
@@ -1336,7 +1347,20 @@ object GraftFunctions {
     "positional_shingle_hashes" -> (exprs =>
       PositionalShingleHashes(exprs.head, intArg(exprs(1)))),
     "remove_token_spans" -> (exprs =>
-      RemoveTokenSpans(exprs.head, exprs(1), intArg(exprs(2)))))
+      RemoveTokenSpans(exprs.head, exprs(1), intArg(exprs(2)))),
+    // mergeable sketch aggregates (SketchAggs.scala) — the registry
+    // wraps AggregateFunctions in AggregateExpression at resolution,
+    // same as the built-in aggregates
+    "kll_sketch_agg" -> (exprs =>
+      if (exprs.size > 1) KllSketchAgg(exprs.head, intArg(exprs(1)))
+      else KllSketchAgg(exprs.head)),
+    "kll_merge_agg" -> (exprs => KllMergeAgg(exprs.head)),
+    "kll_quantile" -> (exprs =>
+      KllQuantile(exprs.head, doubleArg(exprs(1)))),
+    "theta_sketch_agg" -> (exprs => ThetaSketchAgg(exprs.head)),
+    "theta_union_agg" -> (exprs => ThetaUnionAgg(exprs.head)),
+    "theta_intersect_agg" -> (exprs => ThetaIntersectAgg(exprs.head)),
+    "theta_estimate" -> (exprs => ThetaEstimate(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -9,6 +9,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -82,17 +83,20 @@ case class KllSketchAgg(
   override def dataType: DataType = BinaryType
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case DoubleType => TypeCheckResult.TypeCheckSuccess
+      case _: NumericType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"kll_sketch_agg requires double input, got ${other.catalogString}")
+        s"kll_sketch_agg requires numeric input, got ${other.catalogString}")
     }
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
 
   override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
-    val v = child.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[Double])
+    child.eval(input) match {
+      case null                => ()
+      case n: java.lang.Number => buf.update(n.doubleValue())
+      case d: Decimal          => buf.update(d.toDouble)
+    }
     buf
   }
 

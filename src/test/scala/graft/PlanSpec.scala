@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FormattedMode
 
+import graft.ops.SnapshotDiff
+
 /** Physical-plan regression gate: the PLANS_r*.md audit claims that
   * make these queries scale — pushed filters, single-shuffle
   * aggregation, shuffle-free sampling, broadcast band join, top-k
@@ -278,5 +280,40 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles(plan) == 1,
       s"expected exactly 1 Exchange (the mixture groupBy), " +
         s"got ${shuffles(plan)}:\n$plan")
+  }
+
+  test("snapshotDiff ships fingerprints, not rows, through its join") {
+    // each side reduces to (key, xxhash64) BELOW the exchange — the
+    // full-outer join must shuffle ~16 B/row however wide the table
+    val plan = formatted(SnapshotDiff.diff(
+      spark.read.parquet(s"$dir/orders.parquet"),
+      spark.read.parquet(s"$dir/orders.parquet"), "o_orderkey"))
+    assert(plan.contains("xxhash64"), s"fingerprint missing:\n$plan")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"))
+    // formatted detail sections: every shuffle Exchange must input
+    // exactly (key, fingerprint) — 2 columns — never the wide row
+    val exchangeArities = """\(\d+\) Exchange\nInput \[(\d+)\]""".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+    assert(exchangeArities.nonEmpty && exchangeArities.forall(_ == 2),
+      s"wide columns crossed an exchange ($exchangeArities):\n$plan")
+  }
+
+  test("q_scd2_merge stays join-shaped (no cartesian), bounded exchanges") {
+    val plan = finalPlan(q("q_scd2_merge"))
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"SCD2 degenerated to a cartesian form:\n$plan")
+    assert(shuffles(plan) <= 6,
+      s"SCD2 exchange budget blown (${shuffles(plan)}):\n$plan")
+  }
+
+  test("sketch aggregates combine map-side (ObjectHashAggregate partials)") {
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass before the exchange: one sketch per (group ×
+    // partition) crosses the wire, not one row per input
+    for (name <- Seq("q_kll_quantiles", "q_theta_retention")) {
+      val plan = formatted(q(name))
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name lost the object-hash partial pass:\n$plan")
+    }
   }
 }
