@@ -206,6 +206,32 @@ object SparkEntry {
       root
     })
 
+  /** AggMaintain state parquet for lineitem keyed by l_returnflag over
+    * l_quantity, built once per sf dir and registered with the
+    * MvRewrite rule — the maintained-MV fixture behind q_mv_rewrite.
+    * Built through partial/merge over three disjoint batches (not one
+    * groupBy) so the state the rewrite serves is the genuinely
+    * incrementally-maintained artifact.
+    */
+  private val mvFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mvFixture(s: SparkSession, d: String): String =
+    mvFixtureCache.computeIfAbsent(d, { _ =>
+      import graft.ops.AggMaintain
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_mv_${java.lang.Integer.toHexString(d.hashCode)}"
+      val li = t("lineitem")(s, d).select("l_orderkey", "l_returnflag",
+        "l_quantity")
+      val state = (0 to 2).map(i => AggMaintain.partial(
+          li.filter(pmod(col("l_orderkey"), lit(3)) === i),
+          Seq("l_returnflag"), "l_quantity"))
+        .reduce((a, b) => AggMaintain.merge(a, b, Seq("l_returnflag")))
+      state.coalesce(1).write.mode("overwrite").parquet(root)
+      graft.plans.MvRewrite.register(s, s"$d/lineitem.parquet",
+        Seq("l_returnflag"), "l_quantity", root)
+      root
+    })
+
   /** Build every one-time fixture (CSV export, store snapshot) for an
     * sf dir — harnesses call this untimed so first-invocation fixture
     * construction is never billed to a query.
@@ -216,6 +242,7 @@ object SparkEntry {
     jsonlFixture(s, d)
     jsonlGzFixture(s, d)
     orcFixture(s, d)
+    mvFixture(s, d)
     ()
   }
 
@@ -1809,6 +1836,53 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"))
+    }),
+
+    // ---- BM25 top-k retrieval: a 3-query batch searched against the
+    //      corpus — the search half of q_doc_bm25. Downstream of the
+    //      query-vocabulary semi-join, every stage touches only the
+    //      matched postings; scores sum in exact DECIMAL(18,6) so the
+    //      (score desc, doc_id) ranking is cross-engine stable ----
+    "q_bm25_search" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        ("q1", "hash join batch"),
+        ("q2", "window sort column"),
+        ("q3", "customer order data stream")).toDF("qid", "qtext")
+      graft.text.TextOps.bm25Search(
+        t("documents")(s, d), "doc_id", "text", queries, "qid", "qtext")
+    }),
+
+    // ---- materialized-view rewrite: the plain per-returnflag
+    //      aggregate over the lineitem FACT table, answered from
+    //      AggMaintain state by the Catalyst MvRewriteRule — the read
+    //      half of incremental MV maintenance. `rewritten` is read off
+    //      the optimized plan, so green requires BOTH the rewrite
+    //      firing (state files scanned, fact files not) AND its answer
+    //      hash-matching DuckDB running the same SQL on the raw fact
+    //      rows. At 100 TB this is the difference between a full
+    //      corpus scan + shuffle and a read of |groups| rows ----
+    "q_mv_rewrite" -> ((s, d) => {
+      mvFixture(s, d)
+      val agg = t("lineitem")(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum("l_quantity").as("sum_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"))
+      val fired = agg.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+          lr.relation
+            .asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+      agg.select(col("l_returnflag"), col("n_items"), col("sum_qty"),
+        col("min_qty"), col("max_qty"),
+        lit(fired.exists(_.contains("graft_mv_")) &&
+          !fired.exists(_.contains("lineitem.parquet"))).as("rewritten"))
     })
   )
 
@@ -3815,6 +3889,63 @@ object SparkEntry {
            FROM documents)
          SELECT (n_tokens // 32) * 32 AS bucket, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-         FROM tk GROUP BY 1"""
+         FROM tk GROUP BY 1""",
+
+    // same per-(doc,term) weight formula as q_doc_bm25 (green), then
+    // exact-decimal score sums and a deterministic (score desc,
+    // doc_id) row_number — no FP sum-order dependence anywhere
+    "q_bm25_search" ->
+      """WITH q(qid, qtext) AS (VALUES
+           ('q1', 'hash join batch'),
+           ('q2', 'window sort column'),
+           ('q3', 'customer order data stream')),
+         qt AS (SELECT DISTINCT qid, term FROM (
+           SELECT qid,
+             unnest(regexp_extract_all(lower(qtext), '\S+')) AS term
+           FROM q)),
+         toks AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         tfq AS (SELECT * FROM tf
+           WHERE term IN (SELECT term FROM qt)),
+         df AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs,
+                   avg(coalesce(dl.dl, 0)) AS avgdl
+                 FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+         w AS (SELECT tfq.doc_id, tfq.term,
+           CAST(round(
+             ln((tot.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tfq.tf * 2.2
+                / (tfq.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / tot.avgdl))),
+             6) AS DECIMAL(18,6)) AS wgt
+           FROM tfq
+           JOIN dl ON dl.doc_id = tfq.doc_id
+           JOIN df ON df.term = tfq.term
+           CROSS JOIN tot),
+         sc AS (SELECT qt.qid, w.doc_id,
+             CAST(sum(w.wgt) AS DECIMAL(18,6)) AS score
+           FROM w JOIN qt ON qt.term = w.term GROUP BY 1, 2)
+         SELECT qid, rank, doc_id, score FROM (
+           SELECT qid, doc_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER)
+               AS rank
+           FROM sc)
+         WHERE rank <= 5""",
+
+    // the oracle recomputes from the raw fact rows — the Spark side
+    // answers from the maintained MV state, so a hash match proves the
+    // rewrite is semantically invisible. l_quantity is integral, so
+    // DuckDB's FP sum and the state's exact decimal sum agree with no
+    // rounding. `rewritten` asserts the plan actually read the state.
+    "q_mv_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         sum(l_quantity) AS sum_qty,
+         min(l_quantity) AS min_qty,
+         max(l_quantity) AS max_qty,
+         TRUE AS rewritten
+         FROM lineitem GROUP BY 1"""
   )
 }

@@ -17,11 +17,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * this is the public extension-point API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name),
         builder))
     }
+    // MV rewrite (graft.plans.MvRewrite) — a no-op until a state table
+    // is registered for a fact path, so injecting unconditionally is
+    // free for sessions that never register one
+    ext.injectOptimizerRule(_ => new graft.plans.MvRewriteRule)
+  }
 }

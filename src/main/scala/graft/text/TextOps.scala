@@ -110,6 +110,69 @@ object TextOps {
       .select("doc_id", "term", "tf", "bm25")
   }
 
+  /** BM25 top-k retrieval: score a (small) query table against the
+    * corpus and return the `k` best documents per query — the search
+    * half of [[bm25]]. Query text tokenizes like document text;
+    * repeated terms within one query count once (the `distinct` on
+    * (qid, term) — standard bag-of-words-with-binary-query-tf BM25).
+    *
+    * Scale shape: the corpus pays the SAME one tokenize+explode pass
+    * as [[bm25]] (dl/avgdl need every posting), but everything
+    * downstream of the semi-join touches ONLY the postings of query
+    * terms — df, the weight arithmetic, and the per-(query, doc) score
+    * aggregate all run over |matched postings|, not |corpus postings|.
+    * The query table broadcasts (a search workload's query batch is
+    * bounded); the final top-k is one window over the scored rows.
+    * Scores are exact DECIMAL(18,6) sums of the 6-dp per-term weights,
+    * so ranking (score desc, doc_id asc) is deterministic and
+    * cross-engine stable — no FP sum-order dependence.
+    */
+  def bm25Search(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      queries: org.apache.spark.sql.DataFrame,
+      qidCol: String, qtextCol: String,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    val qterms = queries.select(col(qidCol).as("qid"),
+        explode(tokens(lower(col(qtextCol)))).as("term"))
+      .distinct()
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // postings restricted to query vocabulary — df over tfq equals df
+    // over tf for these terms (tf is unique per (doc, term))
+    val tfq = tf.join(broadcast(qterms.select("term").distinct()),
+      Seq("term"), "left_semi")
+    val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = docs.select(col(idCol).as("doc_id"))
+      .join(dl, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        avg(coalesce(col("dl"), lit(0L))).as("avgdl"))
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scores = tfq.join(dl, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("w", round(idf * norm, 6).cast("decimal(18,6)"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("w")).cast("decimal(18,6)").as("score"))
+    import org.apache.spark.sql.expressions.Window
+    scores.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "score")
+  }
+
   /** BPE-style token-count estimate: the GPT-2 pre-tokenizer pattern
     * (letter runs / digit runs / punctuation runs, each with an
     * optional leading space) restricted to the Java-regex ∩ RE2 common

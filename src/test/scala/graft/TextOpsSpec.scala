@@ -145,6 +145,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 0.666667, 1.0)))   // round(2/3, 6)
   }
 
+  test("bm25Search ranks by summed term weights, k-bounded, tie-broken") {
+    // doc 1: both query terms, high tf; doc 2: one term; doc 3: none;
+    // doc 4: both terms once — expect 1 > 4 > 2, doc 3 absent
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana date date date"),
+      (3L, "egg fig grape"),
+      (4L, "apple banana egg fig")).toDF("doc_id", "text")
+    val queries = Seq(("qA", "apple banana"), ("qB", "egg"))
+      .toDF("qid", "qtext")
+    val got = TextOps.bm25Search(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 2)
+      .select("qid", "rank", "doc_id").as[(String, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.map(r => (r._1, r._3)).toSeq ==
+      Seq(("qA", 1L), ("qA", 4L), ("qB", 3L), ("qB", 4L)))
+    // k bounds output even when more docs match
+    assert(got.count(_._1 == "qA") == 2)
+    // repeated query terms count once: identical ranking for "egg egg"
+    val rep = TextOps.bm25Search(docs, "doc_id", "text",
+        Seq(("qB", "egg egg")).toDF("qid", "qtext"), "qid", "qtext", k = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rep == Set(3L, 4L))
+  }
+
   test("stripBoilerplate removes shared segments, keeps order, keeps rows") {
     // segLen=3: docs 1 and 2 share their FIRST 3-token segment exactly;
     // remaining segments are unique
