@@ -1838,6 +1838,19 @@ object SparkEntry {
           sum(col("n_tokens")).as("total_tokens"))
     }),
 
+    // ---- per-group top-k via the bounded-heap collect aggregate:
+    //      top-3 orders per priority by (price, key) desc. Each map
+    //      task's heap holds ≤ k rows per group and the exchange
+    //      carries ≤ k-row states — the scale form of the window
+    //      row_number() ≤ k, which would shuffle and sort every row ----
+    "q_topk_group" -> ((s, d) =>
+      graft.ops.TopK.topKPerGroup(
+        t("orders")(s, d)
+          .select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        Seq("o_orderpriority"),
+        struct(col("o_totalprice"), col("o_orderkey")),
+        k = 3, largest = true)),
+
     // ---- BM25 top-k retrieval: a 3-query batch searched against the
     //      corpus — the search half of q_doc_bm25. Downstream of the
     //      query-vocabulary semi-join, every stage touches only the
@@ -3890,6 +3903,16 @@ object SparkEntry {
          SELECT (n_tokens // 32) * 32 AS bucket, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM tk GROUP BY 1""",
+
+    "q_topk_group" ->
+      """SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank,
+           o_totalprice, o_orderkey
+         FROM (
+           SELECT o_orderpriority, o_totalprice, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+           FROM orders)
+         WHERE rank <= 3""",
 
     // same per-(doc,term) weight formula as q_doc_bm25 (green), then
     // exact-decimal score sums and a deterministic (score desc,

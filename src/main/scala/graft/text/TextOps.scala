@@ -122,7 +122,10 @@ object TextOps {
     * terms — df, the weight arithmetic, and the per-(query, doc) score
     * aggregate all run over |matched postings|, not |corpus postings|.
     * The query table broadcasts (a search workload's query batch is
-    * bounded); the final top-k is one window over the scored rows.
+    * bounded); the final top-k is the bounded-heap collect aggregate
+    * ([[graft.ops.TopK]]) — a broad query matching 10⁸ documents costs
+    * O(n log k) per map task and ships ≤ k-row states, where a window
+    * row_number would shuffle and sort every scored row per query.
     * Scores are exact DECIMAL(18,6) sums of the 6-dp per-term weights,
     * so ranking (score desc, doc_id asc) is deterministic and
     * cross-engine stable — no FP sum-order dependence.
@@ -165,11 +168,13 @@ object TextOps {
       .join(broadcast(qterms), Seq("term"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("w")).cast("decimal(18,6)").as("score"))
-    import org.apache.spark.sql.expressions.Window
-    scores.withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
+    // (score desc, doc_id asc): doc_id rides along negated so the
+    // single `largest` struct ordering breaks ties toward smaller ids
+    graft.ops.TopK.topKPerGroup(
+        scores.withColumn("neg_id", -col("doc_id")),
+        Seq("qid"),
+        struct(col("score"), col("neg_id"), col("doc_id")),
+        k, largest = true)
       .select("qid", "rank", "doc_id", "score")
   }
 

@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `CollectTopK` (the bounded-heap top-k collect aggregate behind
+    * the pandas API's nlargest/nsmallest) is `private[sql]`; expose it
+    * for [[graft.ops.TopK]]. `reverse = true` keeps the largest.
+    */
+  def collectTopK(e: Expression, k: Int, reverse: Boolean): Column =
+    column(catalyst.expressions.aggregate.GraftCollectShims
+      .collectTopK(e, k, reverse))
 }
