@@ -41,48 +41,46 @@ object Pca {
     }
   }
 
-  /** Moment triples for ONE fused pass: `(i, -1, xi)` first-moment
-    * rows followed by `(i, j, xi*xj)` UPPER-triangle second-moment
-    * rows (j ≥ i; the matrix is symmetric, the driver mirrors) — one
-    * nested-transform expression over a projected array column, no
-    * UDF. The j = -1 sentinel lets a single (i, j)-keyed aggregate
-    * carry means, covariance AND the row count (every row contributes
-    * every key exactly once, so any group's count is n) — the corpus
-    * is scanned once, not once per moment order.
-    */
-  private def momentTriples(v: Column, dim: Int): Column =
-    concat(
-      transform(v, (xi, i) => struct(
-        i.cast("int").as("i"), lit(-1).as("j"), xi.as("p"))),
-      flatten(transform(v, (xi, i) =>
-        transform(slice(v, i + 1, lit(dim) - i), (xj, jo) => struct(
-          i.cast("int").as("i"), (i + jo).cast("int").as("j"),
-          (xi * xj).as("p"))))))
-
-  /** Accumulate mean and second moments: ONE corpus pass (a single
-    * scan → map-side-combined (i, j)-keyed DECIMAL aggregate →
-    * d(d+3)/2 rows to the driver). Returns (n, sums[d], moments[d][d])
-    * with exact decimal accumulation.
+  /** Accumulate mean and second moments: ONE corpus pass through the
+    * no-explode [[graft.functions.MomentSumAgg]] — each task keeps the
+    * whole d(d+3)/2-cell moment vector as one Array[Long] of 12-dp
+    * unscaled sums (map-side combine is elementwise integer addition),
+    * and exactly ONE bounded state per partition reaches the final
+    * merge. Bit-compatible with the previous exploded
+    * (i, j)-keyed DECIMAL(28,12) aggregate (same shortest-repr
+    * HALF_UP rounding per product, same exact sums — see the
+    * exactness contract on MomentSumAgg) but without the per-cell
+    * struct/cast/hash machinery, which was ~4 of the 5.8 s PCA fit at
+    * sf0.1. Returns (n, sums[d], moments[d][d]).
     */
   private def moments(
       df: DataFrame, vecCol: String, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
-    val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
+    val vecs0 = df.select(col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && size(col("v")) === dim)
-    val agg = vecs
-      .select(explode(momentTriples(col("v"), dim)).as("t"))
-      .select(col("t.i"), col("t.j"),
-        col("t.p").cast("decimal(28,12)").as("p"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
-      .collect()
-    val n = agg.headOption.map(_.getLong(3)).getOrElse(0L)
-    val sums = new Array[Double](dim)
+    // the O(d²)-per-row update dominates the scan, so a small corpus
+    // in few files (one parquet partition at local scale) must spread
+    // across cores; a wide corpus is already parallel and skips the
+    // exchange (integer sums make the result layout-independent
+    // either way)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val vecs =
+      if (vecs0.rdd.getNumPartitions < par) vecs0.repartition(par) else vecs0
+    val aggCol = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.MomentSumAgg(
+        org.apache.spark.sql.GraftSqlShims.expression(col("v")), dim)
+        .toAggregateExpression())
+    val s = vecs.agg(aggCol.as("m")).head().getStruct(0)
+    val n = s.getLong(0)
+    val cells = s.getSeq[Long](1)
+    def toDouble(unscaled: Long): Double =
+      new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(unscaled), 12).doubleValue
+    val sums = Array.tabulate(dim)(i => toDouble(cells(i)))
     val m = Array.fill(dim, dim)(0.0)
-    agg.foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1)
-      val x = r.getDecimal(2).doubleValue
-      if (j < 0) sums(i) = x
-      else { m(i)(j) = x; m(j)(i) = x }
+    var idx = dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val x = toDouble(cells(idx)); idx += 1
+      m(i)(j) = x; m(j)(i) = x
     }
     (n, sums, m)
   }
