@@ -1039,9 +1039,8 @@ object SparkEntry {
     //      replayed by the DuckDB oracle ----
     "q_dsir_weights" -> ((s, d) => {
       val docs = t("documents")(s, d)
-      val model = graft.text.Dsir.fit(
-        docs.filter(col("source") === "src0"), docs, col("text"),
-        buckets = 4096)
+      val model = graft.text.Dsir.fitWithin(
+        docs, col("source") === "src0", col("text"), buckets = 4096)
       graft.text.Dsir.scoreDocs(docs, "doc_id", "text", model)
     }),
 
@@ -1052,9 +1051,8 @@ object SparkEntry {
     //      distributed top-k, never a global sort ----
     "q_dsir_select" -> ((s, d) => {
       val docs = t("documents")(s, d)
-      val model = graft.text.Dsir.fit(
-        docs.filter(col("source") === "src0"), docs, col("text"),
-        buckets = 4096)
+      val model = graft.text.Dsir.fitWithin(
+        docs, col("source") === "src0", col("text"), buckets = 4096)
       graft.text.Dsir.resample(docs, "doc_id", "text", model, k = 100)
     }),
 

@@ -98,8 +98,6 @@ object Dsir {
       raw: DataFrame,
       textCol: Column,
       buckets: Int = 4096): DsirModel = {
-    val spark = target.sparkSession
-    import spark.implicits._
     // ONE count pass per corpus; both results are bounded by
     // `buckets`, so they collect. Finishing the ratio arithmetic
     // driver-side (BigDecimal.valueOf(..).setScale(9, HALF_UP) IS
@@ -116,6 +114,48 @@ object Dsir {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val rc = bucketCounts(raw, textCol, buckets)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    ratioModel(tc, rc, buckets, target.sparkSession)
+  }
+
+  /** [[fit]] when the target corpus is a predicate-selected slice of
+    * the raw corpus (the standard DSIR shape: importance-sample raw
+    * toward a high-quality slice of itself). ONE count pass computes
+    * both corpora's bucket counts — `count(*)` for raw and a
+    * conditional count for the slice ride the same aggregate — so the
+    * raw corpus is tokenized and scanned once, not twice. Counts, and
+    * with them the model, are identical to
+    * `fit(raw.filter(targetPred), raw, …)`.
+    */
+  def fitWithin(
+      raw: DataFrame,
+      targetPred: Column,
+      textCol: Column,
+      buckets: Int = 4096): DsirModel = {
+    // tokens materialize in their own projection BEFORE the gram
+    // expression references them (twice: unigrams + bigrams) — inlining
+    // tokensOf into gramsCol re-runs the regexp tokenizer per reference
+    val agg = raw
+      .select(tokensOf(textCol).as("__toks"), targetPred.as("__p"))
+      .select(col("__p"), explode(gramsCol(col("__toks"))).as("g"))
+      .select(col("__p"), bucketOf(col("g"), buckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("__p"), lit(1))).as("ct"))
+      .collect()
+    val rc = agg.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tc = agg.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    ratioModel(tc, rc, buckets, raw.sparkSession)
+  }
+
+  /** Smoothed log-ratio table from bucket-count maps (the shared tail
+    * of [[fit]]/[[fitWithin]] — see fit for the 9-dp contract).
+    */
+  private def ratioModel(
+      tc: Map[Int, Long],
+      rc: Map[Int, Long],
+      buckets: Int,
+      spark: org.apache.spark.sql.SparkSession): DsirModel = {
+    import spark.implicits._
     val nt = tc.values.sum.toDouble
     val nr = rc.values.sum.toDouble
     val b = buckets.toDouble
@@ -131,8 +171,9 @@ object Dsir {
   /** Per-document log importance weight under `model`:
     * `(id, n_grams, logw_sum, dsir_logw)`. Empty documents get an
     * exact zero sum (a no-evidence document is weight-neutral, not
-    * dropped). One shuffle, keyed by `id`, of decimal scalars; the
-    * ratio table attaches by broadcast before the reduce.
+    * dropped). ZERO shuffles: the bounded ratio table is an array
+    * literal in the plan and each document folds its own grams
+    * sequentially — a pure codegen'd scan at any corpus size.
     *
     * `dsir_logw` is the decimal sum rounded to 9 dp as a double — the
     * [[LangModel.scoreDocs]] rule: a bare DECIMAL(38,12)→double cast
@@ -145,23 +186,34 @@ object Dsir {
       idCol: String,
       textCol: String,
       model: DsirModel): DataFrame = {
-    val terms = docs
+    // the bounded ratio table rides the PLAN as one array literal
+    // indexed by bucket (a single Literal object, not 4096 codegen'd
+    // children), so scoring is a pure shuffle-free scan: per document,
+    // one sequential decimal fold over its grams. Exact decimal
+    // addition is associative, so this equals the previous
+    // explode → broadcast-join → groupBy-sum form bit-for-bit while
+    // skipping its exchange entirely.
+    val arr = new Array[Double](model.buckets)
+    model.ratios.collect().foreach(r => arr(r.getInt(0)) = r.getDouble(1))
+    val ratioLit = typedLit(arr.toSeq)
+    // accumulate at (37,12): each add widens to an EXACT (38,12) and
+    // the cast back to (37,12) is scale-preserving (a (38,12)
+    // accumulator would make the add itself clamp to (38,11), rounding
+    // a digit off mid-fold)
+    val zero = lit(BigDecimal(0)).cast("decimal(37,12)")
+    docs
       .select(col(idCol), tokensOf(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(gramsCol(col("__toks"))).as("g"))
-      .select(col(idCol), bucketOf(col("g"), model.buckets).as("bucket"))
-      .join(broadcast(model.ratios), Seq("bucket"))
-      .select(col(idCol), col("log_ratio").cast("decimal(28,12)").as("lr"))
-    val perDoc = terms.groupBy(col(idCol))
-      .agg(sum(col("lr")).as("logw_sum"), count(lit(1)).as("n_grams"))
-    docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("logw_sum"),
-          lit(BigDecimal(0)).cast("decimal(38,12)")).as("logw_sum"),
-        round(coalesce(col("logw_sum"),
-          lit(BigDecimal(0)).cast("decimal(38,12)")).cast("double"), 9)
-          .as("dsir_logw"))
+        coalesce(gramsCol(col("__toks")), array().cast("array<string>"))
+          .as("__grams"))
+      .select(col(idCol),
+        size(col("__grams")).cast("long").as("n_grams"),
+        aggregate(col("__grams"), zero, (acc, g) =>
+          (acc + element_at(ratioLit, bucketOf(g, model.buckets) + 1)
+            .cast("decimal(28,12)")).cast("decimal(37,12)"))
+          .cast("decimal(38,12)").as("logw_sum"))
+      .select(col(idCol), col("n_grams"), col("logw_sum"),
+        round(col("logw_sum").cast("double"), 9).as("dsir_logw"))
   }
 
   /** Deterministic Gumbel noise for a document id: md5-derived uniform

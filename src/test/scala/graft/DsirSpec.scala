@@ -90,6 +90,20 @@ class DsirSpec extends SparkTestBase {
         .filter(p => p._1 != p._2)}")
   }
 
+  test("fitWithin (one fused count pass) equals fit on the filtered slice") {
+    val docs = corpus.toDF("doc_id", "text")
+    val two = Dsir.fit(
+      docs.filter(col("doc_id").isin(targetIds.toSeq: _*)),
+      docs, col("text"), buckets = 256)
+    val one = Dsir.fitWithin(
+      docs, col("doc_id").isin(targetIds.toSeq: _*),
+      col("text"), buckets = 256)
+    assert(one.buckets == two.buckets)
+    val r1 = one.ratios.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val r2 = two.ratios.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(r1 == r2, "fused-count model diverged from the two-pass fit")
+  }
+
   test("weights separate on-target from off-target vocabulary") {
     // two disjoint vocabularies; the raw pool mixes both. Every doc
     // drawn from the target vocabulary must outweigh every off-target

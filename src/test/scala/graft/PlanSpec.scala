@@ -223,18 +223,16 @@ class PlanSpec extends SparkTestBase {
       s"epoch-order prefix lost TakeOrderedAndProject:\n$plan")
   }
 
-  test("q_dsir_weights broadcasts the ratio table, one doc-key shuffle " +
-      "after the gram reduce") {
-    // the bounded bucket→ratio table must attach to exploded grams by
-    // broadcast (never a shuffled join of gram volume), and only
-    // (id, decimal) pairs reach the per-doc aggregate
+  test("q_dsir_weights scores as a pure shuffle-free scan") {
+    // the bounded bucket→ratio table rides the plan as ONE array
+    // literal and each document folds its own grams sequentially —
+    // scoring must carry no Exchange, no join, no explode at all
     val plan = finalPlan(q("q_dsir_weights"))
-    assert(plan.contains("BroadcastHashJoin"),
-      s"ratio table not broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"gram-volume shuffled join crept into DSIR scoring:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"cartesian in DSIR scoring:\n$plan")
+    assert(shuffles(plan) == 0,
+      s"DSIR scoring gained a shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"join crept into DSIR scoring:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"gram explode reappeared in DSIR scoring:\n$plan")
   }
 
   test("q_dsir_select draws its Gumbel-top-k as distributed top-k") {
