@@ -387,6 +387,11 @@ object TextOps {
       .filter(col("chunk_text") =!= lit(""))
       .select(col(idCol), col("chunk_idx"), col("chunk_text"),
         xxhash64(col("chunk_text")).as("seg_hash"))
+      // two plan branches read the segments (the frequency pass and
+      // the anti-join probe side) — without the persist the chunk
+      // explode over the corpus text runs twice (caller/session owns
+      // clearCache, the tfidf/bm25 contract)
+      .persist()
     val boiler = segs
       .groupBy(col("seg_hash"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
