@@ -1019,6 +1019,23 @@ object SparkEntry {
       graft.text.LangModel.scoreDocs(docs, "doc_id", "text", lm)
     }),
 
+    // ---- perplexity-band curriculum histogram: docs binned by fixed
+    //      1/32-unit bands of the exactly-rounded LM score (curriculum
+    //      phases bin on score VALUE bands, not global ranks — a
+    //      global ntile would be a single-partition sort at 100 TB;
+    //      this is one hash aggregate over the scored scan) ----
+    "q_lm_buckets" -> ((s, d) => {
+      val docs = t("documents")(s, d)
+      val lm = graft.text.LangModel.train(docs, col("text"))
+      graft.text.LangModel.scoreDocs(docs, "doc_id", "text", lm)
+        .filter(col("n_bigrams") > 0)
+        .groupBy(floor(col("lm_score") * 32).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          min(col("lm_score")).as("lo"),
+          max(col("lm_score")).as("hi"))
+    }),
+
     // ---- canonical text cleanup: NFC composition (native codegen'd
     //      expression) + whitespace collapse + trim; the md5 of the
     //      cleaned text proves the whole transform byte-equal to
@@ -1264,7 +1281,6 @@ object SparkEntry {
       graft.similarity.Pca.project(emb, "embedding", model)
         .select(col("vec_id"), posexplode(col("projected")).as(Seq("m", "p")))
     }),
-
 
     // ---- SemDeDup (arXiv:2303.09540), the published shape composed
     //      from the engine's own primitives: exact-decimal k-means
@@ -1896,6 +1912,55 @@ object SparkEntry {
           !fired.exists(_.contains("lineitem.parquet"))).as("rewritten"))
     })
   )
+
+  /** The bigram-LM scoring oracle (shared verbatim by q_lm_score
+    * and the q_lm_buckets curriculum histogram built on it).
+    */
+  private val lmScoreSql: String =
+    """WITH toks AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr
+           FROM documents),
+         uni AS (
+           SELECT w, count(*) AS c_uni
+           FROM (SELECT unnest(arr) AS w FROM toks) GROUP BY w),
+         v AS (SELECT count(*) AS v FROM uni),
+         bigr AS (
+           SELECT doc_id, arr[pos+1] || ' ' || arr[pos+2] AS b,
+             arr[pos+1] AS prefix
+           FROM (SELECT doc_id, arr, unnest(range(len(arr) - 1)) AS pos
+                 FROM toks WHERE len(arr) >= 2)),
+         bc AS (SELECT b, count(*) AS c_bi FROM bigr GROUP BY b),
+         terms AS (
+           SELECT g.doc_id,
+             CAST(round(ln(
+               (COALESCE(bc.c_bi, 0) + CAST(0.5 AS DOUBLE)) /
+               (COALESCE(u.c_uni, 0) +
+                 (CAST(0.5 AS DOUBLE) * CAST(v.v AS DOUBLE)))), 9)
+               AS DECIMAL(28,12)) AS lp
+           FROM bigr g
+           LEFT JOIN bc ON g.b = bc.b
+           LEFT JOIN uni u ON g.prefix = u.w
+           CROSS JOIN v),
+         per_doc AS (
+           SELECT doc_id, sum(lp) AS logp_sum, count(*) AS n_bigrams
+           FROM terms GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.logp_sum, CAST(0 AS DECIMAL(38,12))) AS logp_sum,
+           -- 9-dp HALF_UP mean in exact LONG arithmetic (the sum is a
+           -- 9-dp lattice value, so S9 = sum*1e9 is an exact integer;
+           -- k = (2|S9|+n)//(2n) is integer HALF_UP of |S9|/n; one
+           -- correctly-rounded double division at the end). float
+           -- round(x,9) would coin-flip on the exact half-boundaries
+           -- this quotient family produces.
+           CASE WHEN p.n_bigrams > 0 THEN
+             (CASE WHEN p.logp_sum < 0 THEN -1 ELSE 1 END) *
+             CAST((2 * abs(CAST(CAST(p.logp_sum AS DECIMAL(26,12)) *
+                 CAST(1000000000 AS DECIMAL(10,0)) AS BIGINT)) +
+                 p.n_bigrams) // (2 * p.n_bigrams) AS DOUBLE)
+               / 1000000000.0
+             END AS lm_score
+         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2587,51 +2652,21 @@ object SparkEntry {
     // bit-for-bit with JVM Math.log, round-to-9dp before the decimal
     // cast (unrounded scale-12 casts diverge between shortest-repr
     // and exact-binary rounding), DECIMAL(28,12) sums → DECIMAL(38,12)
-    "q_lm_score" ->
-      """WITH toks AS (
-           SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr
-           FROM documents),
-         uni AS (
-           SELECT w, count(*) AS c_uni
-           FROM (SELECT unnest(arr) AS w FROM toks) GROUP BY w),
-         v AS (SELECT count(*) AS v FROM uni),
-         bigr AS (
-           SELECT doc_id, arr[pos+1] || ' ' || arr[pos+2] AS b,
-             arr[pos+1] AS prefix
-           FROM (SELECT doc_id, arr, unnest(range(len(arr) - 1)) AS pos
-                 FROM toks WHERE len(arr) >= 2)),
-         bc AS (SELECT b, count(*) AS c_bi FROM bigr GROUP BY b),
-         terms AS (
-           SELECT g.doc_id,
-             CAST(round(ln(
-               (COALESCE(bc.c_bi, 0) + CAST(0.5 AS DOUBLE)) /
-               (COALESCE(u.c_uni, 0) +
-                 (CAST(0.5 AS DOUBLE) * CAST(v.v AS DOUBLE)))), 9)
-               AS DECIMAL(28,12)) AS lp
-           FROM bigr g
-           LEFT JOIN bc ON g.b = bc.b
-           LEFT JOIN uni u ON g.prefix = u.w
-           CROSS JOIN v),
-         per_doc AS (
-           SELECT doc_id, sum(lp) AS logp_sum, count(*) AS n_bigrams
-           FROM terms GROUP BY doc_id)
-         SELECT d.doc_id,
-           COALESCE(p.n_bigrams, 0) AS n_bigrams,
-           COALESCE(p.logp_sum, CAST(0 AS DECIMAL(38,12))) AS logp_sum,
-           -- 9-dp HALF_UP mean in exact LONG arithmetic (the sum is a
-           -- 9-dp lattice value, so S9 = sum*1e9 is an exact integer;
-           -- k = (2|S9|+n)//(2n) is integer HALF_UP of |S9|/n; one
-           -- correctly-rounded double division at the end). float
-           -- round(x,9) would coin-flip on the exact half-boundaries
-           -- this quotient family produces.
-           CASE WHEN p.n_bigrams > 0 THEN
-             (CASE WHEN p.logp_sum < 0 THEN -1 ELSE 1 END) *
-             CAST((2 * abs(CAST(CAST(p.logp_sum AS DECIMAL(26,12)) *
-                 CAST(1000000000 AS DECIMAL(10,0)) AS BIGINT)) +
-                 p.n_bigrams) // (2 * p.n_bigrams) AS DOUBLE)
-               / 1000000000.0
-             END AS lm_score
-         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
+    "q_lm_score" -> lmScoreSql,
+
+    // perplexity-band curriculum histogram over the SAME scored docs:
+    // lm_score is the exactly-rounded 9-dp mean, so floor(2·score) is
+    // engine-stable and the whole binning is one hash aggregate
+    "q_lm_buckets" ->
+      s"""WITH scored AS ($lmScoreSql)
+         SELECT CAST(floor(lm_score * 32) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           min(lm_score) AS lo, max(lm_score) AS hi
+         FROM scored WHERE n_bigrams > 0
+         GROUP BY 1""",
+
+    
 
     // DuckDB's nfc_normalize implements the same Unicode canonical
     // composition as java.text.Normalizer NFC; length() counts

@@ -53,6 +53,18 @@ class TableStore(root: String, keepVersions: Int = 2) {
   private def manifestPath(name: String, v: Long): Path =
     versionDir(name, v).resolve("_manifest")
 
+  /** Filesystem path of the current snapshot's version directory —
+    * for integrations that hand the snapshot to a path-keyed consumer
+    * (e.g. registering maintained aggregate state with the MvRewrite
+    * rule). The path identifies ONE immutable version: after the next
+    * overwrite it names the retiring snapshot, so consumers re-resolve
+    * per refresh. Unpartitioned tables only (a partitioned snapshot is
+    * assembled across version dirs via the manifest).
+    */
+  def currentVersionPath(name: String): Option[String] =
+    currentVersion(name).filter(v => readManifest(name, v).isEmpty)
+      .map(v => versionDir(name, v).toString)
+
   def currentVersion(name: String): Option[Long] = {
     val p = pointer(name)
     if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
