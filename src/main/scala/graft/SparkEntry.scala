@@ -1852,6 +1852,17 @@ object SparkEntry {
           sum(col("n_tokens")).as("total_tokens"))
     }),
 
+    // ---- exact-count balanced subset: the 5 docs per source that
+    //      come first in the deterministic-shuffle order — fixed-size
+    //      per-domain sampling on the bounded-heap top-k aggregate
+    //      (no per-stratum window sort; a giant domain cannot
+    //      serialize through one task) ----
+    "q_group_sample" -> ((s, d) =>
+      graft.ops.Sampling.fixedCountPerStratum(
+          t("documents")(s, d).select("doc_id", "source"),
+          Seq("source"), col("doc_id"), k = 5)
+        .select(col("source"), col("sample_rank"), col("doc_id"))),
+
     // ---- per-group top-k via the bounded-heap collect aggregate:
     //      top-3 orders per priority by (price, key) desc. Each map
     //      task's heap holds ≤ k rows per group and the exchange
@@ -3936,6 +3947,17 @@ object SparkEntry {
          SELECT (n_tokens // 32) * 32 AS bucket, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM tk GROUP BY 1""",
+
+    // md5 hex is lowercase in both engines, so the ASCII string order
+    // of the shuffle key agrees; ties cannot occur (doc_id unique)
+    "q_group_sample" ->
+      """SELECT source, CAST(rank AS INTEGER) AS sample_rank, doc_id
+         FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+           FROM documents)
+         WHERE rank <= 5""",
 
     "q_topk_group" ->
       """SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank,

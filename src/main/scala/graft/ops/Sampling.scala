@@ -509,6 +509,34 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, key: Column): DataFrame =
     df.orderBy(coalesce(md5(key.cast("string")), lit("~")), key)
 
+  /** Exact-count deterministic per-stratum sample: the `k` rows of
+    * each stratum that come FIRST in the deterministic-shuffle order
+    * (`md5(key), key` — same lattice as [[deterministicShuffle]]), so
+    * the draw is layout/engine-stable and composes with everything
+    * else keyed on that order. The fixed-size complement of
+    * [[stratifiedHashSample]]: that draws a RATE per stratum, this
+    * draws an exact COUNT (the "5 000 docs per domain" balanced-subset
+    * shape). Runs on the bounded-heap top-k aggregate
+    * ([[graft.ops.TopK]]) — no per-stratum window sort; each map task
+    * holds ≤ k rows per stratum and the exchange carries ≤ k-row
+    * states, so one giant domain cannot serialize through one task.
+    * Output: `sample_rank` (1..k in the shuffle order) plus the
+    * original columns.
+    */
+  def fixedCountPerStratum(
+      df: DataFrame,
+      strata: Seq[String],
+      key: Column,
+      k: Int): DataFrame = {
+    val ord = struct(
+      coalesce(md5(key.cast("string")), lit("~")).as("__m"),
+      key.as("__k"),
+      struct(df.columns.map(c => col(s"`$c`")).toSeq: _*).as("__row"))
+    graft.ops.TopK.topKPerGroup(df, strata, ord, k, largest = false)
+      .select(col("rank").as("sample_rank") +:
+        df.columns.map(c => col(s"__row.`$c`").as(c)).toSeq: _*)
+  }
+
   /** Per-stratum hash sampling: `rates` maps values of `stratum` to
     * keep-rates in 1/256ths; unlisted strata use `defaultRate256`.
     * The standard rebalancing move (e.g. downsample boilerplate-heavy

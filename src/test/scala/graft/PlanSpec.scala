@@ -244,6 +244,17 @@ class PlanSpec extends SparkTestBase {
       s"Gumbel-top-k lost TakeOrderedAndProject:\n$plan")
   }
 
+  test("q_group_sample draws per-stratum counts heap-bounded, no window") {
+    // the exact-count sample must run on the bounded-heap collect
+    // aggregate — a per-stratum window row_number would sort every
+    // row of every stratum through one task each
+    val plan = finalPlan(q("q_group_sample"))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"bounded-heap aggregate missing:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window sort crept into the per-stratum sample:\n$plan")
+  }
+
   test("q_doc_normalize cleans shuffle-free in one codegen span") {
     val plan = finalPlan(q("q_doc_normalize"))
     assert(shuffles(plan) == 0,
