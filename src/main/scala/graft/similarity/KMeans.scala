@@ -105,23 +105,27 @@ object KMeans {
       idCol, vecCol, k))
     require(centroids.nonEmpty, "corpus has no vector of the given dim")
     for (_ <- 0 until iters) {
-      val assigned = vecs.select(
-        clusterOf(col("v"), centroids).as("cluster"),
-        posexplode(col("v")).as(Seq("dim", "x")))
-      val stats = assigned
-        .groupBy(col("cluster"), col("dim"))
-        .agg(sum(col("x").cast("decimal(28,12)")).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Long](centroids.length)
-      stats.foreach { r =>
-        val c = r.getInt(0); val d = r.getInt(1)
-        sums(c)(d) = r.getDecimal(2).doubleValue / r.getLong(3)
-        counts(c) = r.getLong(3)
-      }
+      // one fused assign+accumulate pass (graft.functions.ClusterSumAgg):
+      // no explode, no exchange — each task holds the whole k·(dim+1)
+      // update state as two long arrays of exact 12-dp unscaled sums,
+      // bit-identical to the previous exploded (cluster, dim)-keyed
+      // DECIMAL aggregate by the same rounding-and-integer-sum argument
+      // as Pca.moments (the q_kmeans_assign golden pins this)
+      val aggCol = org.apache.spark.sql.GraftSqlShims.column(
+        graft.functions.ClusterSumAgg(
+          org.apache.spark.sql.GraftSqlShims.expression(col("v")),
+          centroids.map(_.toVector).toVector)
+          .toAggregateExpression())
+      val s = vecs.agg(aggCol.as("u")).head().getStruct(0)
+      val counts = s.getSeq[Long](0)
+      val cells = s.getSeq[Long](1)
       centroids = centroids.zipWithIndex.map { case (old, i) =>
-        if (counts(i) == 0L) old else sums(i)
+        if (counts(i) == 0L) old
+        else Array.tabulate(dim) { j =>
+          new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(cells(i * dim + j)), 12)
+            .doubleValue / counts(i)
+        }
       }
     }
     centroids
