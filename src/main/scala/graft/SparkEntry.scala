@@ -1891,6 +1891,37 @@ object SparkEntry {
         t("documents")(s, d), "doc_id", "text", queries, "qid", "qtext")
     }),
 
+    // ---- heavy hitters via mergeable frequent-items sketches:
+    //      per-source SpaceSaving states (map size 64, far below the
+    //      vocabulary, so eviction error is real) merged to a corpus
+    //      list. The sketch's stored estimates are insertion-order
+    //      dependent, so the query asserts the two HARD guarantees
+    //      that survive any layout — every exact top-10 term with
+    //      count > maxError is tracked (no false negatives) and every
+    //      tracked match bounds its true count — against exact counts
+    //      computed in the same query ----
+    "q_heavy_hitters" -> ((s, d) => {
+      import graft.functions.SketchAggs._
+      val toks = t("documents")(s, d)
+        .select(col("source"),
+          explode(graft.text.TextOps.tokens(lower(col("text")))).as("term"))
+      val merged = toks
+        .groupBy(col("source")).agg(freqSketchAgg(col("term"), 64).as("s"))
+        .agg(freqMergeAgg(col("s"), 64).as("m"))
+        .select(freqItems(col("m")).as("items"),
+          freqMaxError(col("m")).as("err"))
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(10)
+      top.crossJoin(broadcast(merged)).select(
+        col("term"), col("cnt"),
+        (col("cnt") <= col("err") ||
+          exists(col("items"), i => i("item") === col("term")))
+          .as("tracked"),
+        forall(filter(col("items"), i => i("item") === col("term")),
+          i => i("lb") <= col("cnt") && col("cnt") <= i("ub"))
+          .as("in_bounds"))
+    }),
+
     // ---- materialized-view rewrite: the plain per-returnflag
     //      aggregate over the lineitem FACT table, answered from
     //      AggMaintain state by the Catalyst MvRewriteRule — the read
@@ -3947,6 +3978,17 @@ object SparkEntry {
          SELECT (n_tokens // 32) * 32 AS bucket, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM tk GROUP BY 1""",
+
+    // sketch estimates are layout-dependent (SpaceSaving eviction
+    // order); the oracle checks the exact top-10 counts and asserts
+    // the in-query guarantee booleans — the q_hll_epochs pattern
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+           FROM documents),
+         c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1)
+         SELECT term, cnt, TRUE AS tracked, TRUE AS in_bounds
+         FROM c ORDER BY cnt DESC, term LIMIT 10""",
 
     // md5 hex is lowercase in both engines, so the ASCII string order
     // of the shuffle key agrees; ties cannot occur (doc_id unique)

@@ -1360,7 +1360,15 @@ object GraftFunctions {
     "theta_sketch_agg" -> (exprs => ThetaSketchAgg(exprs.head)),
     "theta_union_agg" -> (exprs => ThetaUnionAgg(exprs.head)),
     "theta_intersect_agg" -> (exprs => ThetaIntersectAgg(exprs.head)),
-    "theta_estimate" -> (exprs => ThetaEstimate(exprs.head)))
+    "theta_estimate" -> (exprs => ThetaEstimate(exprs.head)),
+    "freq_sketch_agg" -> (exprs =>
+      if (exprs.size > 1) FreqSketchAgg(exprs.head, intArg(exprs(1)))
+      else FreqSketchAgg(exprs.head)),
+    "freq_merge_agg" -> (exprs =>
+      if (exprs.size > 1) FreqMergeAgg(exprs.head, intArg(exprs(1)))
+      else FreqMergeAgg(exprs.head)),
+    "freq_items" -> (exprs => FreqItems(exprs.head)),
+    "freq_max_error" -> (exprs => FreqMaxError(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -68,6 +68,18 @@ object SketchAggs {
 
   def thetaEstimate(sketch: Column): Column =
     toColumn(ThetaEstimate(exprOf(sketch)))
+
+  def freqSketchAgg(item: Column, maxMapSize: Int = 256): Column =
+    toColumn(FreqSketchAgg(exprOf(item), maxMapSize).toAggregateExpression())
+
+  def freqMergeAgg(sketch: Column, maxMapSize: Int = 256): Column =
+    toColumn(FreqMergeAgg(exprOf(sketch), maxMapSize).toAggregateExpression())
+
+  def freqItems(sketch: Column): Column =
+    toColumn(FreqItems(exprOf(sketch)))
+
+  def freqMaxError(sketch: Column): Column =
+    toColumn(FreqMaxError(exprOf(sketch)))
 }
 
 /** KLL doubles sketch of a numeric column → binary sketch bytes. */
@@ -389,5 +401,186 @@ case class ThetaEstimate(child: Expression)
         .getEstimate)
 
   override protected def withNewChildInternal(c: Expression): ThetaEstimate =
+    copy(child = c)
+}
+
+/** Frequent-items ("heavy hitters") sketch aggregate — the
+  * Metwally/Agrawal/El Abbadi SpaceSaving algebra as mergeable column
+  * state (Misra-Gries family; the DataSketches ItemsSketch). Per
+  * group the state holds at most `maxMapSize` counters; merge is
+  * counter union with error accumulation. Two HARD guarantees survive
+  * any partitioning/merge order (the stored estimates themselves are
+  * insertion-order dependent, so queries assert the guarantees, not
+  * the raw estimates — the KLL discipline):
+  *  - lowerBound ≤ true count ≤ upperBound for every tracked item;
+  *  - NO_FALSE_NEGATIVES: every item whose true count exceeds
+  *    `getMaximumError` appears in the returned list.
+  * At 100 TB: per-epoch term sketches persist as binary columns and
+  * the corpus-wide heavy-hitter list folds from closed epochs without
+  * re-scanning them — the same rationale as the HLL/KLL/theta state.
+  */
+case class FreqSketchAgg(
+    child: Expression,
+    maxMapSize: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    org.apache.datasketches.frequencies.ItemsSketch[String]] {
+  require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+    s"maxMapSize must be a power of 2 >= 8, got $maxMapSize")
+
+  private type Sk = org.apache.datasketches.frequencies.ItemsSketch[String]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"freq_sketch_agg requires string input, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): Sk =
+    new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+
+  override def update(buf: Sk, input: InternalRow): Sk = {
+    child.eval(input) match {
+      case null          => ()
+      case s: UTF8String => buf.update(s.toString)
+    }
+    buf
+  }
+
+  override def merge(buf: Sk, other: Sk): Sk = { buf.merge(other); buf }
+
+  override def eval(buf: Sk): Any = serialize(buf)
+  override def serialize(buf: Sk): Array[Byte] =
+    buf.toByteArray(new org.apache.datasketches.common.ArrayOfStringsSerDe())
+  override def deserialize(bytes: Array[Byte]): Sk =
+    org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+      Memory.wrap(bytes),
+      new org.apache.datasketches.common.ArrayOfStringsSerDe())
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): FreqSketchAgg = copy(child = c.head)
+}
+
+/** Union of serialized frequent-items sketches (the fold across
+  * epoch/group states).
+  */
+case class FreqMergeAgg(
+    child: Expression,
+    maxMapSize: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    org.apache.datasketches.frequencies.ItemsSketch[String]] {
+  require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+    s"maxMapSize must be a power of 2 >= 8, got $maxMapSize")
+
+  private type Sk = org.apache.datasketches.frequencies.ItemsSketch[String]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"freq_merge_agg requires binary sketch input, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): Sk =
+    new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+
+  override def update(buf: Sk, input: InternalRow): Sk = {
+    child.eval(input) match {
+      case null           => ()
+      case b: Array[Byte] => buf.merge(deserialize(b))
+    }
+    buf
+  }
+
+  override def merge(buf: Sk, other: Sk): Sk = { buf.merge(other); buf }
+
+  override def eval(buf: Sk): Any = serialize(buf)
+  override def serialize(buf: Sk): Array[Byte] =
+    buf.toByteArray(new org.apache.datasketches.common.ArrayOfStringsSerDe())
+  override def deserialize(bytes: Array[Byte]): Sk =
+    org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+      Memory.wrap(bytes),
+      new org.apache.datasketches.common.ArrayOfStringsSerDe())
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): FreqMergeAgg = copy(child = c.head)
+}
+
+/** NO_FALSE_NEGATIVES readout of a serialized frequent-items sketch:
+  * `array<struct<item, est, lb, ub>>` — a superset of every item whose
+  * true count exceeds the sketch's maximum error.
+  */
+case class FreqItems(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false),
+    StructField("lb", LongType, nullable = false),
+    StructField("ub", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_items"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"freq_items requires binary sketch input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val sk = org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+      Memory.wrap(input.asInstanceOf[Array[Byte]]),
+      new org.apache.datasketches.common.ArrayOfStringsSerDe())
+    val rows = sk.getFrequentItems(
+      org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      rows.map(r => InternalRow(
+        UTF8String.fromString(r.getItem),
+        r.getEstimate, r.getLowerBound, r.getUpperBound): Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): FreqItems =
+    copy(child = c)
+}
+
+/** The sketch's maximum per-item estimation error (0 while the map has
+  * never evicted — the exact regime).
+  */
+case class FreqMaxError(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_max_error"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"freq_max_error requires binary sketch input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+      Memory.wrap(input.asInstanceOf[Array[Byte]]),
+      new org.apache.datasketches.common.ArrayOfStringsSerDe())
+      .getMaximumError
+
+  override protected def withNewChildInternal(c: Expression): FreqMaxError =
     copy(child = c)
 }

@@ -121,4 +121,61 @@ class SketchAggSpec extends SparkTestBase {
          FROM theta_in GROUP BY g)""")
     assert(!p50.isEmpty)
   }
+
+  test("freq: hard guarantees hold under forced evictions, any layout") {
+    import graft.functions.SketchAggs._
+    // skewed stream: term t0 dominates, long tail forces evictions in
+    // a map of 8 counters (vocab 200 >> 8)
+    val rows = (0 until 5000).map { i =>
+      val term = if (i % 3 == 0) "t0" else s"t${1 + i % 199}"
+      (i % 4, term)
+    }
+    val df = rows.toDF("g", "term")
+    val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    for (shuffled <- Seq(df, df.repartition(13))) {
+      val m = shuffled.groupBy(col("g"))
+        .agg(freqSketchAgg(col("term"), 8).as("s"))
+        .agg(freqMergeAgg(col("s"), 8).as("m"))
+        .select(freqItems(col("m")).as("items"),
+          freqMaxError(col("m")).as("err"))
+        .head()
+      val err = m.getLong(1)
+      assert(err > 0, "map of 8 over vocab 200 must have evicted")
+      val items = m.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      // no false negatives: every item with true count > maxError tracked
+      exact.filter(_._2 > err).keys.foreach { t =>
+        assert(items.contains(t), s"heavy item $t missing (err $err)")
+      }
+      // bounds bracket the true count for every tracked exact item
+      items.foreach { case (t, (lb, ub)) =>
+        exact.get(t).foreach(c =>
+          assert(lb <= c && c <= ub, s"$t: true $c outside [$lb,$ub]"))
+      }
+    }
+  }
+
+  test("freq: exact regime (no evictions) reports exact counts; parquet roundtrip") {
+    import graft.functions.SketchAggs._
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("t")
+    val dir = java.nio.file.Files.createTempDirectory("graft_freq").toString
+    df.agg(freqSketchAgg(col("t"), 64).as("s")).write
+      .mode("overwrite").parquet(dir)
+    val m = spark.read.parquet(dir)
+      .agg(freqMergeAgg(col("s"), 64).as("m"))
+      .select(freqItems(col("m")).as("items"),
+        freqMaxError(col("m")).as("err")).head()
+    assert(m.getLong(1) == 0L)
+    val got = m.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("freq sketches registered as SQL functions") {
+    Seq("x", "x", "y").toDF("t").createOrReplaceTempView("freq_in")
+    val n = spark.sql(
+      """SELECT size(freq_items(freq_merge_agg(s))) FROM
+        (SELECT freq_sketch_agg(t, 8) AS s FROM freq_in)""").head().getInt(0)
+    assert(n == 2)
+  }
 }
