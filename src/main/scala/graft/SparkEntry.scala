@@ -1891,6 +1891,16 @@ object SparkEntry {
         t("documents")(s, d), "doc_id", "text", queries, "qid", "qtext")
     }),
 
+    // ---- ordered conversion funnel (view → click → purchase, each
+    //      strictly after the user's first completion of the prefix):
+    //      a chain of min-aggregates all keyed on the user — one hash
+    //      partitioning reused end to end, one bounded row per
+    //      surviving user per stage, no per-user sequence scan ----
+    "q_funnel" -> ((s, d) =>
+      graft.ops.Funnel.funnelCounts(
+        t("events")(s, d), col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))),
+
     // ---- heavy hitters via mergeable frequent-items sketches:
     //      per-source SpaceSaving states (map size 64, far below the
     //      vocabulary, so eviction error is real) merged to a corpus
@@ -3978,6 +3988,22 @@ object SparkEntry {
          SELECT (n_tokens // 32) * 32 AS bucket, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM tk GROUP BY 1""",
+
+    // strictly-after first-occurrence semantics make every stage a
+    // min-aggregate — engine-stable with no FP anywhere
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+         SELECT 'view' AS stage, 1 AS step,
+           (SELECT count(*) FROM s1) AS n_users
+         UNION ALL SELECT 'click', 2, (SELECT count(*) FROM s2)
+         UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM s3)""",
 
     // sketch estimates are layout-dependent (SpaceSaving eviction
     // order); the oracle checks the exact top-10 counts and asserts
