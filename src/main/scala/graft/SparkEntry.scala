@@ -1901,6 +1901,40 @@ object SparkEntry {
         t("events")(s, d), col("user_id"), col("ts"), col("event_type"),
         Seq("view", "click", "purchase"))),
 
+    // ---- cohort retention grid: users cohorted by first-activity
+    //      week × activity-week offset. first-seen and the activity
+    //      set are both user-keyed aggregates (one partitioning
+    //      reused); the grid is one further hash aggregate ----
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = t("events")(s, d)
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val act = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+        .distinct()
+      act.join(first, Seq("user_id"))
+        .groupBy(
+          date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("aw"), col("cw")) / 7).cast("int").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // ---- event-transition matrix: per-user consecutive event-type
+    //      bigrams (lag window ordered by (ts, event_id) — per-user
+    //      partitions, so the sort never concentrates) ----
+    "q_event_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t("events")(s, d)
+        .select(col("user_id"),
+          lag(col("event_type"), 1).over(w).as("from_type"),
+          col("event_type").as("to_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- heavy hitters via mergeable frequent-items sketches:
     //      per-source SpaceSaving states (map size 64, far below the
     //      vocabulary, so eviction error is real) merged to a corpus
@@ -3988,6 +4022,34 @@ object SparkEntry {
          SELECT (n_tokens // 32) * 32 AS bucket, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM tk GROUP BY 1""",
+
+    // both engines truncate weeks to ISO Monday; the offset division
+    // is exact integer arithmetic on day counts
+    "q_cohort_retention" ->
+      """WITH first AS (
+           SELECT user_id, date_trunc('week', min(ts)) AS cw
+           FROM events GROUP BY 1),
+         act AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+           FROM events)
+         SELECT strftime(first.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', first.cw, act.aw) // 7 AS INTEGER)
+             AS week_offset,
+           count(*) AS n_users
+         FROM act JOIN first ON act.user_id = first.user_id
+         GROUP BY 1, 2""",
+
+    // (ts, event_id) is a total order, so lag is deterministic
+    "q_event_transitions" ->
+      """WITH seq AS (
+           SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+           FROM events)
+         SELECT from_type, to_type, count(*) AS n
+         FROM seq WHERE from_type IS NOT NULL
+         GROUP BY 1, 2""",
 
     // strictly-after first-occurrence semantics make every stage a
     // min-aggregate — engine-stable with no FP anywhere
