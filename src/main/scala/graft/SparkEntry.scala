@@ -1901,6 +1901,15 @@ object SparkEntry {
         t("events")(s, d), col("user_id"), col("ts"), col("event_type"),
         Seq("view", "click", "purchase"))),
 
+    // ---- referential-integrity audit (orders ↔ lineitem on the
+    //      order key): both sides pre-aggregate to one (key, count)
+    //      row before the full-outer join, so the join carries
+    //      |distinct keys| bounded rows at any fact volume ----
+    "q_ref_audit" -> ((s, d) =>
+      graft.ops.DataQuality.refIntegrity(
+        t("lineitem")(s, d), col("l_orderkey"),
+        t("orders")(s, d), col("o_orderkey"))),
+
     // ---- cohort retention grid: users cohorted by first-activity
     //      week × activity-week offset. first-seen and the activity
     //      set are both user-keyed aggregates (one partitioning
@@ -4022,6 +4031,22 @@ object SparkEntry {
          SELECT (n_tokens // 32) * 32 AS bucket, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM tk GROUP BY 1""",
+
+    "q_ref_audit" ->
+      """WITH l AS (SELECT l_orderkey AS k, count(*) AS ln
+           FROM lineitem GROUP BY 1),
+         r AS (SELECT o_orderkey AS k, count(*) AS rn
+           FROM orders GROUP BY 1)
+         SELECT
+           count(*) FILTER (WHERE rn IS NULL) AS n_left_only_keys,
+           count(*) FILTER (WHERE ln IS NULL) AS n_right_only_keys,
+           count(*) FILTER (WHERE ln IS NOT NULL AND rn IS NOT NULL)
+             AS n_matched_keys,
+           coalesce(sum(CASE WHEN ln > 1 THEN 1 END), 0) AS n_dup_left_keys,
+           coalesce(sum(CASE WHEN rn > 1 THEN 1 END), 0) AS n_dup_right_keys,
+           coalesce(sum(CASE WHEN rn IS NULL THEN ln END), 0)
+             AS n_orphan_left_rows
+         FROM l FULL OUTER JOIN r USING (k)""",
 
     // both engines truncate weeks to ISO Monday; the offset division
     // is exact integer arithmetic on day counts

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling — the inspection pass a pipeline runs before
@@ -111,5 +111,35 @@ object DataQuality {
       .select(col("e.column").as("column"), col("n_rows"),
         col("e.n_nulls").as("n_nulls"),
         col("e.n_distinct").as("n_distinct"))
+  }
+
+  /** Referential-integrity audit between a referencing table and a
+    * referenced table on one key: orphan counts on both sides, match
+    * volume, and duplicate-key counts — the FK-health dashboard row.
+    *
+    * Scale: each side pre-aggregates to one (key, count) row before
+    * the join (map-side combine), so the full-outer join carries
+    * |distinct keys| bounded rows regardless of fact volume, and both
+    * inputs share the key partitioning. One scan per side, one
+    * shuffle each, one bounded join.
+    */
+  def refIntegrity(
+      left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column): DataFrame = {
+    val l = left.select(leftKey.as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("ln"))
+    val r = right.select(rightKey.as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("rn"))
+    l.join(r, Seq("__k"), "full_outer").agg(
+      count(when(col("rn").isNull, 1)).as("n_left_only_keys"),
+      count(when(col("ln").isNull, 1)).as("n_right_only_keys"),
+      count(when(col("ln").isNotNull && col("rn").isNotNull, 1))
+        .as("n_matched_keys"),
+      coalesce(sum(when(col("ln") > 1, lit(1))), lit(0L))
+        .cast("long").as("n_dup_left_keys"),
+      coalesce(sum(when(col("rn") > 1, lit(1))), lit(0L))
+        .cast("long").as("n_dup_right_keys"),
+      coalesce(sum(when(col("rn").isNull, col("ln"))), lit(0L))
+        .cast("long").as("n_orphan_left_rows"))
   }
 }
