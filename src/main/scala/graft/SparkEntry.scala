@@ -1901,6 +1901,24 @@ object SparkEntry {
         t("events")(s, d), col("user_id"), col("ts"), col("event_type"),
         Seq("view", "click", "purchase"))),
 
+    // ---- integer-exact PageRank (3 iterations) over the
+    //      customer↔supplier trade graph: ranks as 10⁻⁹-scale longs,
+    //      every step integer division — bit-identical on any layout
+    //      and replayable by the oracle, which a float PageRank's FP
+    //      sum order could never promise. One rank⋈edges join + one
+    //      dst-keyed long sum per iteration, partitioning reused ----
+    "q_pagerank" -> ((s, d) => {
+      val li = t("lineitem")(s, d).select("l_orderkey", "l_suppkey")
+      val o = t("orders")(s, d).select("o_orderkey", "o_custkey")
+      val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 1000000L).as("p"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(cs.select(col("p").as("src"), col("c").as("dst")))
+      graft.ops.Graph.pageRankInt(edges, col("src"), col("dst"), iters = 3)
+    }),
+
     // ---- referential-integrity audit (orders ↔ lineitem on the
     //      order key): both sides pre-aggregate to one (key, count)
     //      row before the full-outer join, so the join carries
@@ -4031,6 +4049,46 @@ object SparkEntry {
          SELECT (n_tokens // 32) * 32 AS bucket, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM tk GROUP BY 1""",
+
+    // the whole iteration is BIGINT floor division and sums — DuckDB's
+    // // replays Spark's div exactly on the positive ranks
+    "q_pagerank" ->
+      """WITH cs AS (
+           SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS p
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         e AS (SELECT c AS src, p AS dst FROM cs
+               UNION ALL SELECT p, c FROM cs),
+         nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         params AS (SELECT count(*) AS n FROM nodes),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT node, 1000000000 // n AS rank
+                FROM nodes CROSS JOIN params),
+         c1 AS (SELECT e.dst AS node, sum(r0.rank // deg.deg) AS cs
+                FROM e JOIN r0 ON e.src = r0.node
+                JOIN deg ON e.src = deg.src GROUP BY 1),
+         r1 AS (SELECT nodes.node,
+                  15000000000 // (100 * params.n) +
+                  (85 * coalesce(c1.cs, 0)) // 100 AS rank
+                FROM nodes CROSS JOIN params
+                LEFT JOIN c1 ON c1.node = nodes.node),
+         c2 AS (SELECT e.dst AS node, sum(r1.rank // deg.deg) AS cs
+                FROM e JOIN r1 ON e.src = r1.node
+                JOIN deg ON e.src = deg.src GROUP BY 1),
+         r2 AS (SELECT nodes.node,
+                  15000000000 // (100 * params.n) +
+                  (85 * coalesce(c2.cs, 0)) // 100 AS rank
+                FROM nodes CROSS JOIN params
+                LEFT JOIN c2 ON c2.node = nodes.node),
+         c3 AS (SELECT e.dst AS node, sum(r2.rank // deg.deg) AS cs
+                FROM e JOIN r2 ON e.src = r2.node
+                JOIN deg ON e.src = deg.src GROUP BY 1),
+         r3 AS (SELECT nodes.node,
+                  15000000000 // (100 * params.n) +
+                  (85 * coalesce(c3.cs, 0)) // 100 AS rank
+                FROM nodes CROSS JOIN params
+                LEFT JOIN c3 ON c3.node = nodes.node)
+         SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""",
 
     "q_ref_audit" ->
       """WITH l AS (SELECT l_orderkey AS k, count(*) AS ln

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the
+  * Pregel-without-the-framework companion to
+  * [[graft.dedup.Dedup.nearDupClusters]]'s label propagation.
+  *
+  * PageRank here is the INTEGER-EXACT variant: ranks live as unscaled
+  * longs at 10⁻⁹ scale and every step is integer arithmetic —
+  * `contrib = rank div outdeg`, `rank' = (15·10⁹) div (100·n) +
+  * (85 · Σ contrib) div 100`. Floor division loses ≤ 1 unit (10⁻⁹) of
+  * mass per term, which is irrelevant for ranking and buys full
+  * determinism: the result is bit-identical on any partitioning, any
+  * merge order, and any engine that agrees on integer division — so
+  * the DuckDB oracle replays the whole iteration to hash equality,
+  * which a float PageRank (FP sum order + last-ulp division drift)
+  * could never promise. The standard float formulation is a trivial
+  * cast away; the exactness discipline is the point (same policy as
+  * KMeans/Pca/QualityModel).
+  *
+  * Scale: per iteration ONE join of the rank table to the edge list
+  * (both hash-partitioned on src — the partitioning is reused across
+  * iterations) and one dst-keyed sum of long contributions with
+  * map-side combine. State is one long per node; the edge list is
+  * scanned once per iteration and never mutated. Dangling nodes
+  * (no out-edges) keep their base rank and simply leak their damped
+  * mass, the common simplification — document or pre-filter if the
+  * graph has them.
+  */
+object Graph {
+
+  /** @param edges  (src, dst) long columns; parallel edges count once
+    *               each (pre-`distinct` if that is not intended)
+    * @param iters  fixed iteration count (deterministic by contract —
+    *               no convergence probe)
+    * @return (node, rank) — rank is the unscaled 10⁻⁹-scale long
+    */
+  def pageRankInt(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(srcCol.cast("long").as("src"),
+      dstCol.cast("long").as("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val base = (15L * 1000000000L) / (100L * n)
+    var ranks = nodes.withColumn("rank", lit(1000000000L / n))
+    var it = 0
+    while (it < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr("85 * coalesce(cs, cast(0 as bigint)) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+      it += 1
+    }
+    e.unpersist()
+    ranks
+  }
+}
