@@ -41,36 +41,45 @@ object Graph {
       edges: DataFrame,
       srcCol: Column,
       dstCol: Column,
-      iters: Int): DataFrame = {
+      iters: Int,
+      checkEvery: Int = 4): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val e = edges.select(srcCol.cast("long").as("src"),
-      dstCol.cast("long").as("dst")).persist()
+      dstCol.cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().persist()
     val n = nodes.count()
     require(n > 0, "empty graph")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // out-degree folds into the edge list ONCE — each iteration then
+    // pays exactly TWO exchanges: the rank table keyed to the edges'
+    // src, and the node-keyed contribution sum (the zero row per node
+    // rides the SAME aggregate, replacing a third left-join exchange)
+    val eDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .persist()
     val base = (15L * 1000000000L) / (100L * n)
+    val zeros = nodes.select(col("node"), lit(0L).as("c"))
     var ranks = nodes.withColumn("rank", lit(1000000000L / n))
     var it = 0
     while (it < iters) {
-      val contrib = e
+      val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst").as("node"),
-          expr("rank div deg").as("c"))
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+      ranks = contrib.unionByName(zeros)
         .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-      ranks = nodes
-        .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) +
-            expr("85 * coalesce(cs, cast(0 as bigint)) div 100"))
-            .as("rank"))
-        .localCheckpoint()
+          (lit(base) + expr("85 * cs div 100")).as("rank"))
       it += 1
+      // amortized lineage truncation (the nearDupClusters checkEvery
+      // discipline): checkpointing EVERY iteration materializes a job
+      // per step; a short span chains lazily and pays one cut per
+      // checkEvery iterations
+      if (it % checkEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint()
     }
-    e.unpersist()
+    eDeg.unpersist()
     ranks
   }
 }

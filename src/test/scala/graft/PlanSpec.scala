@@ -244,6 +244,25 @@ class PlanSpec extends SparkTestBase {
       s"Gumbel-top-k lost TakeOrderedAndProject:\n$plan")
   }
 
+  test("q_funnel chains user-keyed min-aggregates — no window, no cartesian") {
+    // every stage is filter → user join → min agg; a per-user window
+    // sort or a cartesian would be the scale failure modes
+    val plan = finalPlan(q("q_funnel"))
+    assert(!plan.contains("Window"),
+      s"window crept into the funnel:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the funnel:\n$plan")
+  }
+
+  test("q_heavy_hitters merges sketch states, broadcast into the top-10") {
+    val plan = finalPlan(q("q_heavy_hitters"))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"sketch aggregate missing:\n$plan")
+    // exact top-10 must plan as distributed top-k, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 lost TakeOrderedAndProject:\n$plan")
+  }
+
   test("q_group_sample draws per-stratum counts heap-bounded, no window") {
     // the exact-count sample must run on the bounded-heap collect
     // aggregate — a per-stratum window row_number would sort every
