@@ -1,0 +1,187 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.TableStore
+
+/** Persisted inverted index through the [[TableStore]] — the
+  * retrieval twin of the persisted IVF index: build the posting lists
+  * ONCE, then every query batch probes partition-pruned term buckets
+  * instead of re-tokenizing the corpus ([[TextOps.bm25Search]]'s
+  * statistics pass) per search.
+  *
+  * Layout (two tables + snapshot meta):
+  *  - `<name>_postings` — (term, doc_id, tf), hive-partitioned by
+  *    `bucket = pmod(xxhash64(term), nBuckets)`; a query batch touches
+  *    only its terms' buckets (manifest-level pruning — the untouched
+  *    buckets' files are never opened);
+  *  - `<name>_doclen` — (doc_id, dl), read whole (one bounded row per
+  *    document — needed for the BM25 length normalization of matched
+  *    docs);
+  *  - meta `n_docs` / `total_dl` — the corpus scalars, kept exact so
+  *    avgdl recomputes as the SAME long-to-double division the live
+  *    operator performs.
+  *
+  * [[search]] is pinned LOSSLESS versus the live operator:
+  * q_bm25_search_indexed shares q_bm25_search's oracle SQL verbatim,
+  * so the index path must hash-match DuckDB recomputing from raw
+  * text. [[addDocuments]] is the incremental form: new documents'
+  * postings merge into ONLY their touched buckets
+  * (`overwritePartitions` carries every other bucket by reference),
+  * and the meta scalars advance — O(|new batch postings|) per
+  * refresh, never a corpus rebuild. Term frequencies are additive, so
+  * refresh-then-search equals rebuild-then-search exactly (pinned in
+  * SearchIndexSpec). Deletions need a tombstone pass (out of scope,
+  * same stance as the other incremental indexes).
+  */
+object SearchIndex {
+
+  val postingsSchema: StructType = StructType(Seq(
+    StructField("term", StringType),
+    StructField("doc_id", LongType),
+    StructField("tf", LongType),
+    StructField("bucket", StringType)))
+
+  val doclenSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("dl", LongType)))
+
+  private def bucketOf(term: org.apache.spark.sql.Column, n: Int) =
+    pmod(xxhash64(term), lit(n.toLong)).cast("string")
+
+  private def tokenize(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+
+  private def postingsOf(
+      docs: DataFrame, idCol: String, textCol: String, nBuckets: Int) =
+    tokenize(docs, idCol, textCol)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .select("term", "doc_id", "tf", "bucket")
+
+  private def statsOf(docs: DataFrame, idCol: String, textCol: String) = {
+    val r = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokenCount(lower(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Build (or rebuild) the index for a corpus. */
+  def build(
+      store: TableStore,
+      name: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val (n, t) = statsOf(docs, idCol, textCol)
+    store.overwrite(s"${name}_postings",
+      postingsOf(docs, idCol, textCol, nBuckets),
+      partitionBy = Seq("bucket"),
+      meta = Map("n_docs" -> n.toString, "total_dl" -> t.toString,
+        "n_buckets" -> nBuckets.toString))
+    store.overwrite(s"${name}_doclen",
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokenCount(lower(col(textCol))).cast("long").as("dl")))
+  }
+
+  /** Incremental refresh: merge a batch of NEW documents (ids must be
+    * new — postings are additive, a re-sent id would double-count)
+    * into only the buckets its terms touch.
+    */
+  def addDocuments(
+      store: TableStore,
+      name: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val meta = store.readMeta(s"${name}_postings")
+    val nBuckets = meta("n_buckets").toInt
+    val delta = postingsOf(docs, idCol, textCol, nBuckets).persist()
+    val touched = delta.select("bucket").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val existing = store.read(spark, s"${name}_postings", postingsSchema,
+      Some(touched))
+    // tf is additive per (term, doc); new ids make this a pure union,
+    // but sum-merge keeps the operation idempotent-shaped for callers
+    // that re-derive a batch's postings
+    val merged = existing.unionByName(delta)
+      .groupBy(col("term"), col("doc_id"), col("bucket"))
+      .agg(sum(col("tf")).as("tf"))
+      .select("term", "doc_id", "tf", "bucket")
+    val (dn, dt) = statsOf(docs, idCol, textCol)
+    store.overwritePartitions(s"${name}_postings", merged, "bucket",
+      touched,
+      meta = Map(
+        "n_docs" -> (meta("n_docs").toLong + dn).toString,
+        "total_dl" -> (meta("total_dl").toLong + dt).toString,
+        "n_buckets" -> nBuckets.toString))
+    delta.unpersist()
+    val dl = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextOps.tokenCount(lower(col(textCol))).cast("long").as("dl"))
+    store.overwrite(s"${name}_doclen",
+      store.read(spark, s"${name}_doclen", doclenSchema).unionByName(dl))
+  }
+
+  /** BM25 top-k search over the PERSISTED index — same contract and
+    * bit-identical scores as [[TextOps.bm25Search]] over the live
+    * corpus. Only the query terms' buckets are read from the postings
+    * table (manifest pruning); everything downstream runs over the
+    * matched postings.
+    */
+  def search(
+      spark: SparkSession,
+      store: TableStore,
+      name: String,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    val meta = store.readMeta(s"${name}_postings")
+    val nBuckets = meta("n_buckets").toInt
+    val nDocs = meta("n_docs").toLong
+    val totalDl = meta("total_dl").toLong
+    val qterms = queries.select(col(qidCol).as("qid"),
+        explode(TextOps.tokens(lower(col(qtextCol)))).as("term"))
+      .distinct().persist()
+    val buckets = qterms
+      .select(bucketOf(col("term"), nBuckets).as("b")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val tfq = store
+      .read(spark, s"${name}_postings", postingsSchema, Some(buckets))
+      .join(broadcast(qterms.select("term").distinct()),
+        Seq("term"), "left_semi")
+    val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = store.read(spark, s"${name}_doclen", doclenSchema)
+    // the exact long-to-double division avg(coalesce(dl, 0)) performs
+    // over (sum, count) — bit-identical to the live operator's avgdl
+    val avgdl = totalDl.toDouble / nDocs
+    val idf = log((lit(nDocs) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") / lit(avgdl)))
+    val scores = tfq.join(dl, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .withColumn("w", round(idf * norm, 6).cast("decimal(18,6)"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("w")).cast("decimal(18,6)").as("score"))
+    graft.ops.TopK.topKPerGroup(
+        scores.withColumn("neg_id", -col("doc_id")),
+        Seq("qid"),
+        struct(col("score"), col("neg_id"), col("doc_id")),
+        k, largest = true)
+      .select("qid", "rank", "doc_id", "score")
+  }
+}
