@@ -2019,6 +2019,43 @@ object SparkEntry {
           .as("in_bounds"))
     }),
 
+    // ---- market-basket co-purchase pairs: parts bought together in
+    //      the same order, support ≥ 3. The pair expansion is a
+    //      per-order self-join — order width is bounded (≤7 lines),
+    //      so candidate volume is Σ width², never corpus² ----
+    "q_copurchase" -> ((s, d) => {
+      val li = t("lineitem")(s, d).select("l_orderkey", "l_partkey")
+        .distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+    }),
+
+    // ---- RFM customer segmentation: recency/frequency/monetary
+    //      VALUE bands (fixed thresholds, not global ranks — a global
+    //      ntile would single-partition sort at scale); money sums in
+    //      exact DECIMAL so band edges cannot flip cross-engine ----
+    "q_rfm" -> ((s, d) => {
+      val o = t("orders")(s, d)
+      val maxDate = to_date(lit("1998-08-02"))
+      o.groupBy(col("o_custkey"))
+        .agg(datediff(maxDate, max(col("o_orderdate"))).as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+        .select(col("o_custkey"),
+          when(col("recency_days") <= 180, 3)
+            .when(col("recency_days") <= 720, 2).otherwise(1).as("r_band"),
+          when(col("frequency") >= 12, 3)
+            .when(col("frequency") >= 6, 2).otherwise(1).as("f_band"),
+          when(col("monetary") >= 1500000, 3)
+            .when(col("monetary") >= 600000, 2).otherwise(1).as("m_band"))
+        .groupBy(col("r_band"), col("f_band"), col("m_band"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
     // ---- BM25 search over the PERSISTED inverted index (built 90%
     //      bulk + 10% incremental in the fixture): only the query
     //      terms' buckets are read from the postings table, and the
@@ -4100,6 +4137,36 @@ object SparkEntry {
          SELECT (n_tokens // 32) * 32 AS bucket, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM tk GROUP BY 1""",
+
+    "q_copurchase" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           count(*) AS support
+         FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
+
+    // integer band thresholds on exact decimal sums / day counts —
+    // no FP anywhere, so band membership cannot flip cross-engine
+    "q_rfm" ->
+      """WITH agg AS (
+           SELECT o_custkey,
+             date_diff('day', max(o_orderdate), DATE '1998-08-02')
+               AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+           FROM orders GROUP BY 1),
+         bands AS (
+           SELECT o_custkey,
+             CASE WHEN recency_days <= 180 THEN 3
+                  WHEN recency_days <= 720 THEN 2 ELSE 1 END AS r_band,
+             CASE WHEN frequency >= 12 THEN 3
+                  WHEN frequency >= 6 THEN 2 ELSE 1 END AS f_band,
+             CASE WHEN monetary >= 1500000 THEN 3
+                  WHEN monetary >= 600000 THEN 2 ELSE 1 END AS m_band
+           FROM agg)
+         SELECT r_band, f_band, m_band, count(*) AS n_customers
+         FROM bands GROUP BY 1, 2, 3""",
 
     // the whole iteration is BIGINT floor division and sums — DuckDB's
     // // replays Spark's div exactly on the positive ranks
