@@ -228,7 +228,9 @@ object SparkEntry {
         .reduce((a, b) => AggMaintain.merge(a, b, Seq("l_returnflag")))
       state.coalesce(1).write.mode("overwrite").parquet(root)
       graft.plans.MvRewrite.register(s, s"$d/lineitem.parquet",
-        Seq("l_returnflag"), "l_quantity", root)
+        Seq("l_returnflag"), "l_quantity", root,
+        // l_quantity is a double holding whole units — 2-dp exact
+        acceptTwoDecimalRounding = true)
       root
     })
 

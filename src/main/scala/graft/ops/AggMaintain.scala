@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   * support; min/max are not retractable without full per-group
   * history).
   *
+  * The value column must be non-null (coalesce upstream, or route
+  * nulls through DataQuality.quarantine): `n` counts ROWS, so a null
+  * value would deflate avg_v and skew any count-vs-sum consumer —
+  * same contract as the MvRewrite registration gate.
+  *
   * Sums are exact DECIMAL(28,2): merge order across batches must not
   * change the result, and FP addition is not associative. Same rule
   * as QualityModel/KMeans — bit-identical on any cluster layout.

@@ -59,6 +59,11 @@ object Graph {
     val eDeg = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
       .persist()
+    // materialize the cache NOW: the loop body is lazy (localCheckpoint
+    // fires only every checkEvery steps), so without an action here the
+    // unpersist below would drop an empty cache and every iteration's
+    // plan branch would rebuild the join at evaluation time
+    eDeg.count()
     val base = (15L * 1000000000L) / (100L * n)
     val zeros = nodes.select(col("node"), lit(0L).as("c"))
     var ranks = nodes.withColumn("rank", lit(1000000000L / n))
@@ -79,7 +84,11 @@ object Graph {
       if (it % checkEvery == 0 && it < iters)
         ranks = ranks.localCheckpoint()
     }
+    // the returned frame must not depend on caches we are about to
+    // release — cut it eagerly, then drop the loop-scoped state
+    val out = if (iters == 0) ranks else ranks.localCheckpoint()
     eDeg.unpersist()
-    ranks
+    nodes.unpersist()
+    out
   }
 }

@@ -521,7 +521,10 @@ object Sampling {
     * holds ≤ k rows per stratum and the exchange carries ≤ k-row
     * states, so one giant domain cannot serialize through one task.
     * Output: `sample_rank` (1..k in the shuffle order) plus the
-    * original columns.
+    * original columns. The full row rides inside the heap's ordering
+    * struct (the (md5, key) prefix always decides, but struct
+    * ordering requires ORDERABLE columns — map-typed columns need
+    * projecting away first).
     */
   def fixedCountPerStratum(
       df: DataFrame,

@@ -47,6 +47,17 @@ object Scd {
       "history missing tracked attribute columns")
     require(!attrs.exists(bookkeeping.contains),
       "updates must not carry bookkeeping columns")
+    // a batch with two rows for one key would insert two open rows AND
+    // fan the superseded join out into duplicated closed rows — there
+    // is no defensible silent pick (no ordering column exists to say
+    // which is 'last'), so fail loudly; callers collapse upstream
+    val dupKeys = updates.groupBy(col(s"`$key`"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(col(s"`$key`")).take(3)
+    require(dupKeys.isEmpty,
+      s"updates batch carries multiple rows per key (e.g. " +
+        s"${dupKeys.mkString(", ")}) — collapse to one change per key " +
+        "per batch before scd2Merge")
 
     val validToType = history.schema("valid_to").dataType
 
@@ -63,6 +74,9 @@ object Scd {
     val unchanged = attrs
       .map(a => col(s"u.`$a`") <=> col(s"o.`$a`"))
       .reduceOption(_ && _).getOrElse(lit(true))
+    // cached: the inserts projection and the superseded key set both
+    // read this join (caller/session owns clearCache — the
+    // tfidf/bm25/stripBoilerplate contract)
     val changedOrNew = u
       .join(o, col(s"u.`$key`") === col(s"o.`$key`"), "left")
       .filter(col(s"o.`$key`").isNull || !unchanged)

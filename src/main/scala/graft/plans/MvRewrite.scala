@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types._
 
 /** Materialized-view rewrite: a Catalyst optimizer rule that answers
   * `fact.groupBy(keys).agg(count/sum/min/max(value))` from a
@@ -71,15 +71,28 @@ object MvRewrite {
 
   /** Register a maintained aggregate state for `factPath`. `statePath`
     * must hold `AggMaintain` partial-state parquet (keys ++ n, sum_v,
-    * min_v, max_v). Also installs [[rule]] into the session's
+    * min_v, max_v). Also installs the rule into the session's
     * `extraOptimizations` (idempotently).
+    *
+    * Rounding gate: AggMaintain state stores `sum_v` at scale 2, so a
+    * value column with finer-than-2-decimal values would make the
+    * rewritten sum differ from the direct plan — exactly the silent
+    * divergence the rule promises never to introduce. Integral and
+    * scale-≤2 decimal columns are accepted outright; floating-point
+    * columns require the caller to assert 2-dp safety explicitly via
+    * `acceptTwoDecimalRounding = true` (e.g. a double column holding
+    * integral quantities or money already rounded to cents). The
+    * value column must also be non-null-or-coalesced: state `n`
+    * counts ROWS, so a null value would skew both the rewritten
+    * count-vs-sum pairing and AggMaintain's own avg_v.
     */
   def register(
       spark: SparkSession,
       factPath: String,
       keys: Seq[String],
       value: String,
-      statePath: String): Unit = {
+      statePath: String,
+      acceptTwoDecimalRounding: Boolean = false): Unit = {
     val stateRel =
       spark.read.parquet(statePath).queryExecution.analyzed match {
         case lr: LogicalRelation => lr
@@ -91,6 +104,22 @@ object MvRewrite {
     val missing = (keys ++ Seq("n", "sum_v", "min_v", "max_v"))
       .filterNot(c => stateRel.output.exists(_.name == c))
     require(missing.isEmpty, s"state at $statePath lacks columns $missing")
+    val valueType = spark.read.parquet(factPath).schema
+      .find(_.name == value)
+      .getOrElse(throw new IllegalArgumentException(
+        s"value column $value not in fact table at $factPath"))
+      .dataType
+    val twoDpSafe = valueType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale <= 2
+      case FloatType | DoubleType => acceptTwoDecimalRounding
+      case _ => false
+    }
+    require(twoDpSafe,
+      s"value column $value: ${valueType.catalogString} sums are not " +
+        "exactly representable in the state's DECIMAL(_,2) — pass " +
+        "acceptTwoDecimalRounding = true only if every value is a " +
+        "whole number of hundredths")
     registry.put(normalize(factPath),
       MvDef(scanPaths(spark, factPath), keys, value, stateRel))
     install(spark)
@@ -187,7 +216,10 @@ class MvRewriteRule extends Rule[LogicalPlan] {
         keep(a, stateAttr(a.name))
       case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
         fn match {
-          case Count(Seq(Literal(_, _))) => keep(al, retyped(al, "n"))
+          // null-literal guard: count(NULL) is 0 per group, NOT the
+          // row count — it must never rewrite to n
+          case Count(Seq(Literal(v, _))) if v != null =>
+            keep(al, retyped(al, "n"))
           case Count(Seq()) => keep(al, retyped(al, "n"))
           case Sum(e, _) if isValue(e, mv.value) =>
             keep(al, retyped(al, "sum_v"))

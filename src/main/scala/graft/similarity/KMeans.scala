@@ -97,9 +97,15 @@ object KMeans {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k/$iters")
     init.foreach(c => require(c.size == k && c.forall(_.length == dim),
       s"init must be $k centroids of dim $dim"))
-    val vecs = df
+    val vecs0 = df
       .select(vecAsDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) === dim)
+    // same guard as Pca.moments: the O(k·dim)-per-row fused update
+    // dominates the scan, so a small corpus in few files must spread
+    // across cores (skipped when the input is already wide)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val vecs =
+      if (vecs0.rdd.getNumPartitions < par) vecs0.repartition(par) else vecs0
     var centroids = init.getOrElse(seeds(
       df.filter(size(vecAsDouble(col(vecCol))) === dim),
       idCol, vecCol, k))

@@ -51,23 +51,26 @@ object SearchIndex {
   private def bucketOf(term: org.apache.spark.sql.Column, n: Int) =
     pmod(xxhash64(term), lit(n.toLong)).cast("string")
 
-  private def tokenize(docs: DataFrame, idCol: String, textCol: String) =
+  /** ONE tokenize pass per corpus: the (doc, term, tf) table is the
+    * single source everything else derives from — dl = Σ tf per doc
+    * (zero-token docs re-enter via the id left join), corpus scalars
+    * from the dl table. The tf frame is persisted across those
+    * derivations and unpersisted after the writes materialize.
+    */
+  private def tfOf(docs: DataFrame, idCol: String, textCol: String) =
     docs.select(col(idCol).cast("long").as("doc_id"),
         explode(TextOps.tokens(lower(col(textCol)))).as("term"))
-
-  private def postingsOf(
-      docs: DataFrame, idCol: String, textCol: String, nBuckets: Int) =
-    tokenize(docs, idCol, textCol)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", bucketOf(col("term"), nBuckets))
-      .select("term", "doc_id", "tf", "bucket")
 
-  private def statsOf(docs: DataFrame, idCol: String, textCol: String) = {
-    val r = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextOps.tokenCount(lower(col(textCol))).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+  private def dlOf(docs: DataFrame, idCol: String, tf: DataFrame) =
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+
+  private def statsOf(dl: DataFrame): (Long, Long) = {
+    val r = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
@@ -80,15 +83,18 @@ object SearchIndex {
       textCol: String,
       nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val (n, t) = statsOf(docs, idCol, textCol)
+    val tf = tfOf(docs, idCol, textCol).persist()
+    val dl = dlOf(docs, idCol, tf)
+    val (n, t) = statsOf(dl)
     store.overwrite(s"${name}_postings",
-      postingsOf(docs, idCol, textCol, nBuckets),
+      tf.withColumn("bucket", bucketOf(col("term"), nBuckets))
+        .select("term", "doc_id", "tf", "bucket"),
       partitionBy = Seq("bucket"),
       meta = Map("n_docs" -> n.toString, "total_dl" -> t.toString,
         "n_buckets" -> nBuckets.toString))
-    store.overwrite(s"${name}_doclen",
-      docs.select(col(idCol).cast("long").as("doc_id"),
-        TextOps.tokenCount(lower(col(textCol))).cast("long").as("dl")))
+    store.overwrite(s"${name}_doclen", dl)
+    tf.unpersist()
+    ()
   }
 
   /** Incremental refresh: merge a batch of NEW documents (ids must be
@@ -104,7 +110,9 @@ object SearchIndex {
     val spark = docs.sparkSession
     val meta = store.readMeta(s"${name}_postings")
     val nBuckets = meta("n_buckets").toInt
-    val delta = postingsOf(docs, idCol, textCol, nBuckets).persist()
+    val tf = tfOf(docs, idCol, textCol).persist()
+    val delta = tf.withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .select("term", "doc_id", "tf", "bucket")
     val touched = delta.select("bucket").distinct()
       .collect().map(_.getString(0)).toSeq
     val existing = store.read(spark, s"${name}_postings", postingsSchema,
@@ -116,18 +124,18 @@ object SearchIndex {
       .groupBy(col("term"), col("doc_id"), col("bucket"))
       .agg(sum(col("tf")).as("tf"))
       .select("term", "doc_id", "tf", "bucket")
-    val (dn, dt) = statsOf(docs, idCol, textCol)
+    val dl = dlOf(docs, idCol, tf)
+    val (dn, dt) = statsOf(dl)
     store.overwritePartitions(s"${name}_postings", merged, "bucket",
       touched,
       meta = Map(
         "n_docs" -> (meta("n_docs").toLong + dn).toString,
         "total_dl" -> (meta("total_dl").toLong + dt).toString,
         "n_buckets" -> nBuckets.toString))
-    delta.unpersist()
-    val dl = docs.select(col(idCol).cast("long").as("doc_id"),
-      TextOps.tokenCount(lower(col(textCol))).cast("long").as("dl"))
     store.overwrite(s"${name}_doclen",
       store.read(spark, s"${name}_doclen", doclenSchema).unionByName(dl))
+    tf.unpersist()
+    ()
   }
 
   /** BM25 top-k search over the PERSISTED index — same contract and
@@ -151,6 +159,8 @@ object SearchIndex {
     val nBuckets = meta("n_buckets").toInt
     val nDocs = meta("n_docs").toLong
     val totalDl = meta("total_dl").toLong
+    // persisted: the bucket probe, the vocabulary semi-join, and the
+    // scoring fan-out all read it (caller/session owns clearCache)
     val qterms = queries.select(col(qidCol).as("qid"),
         explode(TextOps.tokens(lower(col(qtextCol)))).as("term"))
       .distinct().persist()

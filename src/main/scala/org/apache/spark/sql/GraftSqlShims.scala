@@ -12,8 +12,10 @@ object GraftSqlShims {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** `CollectTopK` (the bounded-heap top-k collect aggregate behind
-    * the pandas API's nlargest/nsmallest) is `private[sql]`; expose it
-    * for [[graft.ops.TopK]]. `reverse = true` keeps the largest.
+    * the pandas API's nlargest/nsmallest) is package-private; expose
+    * it for [[graft.ops.TopK]]. `reverse = true` REVERSES the natural
+    * ordering, i.e. keeps the SMALLEST k (the nsmallest path);
+    * reverse = false keeps the largest.
     */
   def collectTopK(e: Expression, k: Int, reverse: Boolean): Column =
     column(catalyst.expressions.aggregate.GraftCollectShims

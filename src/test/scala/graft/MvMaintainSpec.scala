@@ -99,7 +99,8 @@ class MvMaintainSpec extends SparkTestBase {
       MvMaintain.foldBatch(store, "state", keys, "v")(b, i.toLong)
     }
     val statePath = store.currentVersionPath("state").get
-    MvRewrite.register(spark, factPath, keys, "v", statePath)
+    MvRewrite.register(spark, factPath, keys, "v", statePath,
+      acceptTwoDecimalRounding = true)
     val agg = spark.read.parquet(factPath)
       .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"))
     val scans = agg.queryExecution.optimizedPlan.collect {

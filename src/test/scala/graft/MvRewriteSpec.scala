@@ -25,7 +25,8 @@ class MvRewriteSpec extends SparkTestBase {
       .reduce((a, b) => AggMaintain.merge(a, b, Seq("l_returnflag")))
     state.coalesce(1).write.mode("overwrite").parquet(root)
     MvRewrite.register(spark, factPath,
-      Seq("l_returnflag"), "l_quantity", root)
+      Seq("l_returnflag"), "l_quantity", root,
+      acceptTwoDecimalRounding = true)
     root
   }
 
@@ -124,6 +125,21 @@ class MvRewriteSpec extends SparkTestBase {
          sum(l_quantity) FILTER (WHERE l_quantity > 5) AS s
          FROM mv_spec_lineitem GROUP BY l_returnflag""")
     assert(!readsState(df))
+  }
+
+  test("must NOT fire: count of a NULL literal (correct answer is 0)") {
+    val df = fact.groupBy("l_returnflag")
+      .agg(count(lit(null)).as("n"))
+    assert(!readsState(df))
+    assert(df.collect().forall(_.getLong(1) == 0L))
+  }
+
+  test("registration refuses a float value column without the 2-dp flag") {
+    val ex = intercept[IllegalArgumentException] {
+      MvRewrite.register(spark, factPath,
+        Seq("l_returnflag"), "l_extendedprice", stateRoot)
+    }
+    assert(ex.getMessage.contains("acceptTwoDecimalRounding"))
   }
 
   test("must NOT fire: unregistered fact table") {

@@ -29,6 +29,17 @@ class WarehouseOpsSpec extends SparkTestBase {
       (3L, 30.0, "C", "t1", None, true)))        // brand-new key
   }
 
+  test("scd2: a batch with two rows for one key fails loudly") {
+    // two open rows per key / fanned-out closed rows would silently
+    // corrupt history — there is no ordering column to pick a winner
+    val hist = Scd.scd2Init(dim((1L, 10.0, "A")), lit("t0"))
+    val updates = dim((1L, 11.0, "A"), (1L, 12.0, "A"))
+    val ex = intercept[IllegalArgumentException] {
+      Scd.scd2Merge(hist, updates, "k", lit("t1"))
+    }
+    assert(ex.getMessage.contains("multiple rows per key"))
+  }
+
   test("scd2: null attributes compare null-safely (null→null is a no-op)") {
     val hist = Scd.scd2Init(
       Seq((1L, Option.empty[Double], "A")).toDF("k", "bal", "seg"), lit("t0"))
