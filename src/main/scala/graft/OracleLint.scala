@@ -29,6 +29,23 @@ import org.apache.spark.sql.types._
   *     money/metric columns) stay far inside 2^53 at any realistic
   *     magnitude, where every engine's conversion is a single
   *     correctly-rounded division, so they pass unrounded.
+  *
+  *  3. NO DECIMAL OUTPUT COLUMNS AT ALL (the round-8 postmortem,
+  *     mechanized). The harness reads the two sides through DIFFERENT
+  *     parquet readers: the Spark result via pyarrow/pandas, where a
+  *     DECIMAL column becomes Python `decimal.Decimal` objects, and
+  *     the oracle via duckdb→pandas, where DECIMAL becomes float64 —
+  *     so a DECIMAL output can never hash-match even when the values
+  *     are bit-identical (all five r8 float-family reds were exactly
+  *     the oracle-checked queries emitting a DECIMAL column; every
+  *     green query emitted only BIGINT/INT/DOUBLE/VARCHAR). DECIMAL
+  *     stays the right ACCUMULATOR type (order-independent exact
+  *     sums); the certified surface must finish it as a rounded
+  *     double (`round(cast(c as double), scale)`) — or an integral —
+  *     on BOTH sides. (The mirror-image oracle-side failure, a bare
+  *     `sum()` going HUGEINT→float64, is invisible to a Scala lint;
+  *     `scripts/local_verify.py` reproduces the driver's two readers
+  *     and catches it.)
   */
 object OracleLint {
 
@@ -71,6 +88,15 @@ object OracleLint {
         bad += s"$name: output column '${f.name}' is " +
           s"${f.dataType.simpleString} — the oracle harness cannot " +
           "sort/hash non-scalar cells (emit long form (id, index, value))"
+      f.dataType match {
+        case d: DecimalType =>
+          bad += s"$name: output column '${f.name}' is " +
+            s"${d.simpleString} — the harness's two parquet readers " +
+            "render DECIMAL as decimal.Decimal vs float64, so it can " +
+            "never hash-match even when bit-exact; finish it as " +
+            "round(cast(double), scale) (or an integral) on both sides"
+        case _ => ()
+      }
     }
     df.queryExecution.analyzed.foreach { node =>
       node.expressions.foreach(walk(_, underRound = false, name, bad))

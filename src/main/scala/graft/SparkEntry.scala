@@ -235,10 +235,14 @@ object SparkEntry {
     })
 
   /** Persisted inverted-index fixture for q_bm25_search_indexed:
-    * built once per sf dir, deliberately through BOTH write paths —
-    * build() over ~90% of the corpus, then addDocuments() with the
-    * rest — so the oracle hash-match certifies the incremental merge,
-    * not just the bulk build.
+    * built once per JVM per sf dir, deliberately through BOTH write
+    * paths — build() over ~90% of the corpus, then addDocuments() with
+    * the rest — so the oracle hash-match certifies the incremental
+    * merge, not just the bulk build. REBUILT unconditionally on first
+    * use in each JVM (the mvFixture discipline): a leftover index in
+    * the /tmp root from a previous run would otherwise silently serve
+    * stale postings against a fresh oracle after the documents parquet
+    * is regenerated.
     */
   private val searchIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -246,16 +250,15 @@ object SparkEntry {
     searchIndexCache.computeIfAbsent(d, { _ =>
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_searchidx_${java.lang.Integer.toHexString(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       val store = new graft.streaming.TableStore(root)
-      if (store.currentVersion("docs_postings").isEmpty) {
-        val docs = t("documents")(s, d)
-        graft.text.SearchIndex.build(store, "docs",
-          docs.filter(pmod(col("doc_id"), lit(10)) =!= 9),
-          "doc_id", "text")
-        graft.text.SearchIndex.addDocuments(store, "docs",
-          docs.filter(pmod(col("doc_id"), lit(10)) === 9),
-          "doc_id", "text")
-      }
+      val docs = t("documents")(s, d)
+      graft.text.SearchIndex.build(store, "docs",
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 9),
+        "doc_id", "text")
+      graft.text.SearchIndex.addDocuments(store, "docs",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 9),
+        "doc_id", "text")
       root
     })
 
@@ -2022,19 +2025,17 @@ object SparkEntry {
     }),
 
     // ---- market-basket co-purchase pairs: parts bought together in
-    //      the same order, support ≥ 3. The pair expansion is a
-    //      per-order self-join — order width is bounded (≤7 lines),
-    //      so candidate volume is Σ width², never corpus² ----
-    "q_copurchase" -> ((s, d) => {
-      val li = t("lineitem")(s, d).select("l_orderkey", "l_partkey")
-        .distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
-      a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
-        .groupBy(col("p1"), col("p2"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 3)
-    }),
+    //      the same order, support ≥ 3, via ops/Basket — the a-priori
+    //      support prune runs exactly (items under 3 baskets can't
+    //      reach pair support 3, so dropping them changes nothing)
+    //      and the basket cap bounds any hot basket's pair quadratic
+    //      (a no-op on TPC-H's ≤7-line orders; pinned on a 10⁴-item
+    //      basket in BasketSpec) ----
+    "q_copurchase" -> ((s, d) =>
+      graft.ops.Basket.coPurchasePairs(
+          t("lineitem")(s, d), "l_orderkey", "l_partkey", minSupport = 3L)
+        .withColumnRenamed("item_1", "p1")
+        .withColumnRenamed("item_2", "p2")),
 
     // ---- RFM customer segmentation: recency/frequency/monetary
     //      VALUE bands (fixed thresholds, not global ranks — a global
@@ -2141,7 +2142,11 @@ object SparkEntry {
            FROM terms GROUP BY doc_id)
          SELECT d.doc_id,
            COALESCE(p.n_bigrams, 0) AS n_bigrams,
-           COALESCE(p.logp_sum, CAST(0 AS DECIMAL(38,12))) AS logp_sum,
+           -- emitted as a 9-dp-rounded DOUBLE on both sides: a raw
+           -- DECIMAL output column renders decimal.Decimal vs float64
+           -- under the harness's two parquet readers (the r8 red class)
+           round(CAST(COALESCE(p.logp_sum, CAST(0 AS DECIMAL(38,12)))
+             AS DOUBLE), 9) AS logp_sum,
            -- 9-dp HALF_UP mean in exact LONG arithmetic (the sum is a
            -- 9-dp lattice value, so S9 = sum*1e9 is an exact integer;
            -- k = (2|S9|+n)//(2n) is integer HALF_UP of |S9|/n; one
@@ -3083,7 +3088,11 @@ object SparkEntry {
            GROUP BY b.doc_id)
          SELECT d.doc_id,
            COALESCE(p.n_grams, 0) AS n_grams,
-           COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12))) AS logw_sum,
+           -- both sum columns emit as 9-dp-rounded DOUBLEs (the
+           -- q_lm_score certified-surface rule: raw DECIMAL output
+           -- renders decimal.Decimal vs float64 across readers)
+           round(CAST(COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12)))
+             AS DOUBLE), 9) AS logw_sum,
            round(CAST(COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12)))
              AS DOUBLE), 9) AS dsir_logw
          FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
@@ -3133,7 +3142,8 @@ object SparkEntry {
          scored AS (
            SELECT d.doc_id,
              COALESCE(p.n_grams, 0) AS n_grams,
-             COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12))) AS logw_sum,
+             round(CAST(COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12)))
+               AS DOUBLE), 9) AS logw_sum,
              round(CAST(COALESCE(p.logw_sum, CAST(0 AS DECIMAL(38,12)))
                AS DOUBLE), 9) AS dsir_logw
            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id),
@@ -4220,9 +4230,14 @@ object SparkEntry {
            count(*) FILTER (WHERE ln IS NULL) AS n_right_only_keys,
            count(*) FILTER (WHERE ln IS NOT NULL AND rn IS NOT NULL)
              AS n_matched_keys,
-           coalesce(sum(CASE WHEN ln > 1 THEN 1 END), 0) AS n_dup_left_keys,
-           coalesce(sum(CASE WHEN rn > 1 THEN 1 END), 0) AS n_dup_right_keys,
-           coalesce(sum(CASE WHEN rn IS NULL THEN ln END), 0)
+           -- CAST: a bare sum() comes back HUGEINT, which the
+           -- harness's duckdb→pandas reader renders float64 (13623.0)
+           -- against the Spark side's int64 — the r8 q_ref_audit red
+           CAST(coalesce(sum(CASE WHEN ln > 1 THEN 1 END), 0) AS BIGINT)
+             AS n_dup_left_keys,
+           CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 END), 0) AS BIGINT)
+             AS n_dup_right_keys,
+           CAST(coalesce(sum(CASE WHEN rn IS NULL THEN ln END), 0) AS BIGINT)
              AS n_orphan_left_rows
          FROM l FULL OUTER JOIN r USING (k)""",
 
@@ -4338,7 +4353,13 @@ object SparkEntry {
          sc AS (SELECT qt.qid, w.doc_id,
              CAST(sum(w.wgt) AS DECIMAL(18,6)) AS score
            FROM w JOIN qt ON qt.term = w.term GROUP BY 1, 2)
-         SELECT qid, rank, doc_id, score FROM (
+         -- ranking stays on the exact DECIMAL; the EMITTED score is
+         -- the 6-dp-rounded DOUBLE on both sides (raw DECIMAL output
+         -- renders decimal.Decimal vs float64 across the harness's
+         -- two parquet readers — the r8 red class)
+         SELECT qid, rank, doc_id,
+           round(CAST(score AS DOUBLE), 6) AS score
+         FROM (
            SELECT qid, doc_id, score,
              CAST(row_number() OVER (
                PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER)

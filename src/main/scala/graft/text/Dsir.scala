@@ -175,11 +175,16 @@ object Dsir {
     * literal in the plan and each document folds its own grams
     * sequentially — a pure codegen'd scan at any corpus size.
     *
-    * `dsir_logw` is the decimal sum rounded to 9 dp as a double — the
-    * [[LangModel.scoreDocs]] rule: a bare DECIMAL(38,12)→double cast
-    * diverges in the last ulp between engines once the unscaled
-    * magnitude nears 2^53; the sum is exactly a 9-dp value, so a 9-dp
-    * round on both sides recovers the identical double.
+    * Both `logw_sum` and `dsir_logw` EMIT as the decimal sum rounded
+    * to 9 dp as a double — the [[LangModel.scoreDocs]] rule, twice
+    * over: a bare DECIMAL(38,12)→double cast diverges in the last ulp
+    * between engines once the unscaled magnitude nears 2^53, and a raw
+    * DECIMAL output column renders as `decimal.Decimal` under a
+    * pyarrow reader vs float64 under duckdb→pandas, so it can never
+    * hash-match a float oracle even when bit-exact (the round-8
+    * driver-red class). The sum is exactly a 9-dp lattice value, so a
+    * 9-dp round on both sides recovers the identical double;
+    * accumulation stays DECIMAL internally for layout independence.
     */
   def scoreDocs(
       docs: DataFrame,
@@ -212,7 +217,8 @@ object Dsir {
           (acc + element_at(ratioLit, bucketOf(g, model.buckets) + 1)
             .cast("decimal(28,12)")).cast("decimal(37,12)"))
           .cast("decimal(38,12)").as("logw_sum"))
-      .select(col(idCol), col("n_grams"), col("logw_sum"),
+      .select(col(idCol), col("n_grams"),
+        round(col("logw_sum").cast("double"), 9).as("logw_sum"),
         round(col("logw_sum").cast("double"), 9).as("dsir_logw"))
   }
 

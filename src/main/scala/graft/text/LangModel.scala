@@ -87,6 +87,14 @@ object LangModel {
     * two tokens score null (no bigram evidence), with `n_bigrams` 0
     * and an exact zero sum.
     *
+    * `logp_sum` ACCUMULATES as exact DECIMAL (order-independent on any
+    * layout) but is EMITTED as `round(cast(double), 9)`: a raw DECIMAL
+    * output column renders as `decimal.Decimal` under one parquet
+    * reader and float64 under another, so it can never hash-match a
+    * float oracle even when bit-exact — the round-8 driver-red class.
+    * The sum is a 9-dp lattice value of magnitude ≪ 2^53/10⁹, so the
+    * rounded double is the same bits in every engine.
+    *
     * `lm_score` is the 9-dp HALF_UP rounding of `logp_sum/n_bigrams`,
     * computed entirely in LONG INTEGER arithmetic. Neither a bare
     * DECIMAL→double cast (not correctly rounded in every engine once
@@ -138,6 +146,7 @@ object LangModel {
           (when(col("__s9") < 0, lit(-1L)).otherwise(lit(1L)) *
             expr("(2 * abs(__s9) + n_bigrams) div (2 * n_bigrams)"))
             .cast("double") / lit(1.0e9)))
+      .withColumn("logp_sum", round(col("logp_sum").cast("double"), 9))
       .drop("__s9")
   }
 }

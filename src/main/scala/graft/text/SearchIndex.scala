@@ -13,13 +13,21 @@ import graft.streaming.TableStore
   * statistics pass) per search.
   *
   * Layout (two tables + snapshot meta):
-  *  - `<name>_postings` — (term, doc_id, tf), hive-partitioned by
+  *  - `<name>_postings` — (term, doc_id, tf, dl), hive-partitioned by
   *    `bucket = pmod(xxhash64(term), nBuckets)`; a query batch touches
   *    only its terms' buckets (manifest-level pruning — the untouched
-  *    buckets' files are never opened);
-  *  - `<name>_doclen` — (doc_id, dl), read whole (one bounded row per
-  *    document — needed for the BM25 length normalization of matched
-  *    docs);
+  *    buckets' files are never opened). `dl` is the posting's
+  *    document length DENORMALIZED into the row at build/merge time,
+  *    so scoring never joins a corpus-cardinality side table — the
+  *    classic posting-local statistics layout (cf. Lucene's norms):
+  *    one long per posting buys search plans bounded by
+  *    |matched postings| end to end;
+  *  - `<name>_doclen` — (doc_id, dl), hive-partitioned by
+  *    `dbucket = pmod(xxhash64(doc_id), nBuckets)`: the authoritative
+  *    per-document length record (zero-token documents appear here
+  *    with dl = 0 even though they have no postings). Searches never
+  *    read it; refreshes rewrite ONLY the buckets the batch's doc ids
+  *    hash into;
   *  - meta `n_docs` / `total_dl` — the corpus scalars, kept exact so
   *    avgdl recomputes as the SAME long-to-double division the live
   *    operator performs.
@@ -28,13 +36,15 @@ import graft.streaming.TableStore
   * q_bm25_search_indexed shares q_bm25_search's oracle SQL verbatim,
   * so the index path must hash-match DuckDB recomputing from raw
   * text. [[addDocuments]] is the incremental form: new documents'
-  * postings merge into ONLY their touched buckets
+  * postings merge into ONLY the term buckets they touch and their
+  * lengths into ONLY the doc-id buckets they hash to
   * (`overwritePartitions` carries every other bucket by reference),
-  * and the meta scalars advance — O(|new batch postings|) per
-  * refresh, never a corpus rebuild. Term frequencies are additive, so
-  * refresh-then-search equals rebuild-then-search exactly (pinned in
-  * SearchIndexSpec). Deletions need a tombstone pass (out of scope,
-  * same stance as the other incremental indexes).
+  * and the meta scalars advance — O(|new batch postings|) per refresh
+  * on BOTH tables, never a corpus rewrite (pinned at the inputFiles /
+  * manifest level in SearchIndexSpec). Term frequencies are additive,
+  * so refresh-then-search equals rebuild-then-search exactly (also
+  * pinned). Deletions need a tombstone pass (out of scope, same
+  * stance as the other incremental indexes).
   */
 object SearchIndex {
 
@@ -42,14 +52,16 @@ object SearchIndex {
     StructField("term", StringType),
     StructField("doc_id", LongType),
     StructField("tf", LongType),
+    StructField("dl", LongType),
     StructField("bucket", StringType)))
 
   val doclenSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("dl", LongType)))
+    StructField("dl", LongType),
+    StructField("dbucket", StringType)))
 
-  private def bucketOf(term: org.apache.spark.sql.Column, n: Int) =
-    pmod(xxhash64(term), lit(n.toLong)).cast("string")
+  private def bucketOf(c: org.apache.spark.sql.Column, n: Int) =
+    pmod(xxhash64(c), lit(n.toLong)).cast("string")
 
   /** ONE tokenize pass per corpus: the (doc, term, tf) table is the
     * single source everything else derives from — dl = Σ tf per doc
@@ -74,6 +86,15 @@ object SearchIndex {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** Postings rows for a corpus slice: tf joined with its doc length
+    * (a co-keyed join of two derivations of the same tf frame — one
+    * exchange on doc_id, batch-sized) and term-bucketed.
+    */
+  private def postingsOf(tf: DataFrame, dl: DataFrame, nBuckets: Int) =
+    tf.join(dl, Seq("doc_id"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .select("term", "doc_id", "tf", "dl", "bucket")
+
   /** Build (or rebuild) the index for a corpus. */
   def build(
       store: TableStore,
@@ -86,20 +107,21 @@ object SearchIndex {
     val tf = tfOf(docs, idCol, textCol).persist()
     val dl = dlOf(docs, idCol, tf)
     val (n, t) = statsOf(dl)
-    store.overwrite(s"${name}_postings",
-      tf.withColumn("bucket", bucketOf(col("term"), nBuckets))
-        .select("term", "doc_id", "tf", "bucket"),
+    store.overwrite(s"${name}_postings", postingsOf(tf, dl, nBuckets),
       partitionBy = Seq("bucket"),
       meta = Map("n_docs" -> n.toString, "total_dl" -> t.toString,
         "n_buckets" -> nBuckets.toString))
-    store.overwrite(s"${name}_doclen", dl)
+    store.overwrite(s"${name}_doclen",
+      dl.withColumn("dbucket", bucketOf(col("doc_id"), nBuckets)),
+      partitionBy = Seq("dbucket"))
     tf.unpersist()
     ()
   }
 
   /** Incremental refresh: merge a batch of NEW documents (ids must be
     * new — postings are additive, a re-sent id would double-count)
-    * into only the buckets its terms touch.
+    * into only the term buckets its postings touch and the doc-id
+    * buckets its lengths hash to. O(|batch|) on both tables.
     */
   def addDocuments(
       store: TableStore,
@@ -111,20 +133,20 @@ object SearchIndex {
     val meta = store.readMeta(s"${name}_postings")
     val nBuckets = meta("n_buckets").toInt
     val tf = tfOf(docs, idCol, textCol).persist()
-    val delta = tf.withColumn("bucket", bucketOf(col("term"), nBuckets))
-      .select("term", "doc_id", "tf", "bucket")
+    val dl = dlOf(docs, idCol, tf).persist()
+    val delta = postingsOf(tf, dl, nBuckets)
     val touched = delta.select("bucket").distinct()
       .collect().map(_.getString(0)).toSeq
     val existing = store.read(spark, s"${name}_postings", postingsSchema,
       Some(touched))
     // tf is additive per (term, doc); new ids make this a pure union,
     // but sum-merge keeps the operation idempotent-shaped for callers
-    // that re-derive a batch's postings
+    // that re-derive a batch's postings (dl sums alongside tf, so a
+    // re-derived batch stays internally consistent)
     val merged = existing.unionByName(delta)
       .groupBy(col("term"), col("doc_id"), col("bucket"))
-      .agg(sum(col("tf")).as("tf"))
-      .select("term", "doc_id", "tf", "bucket")
-    val dl = dlOf(docs, idCol, tf)
+      .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
+      .select("term", "doc_id", "tf", "dl", "bucket")
     val (dn, dt) = statsOf(dl)
     store.overwritePartitions(s"${name}_postings", merged, "bucket",
       touched,
@@ -132,8 +154,20 @@ object SearchIndex {
         "n_docs" -> (meta("n_docs").toLong + dn).toString,
         "total_dl" -> (meta("total_dl").toLong + dt).toString,
         "n_buckets" -> nBuckets.toString))
-    store.overwrite(s"${name}_doclen",
-      store.read(spark, s"${name}_doclen", doclenSchema).unionByName(dl))
+    // doclen: only the batch's doc-id buckets are read back and
+    // rewritten — every cold bucket carries forward by reference
+    val dlb = dl.withColumn("dbucket", bucketOf(col("doc_id"), nBuckets))
+    val dTouched = dlb.select("dbucket").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val dExisting = store.read(spark, s"${name}_doclen", doclenSchema,
+      Some(dTouched))
+    store.overwritePartitions(s"${name}_doclen",
+      dExisting.unionByName(dlb)
+        .groupBy(col("doc_id"), col("dbucket"))
+        .agg(sum(col("dl")).as("dl"))
+        .select("doc_id", "dl", "dbucket"),
+      "dbucket", dTouched)
+    dl.unpersist()
     tf.unpersist()
     ()
   }
@@ -141,8 +175,10 @@ object SearchIndex {
   /** BM25 top-k search over the PERSISTED index — same contract and
     * bit-identical scores as [[TextOps.bm25Search]] over the live
     * corpus. Only the query terms' buckets are read from the postings
-    * table (manifest pruning); everything downstream runs over the
-    * matched postings.
+    * table (manifest pruning); everything downstream — df, length
+    * normalization (posting-local `dl`), the per-(query, doc) score
+    * fold, the bounded-heap top-k — runs over |matched postings|. No
+    * corpus-cardinality table is read anywhere in the plan.
     */
   def search(
       spark: SparkSession,
@@ -172,7 +208,6 @@ object SearchIndex {
       .join(broadcast(qterms.select("term").distinct()),
         Seq("term"), "left_semi")
     val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = store.read(spark, s"${name}_doclen", doclenSchema)
     // the exact long-to-double division avg(coalesce(dl, 0)) performs
     // over (sum, count) — bit-identical to the live operator's avgdl
     val avgdl = totalDl.toDouble / nDocs
@@ -181,17 +216,22 @@ object SearchIndex {
     val norm = col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("dl").cast("double") / lit(avgdl)))
-    val scores = tfq.join(dl, Seq("doc_id"))
+    val scores = tfq
       .join(df, Seq("term"))
       .withColumn("w", round(idf * norm, 6).cast("decimal(18,6)"))
       .join(broadcast(qterms), Seq("term"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("w")).cast("decimal(18,6)").as("score"))
+    // the decimal score ranks (exact, order-independent); the EMITTED
+    // score is the 6-dp-rounded double — [[TextOps.bm25Search]]'s
+    // certified-surface rule, kept in lockstep so both paths share one
+    // oracle verbatim
     graft.ops.TopK.topKPerGroup(
         scores.withColumn("neg_id", -col("doc_id")),
         Seq("qid"),
         struct(col("score"), col("neg_id"), col("doc_id")),
         k, largest = true)
-      .select("qid", "rank", "doc_id", "score")
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("score").cast("double"), 6).as("score"))
   }
 }

@@ -128,7 +128,13 @@ object TextOps {
     * row_number would shuffle and sort every scored row per query.
     * Scores are exact DECIMAL(18,6) sums of the 6-dp per-term weights,
     * so ranking (score desc, doc_id asc) is deterministic and
-    * cross-engine stable — no FP sum-order dependence.
+    * cross-engine stable — no FP sum-order dependence. The EMITTED
+    * `score` is that decimal rounded to a 6-dp double: a raw DECIMAL
+    * output column renders as `decimal.Decimal` under a pyarrow reader
+    * vs float64 under duckdb→pandas, so it can never hash-match a
+    * float oracle even when bit-exact (the round-8 driver-red class);
+    * a scale-6 value of magnitude < 10⁶ is the same double in every
+    * engine after the round.
     */
   def bm25Search(
       docs: org.apache.spark.sql.DataFrame,
@@ -175,7 +181,8 @@ object TextOps {
         Seq("qid"),
         struct(col("score"), col("neg_id"), col("doc_id")),
         k, largest = true)
-      .select("qid", "rank", "doc_id", "score")
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("score").cast("double"), 6).as("score"))
   }
 
   /** BPE-style token-count estimate: the GPT-2 pre-tokenizer pattern

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Basket
+
+class BasketSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pair supports count distinct baskets, each unordered pair once") {
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (3L, 20L), // duplicate line: presence, not quantity
+      (4L, 30L))
+    val got = Basket
+      .coPurchasePairs(rows.toDF("basket", "item"), "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 20L, 3L), (10L, 30L, 1L), (20L, 30L, 1L)))
+  }
+
+  test("support prune is exact: minSupport result equals post-filtered") {
+    // 40 baskets, item ids overlapping so some pairs clear support 3
+    val rows = (1L to 40L).flatMap(b =>
+      Seq(b -> (b % 5), b -> (b % 7), b -> (b % 3 + 10)))
+    val df = rows.toDF("basket", "item")
+    val pruned = Basket
+      .coPurchasePairs(df, "basket", "item", minSupport = 3L)
+      .collect().map(_.toSeq).toSet
+    val naive = Basket
+      .coPurchasePairs(df, "basket", "item", minSupport = 1L)
+      .filter(col("support") >= 3)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == naive,
+      "a-priori prune changed the result — it must be exact")
+  }
+
+  test("a 10^4-item hot basket is capped, not exploded") {
+    // one pathological basket (bot/data error) next to normal ones;
+    // uncapped it would expand to ~5*10^7 pairs under ONE join key
+    val hot = (1L to 10000L).map(i => 99L -> i)
+    val normal = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+    val df = (hot ++ normal).toDF("basket", "item")
+    val out = Basket.coPurchasePairs(df, "basket", "item",
+      minSupport = 1L, maxBasketSize = 64)
+    val n = out.count()
+    // hot basket contributes at most C(64,2) pairs; (1,2) pair from
+    // the normal baskets must survive with support 2 (+1 if both its
+    // items made the hot basket's cap)
+    assert(n <= 64L * 63 / 2 + 1,
+      s"hot basket was not capped: $n pairs")
+    val s12 = out.filter(col("item_1") === 1 && col("item_2") === 2)
+      .head().getLong(2)
+    assert(s12 >= 2L)
+    // the cap keeps the MOST FREQUENT items: 1 and 2 appear in 3
+    // baskets each, every other hot-basket item in 1 — so they must
+    // be among the 64 kept and pair support reflects all 3 baskets
+    assert(s12 == 3L)
+  }
+
+  test("cap is deterministic and a no-op under the cap width") {
+    val rows = Seq((1L, 3L), (1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L))
+    val df = rows.toDF("basket", "item")
+    val a = Basket.coPurchasePairs(df, "basket", "item",
+      maxBasketSize = 16).collect().map(_.toSeq).toSet
+    val b = Basket.coPurchasePairs(df, "basket", "item",
+      maxBasketSize = 1024).collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a == Set(Seq(1L, 2L, 1L), Seq(1L, 3L, 1L), Seq(2L, 3L, 2L)))
+  }
+}

@@ -25,7 +25,7 @@ class DsirSpec extends SparkTestBase {
   private def naiveWeights(
       target: Seq[(Long, String)],
       raw: Seq[(Long, String)],
-      buckets: Int): Map[Long, (Long, BigDecimal, Double)] = {
+      buckets: Int): Map[Long, (Long, Double, Double)] = {
     def toks(t: String): Seq[String] =
       "\\S+".r.findAllIn(t.toLowerCase(java.util.Locale.ROOT)).toSeq
     def grams(t: String): Seq[String] = {
@@ -52,7 +52,9 @@ class DsirSpec extends SparkTestBase {
       val gs = grams(t)
       val sum = gs.map(g => lr(bucket(g)))
         .foldLeft(BigDecimal(0).setScale(12))(_ + _)
-      id -> ((gs.size.toLong, sum, sum.toDouble))
+      // logw_sum emits as the same 9-dp-rounded double as dsir_logw
+      // (the certified-surface rule: DECIMAL accumulates, double emits)
+      id -> ((gs.size.toLong, sum.toDouble, sum.toDouble))
     }.toMap
   }
 
@@ -81,7 +83,7 @@ class DsirSpec extends SparkTestBase {
       docs, col("text"), buckets = 256)
     val got = Dsir.scoreDocs(docs, "doc_id", "text", model)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), BigDecimal(r.getDecimal(2)), r.getDouble(3))))
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
       .toMap
     val want = naiveWeights(
       corpus.filter(d => targetIds(d._1)), corpus, 256)

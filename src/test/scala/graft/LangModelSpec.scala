@@ -17,7 +17,7 @@ class LangModelSpec extends SparkTestBase {
     * smoothing, per-term round to 9 dp, exact decimal sum.
     */
   private def naiveScores(
-      docs: Seq[(Long, String)]): Map[Long, (Long, BigDecimal, Option[Double])] = {
+      docs: Seq[(Long, String)]): Map[Long, (Long, Double, Option[Double])] = {
     def toks(t: String): Seq[String] =
       "\\S+".r.findAllIn(t.toLowerCase(java.util.Locale.ROOT)).toSeq
     val uni = docs.flatMap(d => toks(d._2))
@@ -49,7 +49,10 @@ class LangModelSpec extends SparkTestBase {
           val k = (s9.abs * 2 + n) / (n * 2)
           Some((if (s9 < 0) -k else k).toDouble / 1.0e9)
         }
-      id -> ((pairs.size.toLong, sum, score))
+      // the emitted logp_sum is the exact 9-dp lattice sum as a
+      // correctly-rounded double (the certified-surface rule: DECIMAL
+      // accumulates, double emits)
+      id -> ((pairs.size.toLong, sum.toDouble, score))
     }.toMap
   }
 
@@ -66,7 +69,7 @@ class LangModelSpec extends SparkTestBase {
     val lm = LangModel.train(docs, col("text"))
     val got = LangModel.scoreDocs(docs, "doc_id", "text", lm)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), BigDecimal(r.getDecimal(2)),
+        ((r.getLong(1), r.getDouble(2),
           Option(r.get(3)).map(_.asInstanceOf[Double]))))
       .toMap
     val want = naiveScores(corpus)

@@ -72,4 +72,47 @@ class SearchIndexSpec extends SparkTestBase {
     assert(postingDirs == Set(want),
       s"probe touched buckets $postingDirs, expected only $want")
   }
+
+  test("search reads NO corpus-cardinality table (dl is posting-local)") {
+    val docs = corpus.toDF("doc_id", "text")
+    val store = newStore("nodl")
+    SearchIndex.build(store, "docs", docs, "doc_id", "text", nBuckets = 16)
+    val res = SearchIndex.search(spark, store, "docs",
+      queries.toDF("qid", "qtext"), "qid", "qtext")
+    val doclenFiles = res.inputFiles.toSeq.filter(_.contains("docs_doclen"))
+    assert(doclenFiles.isEmpty,
+      s"search plan scans the doclen table: $doclenFiles")
+  }
+
+  test("addDocuments rewrites ONLY the batch's doclen buckets") {
+    val old = corpus.filter(_._1 <= 3).toDF("doc_id", "text")
+    val fresh = corpus.filter(_._1 > 3).toDF("doc_id", "text")
+    val store = newStore("dltouch")
+    SearchIndex.build(store, "docs", old, "doc_id", "text", nBuckets = 16)
+    SearchIndex.addDocuments(store, "docs", fresh, "doc_id", "text")
+    // the refresh published doclen v=2; every bucket the batch did NOT
+    // hash into must still be served from the v=1 files (carried by
+    // reference in the manifest — the O(|batch|) refresh contract)
+    val freshBuckets = fresh
+      .select(pmod(xxhash64(col("doc_id")), lit(16L)).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val files = store
+      .read(spark, "docs_doclen", SearchIndex.doclenSchema)
+      .inputFiles.toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val bucket = "dbucket=([0-9]+)".r.findFirstMatchIn(f).get.group(1)
+      val ver = "v=([0-9]+)".r.findFirstMatchIn(f).get.group(1)
+      if (freshBuckets.contains(bucket))
+        assert(ver == "2", s"touched bucket $bucket not rewritten: $f")
+      else
+        assert(ver == "1",
+          s"cold doclen bucket $bucket was rewritten by the refresh: $f")
+    }
+    // and the doclen CONTENTS survive the bucketed layout exactly
+    val dl = store.read(spark, "docs_doclen", SearchIndex.doclenSchema)
+      .select("doc_id", "dl").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dl == Map(1L -> 4L, 2L -> 4L, 3L -> 3L, 4L -> 4L, 5L -> 3L))
+  }
 }
