@@ -33,11 +33,21 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
+  /** @param skipDupCheck the duplicate-key guard below runs one extra
+    *                      bounded Spark job per merge; a trusted
+    *                      upstream that already enforces one-row-per-key
+    *                      (e.g. the output of a groupBy/last collapse)
+    *                      can skip it on hot paths. With the guard off,
+    *                      a dup-key batch silently produces a corrupt
+    *                      history — only skip when the contract is
+    *                      enforced upstream.
+    */
   def scd2Merge(
       history: DataFrame,
       updates: DataFrame,
       key: String,
-      batchTime: Column): DataFrame = {
+      batchTime: Column,
+      skipDupCheck: Boolean = false): DataFrame = {
     val bookkeeping = Seq("valid_from", "valid_to", "is_current")
     val attrs = updates.columns.filterNot(_ == key).toSeq
     require(updates.columns.contains(key), s"updates missing key '$key'")
@@ -51,13 +61,15 @@ object Scd {
     // fan the superseded join out into duplicated closed rows — there
     // is no defensible silent pick (no ordering column exists to say
     // which is 'last'), so fail loudly; callers collapse upstream
-    val dupKeys = updates.groupBy(col(s"`$key`"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .select(col(s"`$key`")).take(3)
-    require(dupKeys.isEmpty,
-      s"updates batch carries multiple rows per key (e.g. " +
-        s"${dupKeys.mkString(", ")}) — collapse to one change per key " +
-        "per batch before scd2Merge")
+    if (!skipDupCheck) {
+      val dupKeys = updates.groupBy(col(s"`$key`"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .select(col(s"`$key`")).take(3)
+      require(dupKeys.isEmpty,
+        s"updates batch carries multiple rows per key (e.g. " +
+          s"${dupKeys.mkString(", ")}) — collapse to one change per key " +
+          "per batch before scd2Merge")
+    }
 
     val validToType = history.schema("valid_to").dataType
 
@@ -109,6 +121,51 @@ object Scd {
     closed.select(outCols.map(c => col(s"`$c`")): _*)
       .unionByName(openAdjusted)
       .unionByName(inserts)
+  }
+
+  /** Point-in-time SNAPSHOT of the dimension: the rows whose validity
+    * interval `[valid_from, valid_to)` covers `at` — "the whole
+    * dimension as it looked at `at`". A pure filter (no join, no
+    * shuffle): with history partitioned or z-ordered on the interval
+    * columns this prunes at the scan. Keys born after `at` simply
+    * don't appear.
+    */
+  def snapshotAt(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+
+  /** Point-in-time LOOKUP: attach to each fact row the dimension
+    * version that was current at THAT ROW's own time — "what did this
+    * customer look like when this order was placed", the train-time
+    * feature-correctness read that closes the SCD2 loop (a lookup at
+    * serving time must see the same attributes the training run saw).
+    *
+    * Plan shape: a backward [[TemporalJoins.asOfJoin]] on
+    * `valid_from` — ONE key shuffle of |facts| + |history| rows and a
+    * window carry, never the per-key nested loop a raw
+    * `valid_from <= t < valid_to` range join plans as. Because SCD2
+    * intervals are contiguous per key, the most recent
+    * `valid_from <= t` version IS the covering version; the residual
+    * `valid_to > t` guard only fires on histories with gaps (e.g.
+    * deletes), nulling the attached columns rather than attaching a
+    * stale version. Facts before the key's first version, or with keys
+    * the dimension never saw, keep nulls — a LEFT lookup.
+    *
+    * `facts` must carry the dimension's key column under the same
+    * name; its other columns must not collide with the history's.
+    */
+  def asOfLookup(
+      facts: DataFrame,
+      history: DataFrame,
+      key: String,
+      factTime: String): DataFrame = {
+    val attached = history.columns.filterNot(_ == key).toSeq
+    val out = TemporalJoins.asOfJoin(
+      facts, history, Seq(key), factTime, "valid_from")
+    val covered = col("valid_to").isNull || col("valid_to") > col(factTime)
+    out.select(
+      facts.columns.toSeq.map(c => col(s"`$c`")) ++
+        attached.map(c => when(covered, col(s"`$c`")).as(c)): _*)
   }
 
   /** Bootstrap a history table from an initial dimension snapshot. */

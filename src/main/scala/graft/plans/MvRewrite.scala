@@ -38,9 +38,14 @@ import org.apache.spark.sql.types._
   *    plain attributes), whose grouping is exactly the registered key
   *    set, and whose aggregates are drawn from the mergeable algebra:
   *    `count(1)/count(*)` → `n`, `sum(value)` → `sum_v`,
-  *    `min(value)` → `min_v`, `max(value)` → `max_v`. Anything else —
-  *    a filter above the scan, a DISTINCT or FILTER clause, an avg the
-  *    caller didn't finish from (sum, count), an unregistered column —
+  *    `min(value)` → `min_v`, `max(value)` → `max_v`, and
+  *    `avg(value)` FINISHED AT REWRITE TIME as `sum_v / n` (the state
+  *    holds avg's own partial (sum, count) pair — the textbook
+  *    mergeable-avg finish and the most common dashboard aggregate;
+  *    double-result avgs only: a decimal-typed avg has engine-specific
+  *    result scale/rounding the finish won't reproduce, so it vetoes).
+  *    Anything else — a filter above the scan, a DISTINCT or FILTER
+  *    clause, an unregistered column —
   *    leaves the plan untouched: the rewrite must be semantically
   *    invisible, so it fires only on exact algebraic matches.
   *  - The replacement is a `Project` over a fresh `newInstance()` of
@@ -227,6 +232,17 @@ class MvRewriteRule extends Rule[LogicalPlan] {
             keep(al, retyped(al, "min_v"))
           case Max(e) if isValue(e, mv.value) =>
             keep(al, retyped(al, "max_v"))
+          // avg finishes from the state's (sum_v, n) pair — exactly
+          // the division Average.evaluateExpression performs over its
+          // own partial state for a double result (int/long/double
+          // inputs all finish as double-cast sum / double-cast count).
+          // Decimal-result avgs veto: their result scale and HALF_UP
+          // finish are engine-specific and not replicated here.
+          case Average(e, _)
+              if isValue(e, mv.value) && al.dataType == DoubleType =>
+            keep(al, Divide(
+              Cast(stateAttr("sum_v"), DoubleType),
+              Cast(stateAttr("n"), DoubleType), EvalMode.LEGACY))
           case _ => return None
         }
       case _ => return None

@@ -93,9 +93,28 @@ class MvRewriteSpec extends SparkTestBase {
     assert(!readsState(df))
   }
 
-  test("must NOT fire: unregistered aggregate function (avg)") {
+  test("avg FIRES, finished as sum_v / n at rewrite time") {
     val df = fact.groupBy("l_returnflag")
-      .agg(avg("l_quantity").as("a"))
+      .agg(avg("l_quantity").as("a"), count(lit(1)).as("n"))
+    assert(readsState(df))
+    val direct = spark.read.parquet(factPath)
+      .filter(col("l_quantity") >= 0) // vetoes the rewrite (see above)
+      .groupBy("l_returnflag")
+      .agg(avg("l_quantity").as("a"), count(lit(1)).as("n"))
+    assert(!readsState(direct))
+    assert(df.schema == direct.schema.copy())
+    assert(df.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+  }
+
+  test("must NOT fire: avg with a DECIMAL result type") {
+    // a decimal-typed avg has engine-specific result scale; the
+    // finish only covers double-result avgs
+    fact.createOrReplaceTempView("mv_spec_li_dec")
+    val df = spark.sql(
+      """SELECT l_returnflag,
+         avg(CAST(l_quantity AS DECIMAL(12,2))) AS a
+         FROM mv_spec_li_dec GROUP BY l_returnflag""")
     assert(!readsState(df))
   }
 

@@ -64,6 +64,49 @@ class WarehouseOpsSpec extends SparkTestBase {
     assert(h2.filter(col("is_current")).count() == 1)
   }
 
+  test("scd2: skipDupCheck trusts the caller (guard off, no eager job)") {
+    val hist = Scd.scd2Init(dim((1L, 10.0, "A")), lit("t0"))
+    // a clean batch merges identically with the guard off
+    val out = Scd.scd2Merge(hist, dim((1L, 11.0, "A")), "k", lit("t1"),
+      skipDupCheck = true)
+    assert(out.filter(col("is_current")).count() == 1)
+    assert(out.count() == 2)
+  }
+
+  test("scd2: snapshotAt reconstructs the dimension at any past time") {
+    val h0 = Scd.scd2Init(dim((1L, 1.0, "A"), (2L, 5.0, "B")), lit("t0"))
+    val h1 = Scd.scd2Merge(h0, dim((1L, 2.0, "A")), "k", lit("t2"))
+    // string times compare lexicographically: t0 < t1 < t2 < t3
+    val at1 = Scd.snapshotAt(h1, lit("t1"))
+      .select("k", "bal").as[(Long, Double)].collect().toSet
+    val at3 = Scd.snapshotAt(h1, lit("t3"))
+      .select("k", "bal").as[(Long, Double)].collect().toSet
+    assert(at1 == Set((1L, 1.0), (2L, 5.0)), "pre-change snapshot")
+    assert(at3 == Set((1L, 2.0), (2L, 5.0)), "post-change snapshot")
+    // boundary: at exactly t2 the NEW version is current ([from, to))
+    val at2 = Scd.snapshotAt(h1, lit("t2"))
+      .filter($"k" === 1L).select("bal").as[Double].head()
+    assert(at2 == 2.0)
+  }
+
+  test("scd2: asOfLookup attaches each fact's own-time version") {
+    val h0 = Scd.scd2Init(dim((1L, 1.0, "A")), lit("t0"))
+    val h1 = Scd.scd2Merge(h0, dim((1L, 2.0, "A")), "k", lit("t2"))
+    val facts = Seq(
+      (100L, 1L, "s0"), // before any version → nulls (s0 < t0)
+      (101L, 1L, "t1"), // first version current
+      (102L, 1L, "t2"), // boundary: new version current
+      (103L, 1L, "t9"), // open version
+      (104L, 7L, "t1")  // unknown key → nulls
+    ).toDF("fact_id", "k", "ft")
+    val got = Scd.asOfLookup(facts, h1, "k", "ft")
+      .select("fact_id", "bal")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(
+      100L -> None, 101L -> Some(1.0), 102L -> Some(2.0),
+      103L -> Some(2.0), 104L -> None))
+  }
+
   test("aggMaintain: folded partials equal one-shot recompute, any fold order") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_returnflag", "l_quantity")
