@@ -2063,6 +2063,15 @@ object SparkEntry {
         .withColumnRenamed("item_1", "p1")
         .withColumnRenamed("item_2", "p2")),
 
+    // ---- "customers also bought" panel: top-3 co-purchase partners
+    //      per part by support — the symmetrized pair table ranked by
+    //      the bounded-heap top-k (≤ k-row states per item through
+    //      the exchange), never a window sort of full partner lists ----
+    "q_also_bought" -> ((s, d) =>
+      graft.ops.Basket.alsoBought(
+        t("lineitem")(s, d), "l_orderkey", "l_partkey",
+        k = 3, minSupport = 3L)),
+
     // ---- RFM customer segmentation: recency/frequency/monetary
     //      VALUE bands (fixed thresholds, not global ranks — a global
     //      ntile would single-partition sort at scale); money sums in
@@ -4235,6 +4244,29 @@ object SparkEntry {
          FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
            AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+
+    // the symmetrized pair table ranked per item; (support desc,
+    // other asc) is a total order, so row_number replays the
+    // bounded-heap top-k exactly
+    "q_also_bought" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS (
+           SELECT a.l_partkey AS i1, b.l_partkey AS i2,
+             count(*) AS support
+           FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         sym AS (
+           SELECT i1 AS item, i2 AS other, support FROM p
+           UNION ALL
+           SELECT i2, i1, support FROM p)
+         SELECT item, CAST(rank AS INTEGER) AS rank, other, support
+         FROM (
+           SELECT item, other, support,
+             row_number() OVER (PARTITION BY item
+               ORDER BY support DESC, other) AS rank
+           FROM sym)
+         WHERE rank <= 3""",
 
     // integer band thresholds on exact decimal sums / day counts —
     // no FP anywhere, so band membership cannot flip cross-engine

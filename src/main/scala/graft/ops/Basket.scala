@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Market-basket co-occurrence: which items appear together in the
   * same basket (order, session, cart), with pair support counts — the
@@ -19,20 +20,41 @@ import org.apache.spark.sql.functions._
   *     `minSupport` distinct baskets cannot participate in any pair
   *     with support ≥ `minSupport` (pair support ≤ either item's
   *     basket count — the a-priori monotonicity argument), so those
-  *     items drop BEFORE pairing with zero effect on the result.
-  *  2. BASKET CAP (explicit bound): after the prune, any basket still
-  *     wider than `maxBasketSize` keeps only its `maxBasketSize`
-  *     most-frequent items (ties to smaller item id), via the
-  *     bounded-heap [[TopK]] — O(width · log cap) per map task and
-  *     ≤ cap-row states on the wire, never a window sort. This is the
-  *     only approximating step: pairs confined to a hyper-basket's
-  *     long tail are dropped, which is the standard trade — a basket
-  *     with 10⁵ items is a bot or a data error, and its tail pairs
-  *     are noise at minSupport anyway. Candidate volume is bounded by
-  *     Σ min(width, cap)² ≤ |baskets| · cap².
+  *     items drop BEFORE pairing with zero effect on the result. The
+  *     prune probes a BLOOM FILTER of the frequent items compiled
+  *     into the plan ([[graft.functions.BloomMightContain]], the
+  *     incremental-dedup discipline) — a map-side filter with NO
+  *     extra exchange on the pair frame, where a semi join would
+  *     reshuffle it by item. Bloom false positives only let a few
+  *     infrequent items through to the candidate stage; the final
+  *     `support >= minSupport` filter is exact regardless.
+  *  2. BASKET CAP (explicit bound): each basket's surviving items
+  *     collect through Spark's bounded-heap top-k aggregate
+  *     ([[TopK.collectTopK]]) capped at `maxBasketSize` — O(width ·
+  *     log cap) per map task WITH map-side partials, so the one
+  *     exchange ships ≤ cap items per basket, and pairs then
+  *     generate MAP-SIDE from the sorted in-cap array (a
+  *     higher-order `transform`, codegen-friendly) straight into the
+  *     pair-count aggregate. No self-join, no width probe, no
+  *     per-basket window. The cap keeps the `maxBasketSize`
+  *     SMALLEST item ids — deterministic on any layout; which items
+  *     survive a 10⁵-item bot basket is arbitrary by nature, and an
+  *     id-ordered cut costs zero extra plumbing where a
+  *     frequency-weighted cut would pay a per-row frequency join.
+  *     This is the only approximating step: pairs confined to a
+  *     hyper-basket's tail are dropped, the standard trade.
+  *     Candidate volume is bounded by Σ min(width, cap)².
   *
-  * Both guards are computed from the deduplicated (basket, item)
-  * frame: presence, not quantity, defines co-occurrence.
+  * Both guards read the deduplicated (basket, item) frame: presence,
+  * not quantity, defines co-occurrence. That frame is persisted
+  * (MEMORY_AND_DISK — it spills, never evicts) because the frequency
+  * pass and the basket-collect pass both scan it; caller/session
+  * owns clearCache (the tfidf/bm25 contract).
+  *
+  * Total plan: distinct (1 exchange) + frequent-item aggregate over
+  * the cache (1, bounded output) + basket collect (1, capped) +
+  * pair-count aggregate (1) — the same exchange count as the naive
+  * unguarded self-join, with both guards on.
   *
   * Emits `(item_1, item_2, support)` with `item_1 < item_2` (each
   * unordered pair once) and `support >= minSupport`.
@@ -52,43 +74,78 @@ object Basket {
     val li = items
       .select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
       .distinct()
-    // guard 1 — exact a-priori prune on item basket-frequency
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // guard 1 — exact a-priori prune, probed map-side via a bloom of
+    // the frequent items (false positives add candidates, never drop
+    // true pairs; the end filter keeps the result exact)
     val pruned =
       if (minSupport <= 1L) li
       else {
         val freq = li.groupBy(col("__item"))
-          .agg(count(lit(1)).as("__item_baskets"))
-          .filter(col("__item_baskets") >= minSupport)
-        li.join(freq.select("__item"), Seq("__item"), "left_semi")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= minSupport)
+          .select(col("__item").cast("string").as("fp"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val bytes = graft.dedup.Dedup.exactBloomIndex(freq, fpp = 0.01)
+        freq.unpersist()
+        li.filter(coalesce(
+          graft.functions.GraftFunctions.bloomMightContain(
+            col("__item").cast("string"), bytes),
+          lit(false)))
       }
-    // guard 2 — cap over-wide baskets at their maxBasketSize
-    // most-frequent items (frequent items are the ones that can still
-    // clear minSupport); ties to smaller id keep the cut deterministic
-    // on any layout. Hot baskets are by definition RARE, so the split
-    // keeps the common path free of the cap machinery: the hot-basket
-    // list broadcasts, in-cap rows pass through an anti join untouched,
-    // and only hot rows pay the frequency join + bounded-heap TopK.
-    val hot = pruned.groupBy(col("__basket"))
-      .agg(count(lit(1)).as("__w"))
-      .filter(col("__w") > maxBasketSize)
-      .select("__basket")
-    val cold = pruned.join(broadcast(hot), Seq("__basket"), "left_anti")
-    val hotRows = pruned.join(broadcast(hot), Seq("__basket"), "left_semi")
-    val itemFreq = pruned.groupBy(col("__item"))
-      .agg(count(lit(1)).as("__f"))
-    val hotCapped = TopK.topKPerGroup(
-        hotRows.join(itemFreq, Seq("__item"))
-          .withColumn("__neg_item", -col("__item")),
-        Seq("__basket"),
-        struct(col("__f"), col("__neg_item"), col("__item")),
-        maxBasketSize, largest = true)
-      .select(col("__basket"), col("__item"))
-    val capped = cold.unionByName(hotCapped)
-    val a = capped.select(col("__basket"), col("__item").as("item_1"))
-    val b = capped.select(col("__basket"), col("__item").as("item_2"))
-    a.join(b, Seq("__basket")).filter(col("item_1") < col("item_2"))
+    // guard 2 — per-basket bounded-heap collect (≤ cap smallest item
+    // ids survive; partial heaps merge map-side), then pairs generate
+    // map-side from the sorted array: element i pairs with every
+    // later element, so item_1 < item_2 holds by construction and
+    // each unordered pair appears exactly once
+    val baskets = pruned.groupBy(col("__basket"))
+      .agg(array_sort(
+        TopK.collectTopK(col("__item"), maxBasketSize, largest = false))
+        .as("items"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+             transform(slice(items, i + 2, size(items)),
+               y -> struct(x AS item_1, y AS item_2))))""")).as("p"))
+      .select(col("p.item_1").as("item_1"), col("p.item_2").as("item_2"))
       .groupBy(col("item_1"), col("item_2"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
+  }
+
+  /** "Customers also bought": for every item, its `k` strongest
+    * co-purchase partners by support (ties to smaller partner id) —
+    * the recommendation panel read of [[coPurchasePairs]]. The
+    * symmetrized pair table ranks through the bounded-heap [[TopK]]
+    * (O(n log k) per map task, ≤ k-row states on the wire), never a
+    * window sort over every item's full partner list — a staple item
+    * co-occurring with 10⁶ others costs its partition a heap, not a
+    * sort. The pair table persists across the two symmetrization
+    * branches (it is the whole upstream pipeline; recomputing it per
+    * branch doubles the operator). Emits `(item, rank, other,
+    * support)`.
+    */
+  def alsoBought(
+      items: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      k: Int,
+      minSupport: Long = 1L,
+      maxBasketSize: Int = 1024): DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    val pairs =
+      coPurchasePairs(items, basketCol, itemCol, minSupport, maxBasketSize)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = pairs
+      .select(col("item_1").as("item"), col("item_2").as("other"),
+        col("support"))
+      .unionByName(pairs.select(col("item_2").as("item"),
+        col("item_1").as("other"), col("support")))
+    TopK.topKPerGroup(
+        sym.withColumn("__neg_other", -col("other")),
+        Seq("item"),
+        struct(col("support"), col("__neg_other"), col("other")),
+        k, largest = true)
+      .select("item", "rank", "other", "support")
   }
 }

@@ -53,10 +53,27 @@ class BasketSpec extends SparkTestBase {
     val s12 = out.filter(col("item_1") === 1 && col("item_2") === 2)
       .head().getLong(2)
     assert(s12 >= 2L)
-    // the cap keeps the MOST FREQUENT items: 1 and 2 appear in 3
-    // baskets each, every other hot-basket item in 1 — so they must
-    // be among the 64 kept and pair support reflects all 3 baskets
+    // the cap keeps the SMALLEST item ids: 1 and 2 are inside the hot
+    // basket's 64-id cut, so the pair's support reflects all 3 baskets
     assert(s12 == 3L)
+  }
+
+  test("alsoBought ranks partners by support desc, ties to smaller id") {
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (4L, 10L), (4L, 30L))
+    // supports: (10,20)=3, (10,30)=2, (20,30)=1
+    val got = Basket
+      .alsoBought(rows.toDF("basket", "item"), "basket", "item", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (10L, 1, 20L, 3L), (10L, 2, 30L, 2L),
+      (20L, 1, 10L, 3L), (20L, 2, 30L, 1L),
+      (30L, 1, 10L, 2L), (30L, 2, 20L, 1L)))
   }
 
   test("cap is deterministic and a no-op under the cap width") {
