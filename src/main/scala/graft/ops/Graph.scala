@@ -91,4 +91,31 @@ object Graph {
     nodes.unpersist()
     out
   }
+
+  /** Connected components over an undirected edge list:
+    * `(node, component)` where `component` is the smallest node id in
+    * the node's component — deterministic on any layout by
+    * construction. Delegates to the hybrid engine behind
+    * [[graft.dedup.Dedup.nearDupClusters]] (driver union-find when the
+    * edge list is bounded, monotone min-label propagation with
+    * amortized lineage truncation at scale) — the same operator that
+    * collapses near-duplicate document clusters, surfaced under its
+    * graph name. Isolated nodes (absent from `edges`) are absent from
+    * the output; union them in with `component = node` if needed.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      maxIter: Int = 20): DataFrame = {
+    // nearDupClusters expects canonical doc_a < doc_b pairs; self-loops
+    // carry no connectivity and drop
+    val e = edges.select(srcCol.as("a"), dstCol.as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
+      .distinct()
+    graft.dedup.Dedup.nearDupClusters(e, maxIter)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+  }
 }

@@ -42,4 +42,26 @@ class GraphSpec extends SparkTestBase {
       .collect().map(_.getLong(1)).toSet
     assert(got == Set(500000000L))
   }
+
+  test("connectedComponents labels every node with its component min") {
+    // two chains + a triangle with a self-loop and reversed/dup edges
+    val edges = Seq(
+      (5L, 3L), (3L, 9L),            // component {3,5,9} min 3
+      (10L, 11L),                    // component {10,11} min 10
+      (20L, 21L), (21L, 22L), (22L, 20L), // triangle min 20
+      (22L, 22L),                    // self-loop: no connectivity
+      (9L, 5L)                       // reversed duplicate
+    ).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, col("src"), col("dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      3L -> 3L, 5L -> 3L, 9L -> 3L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // layout independence
+    val re = Graph.connectedComponents(
+      edges.repartition(7), col("src"), col("dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(re == got)
+  }
 }

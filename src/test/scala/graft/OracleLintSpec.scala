@@ -49,6 +49,21 @@ class OracleLintSpec extends SparkTestBase {
     assert(OracleLint.check("money", money).isEmpty)
   }
 
+  test("ANY decimal output column is flagged (rule 3, the r8 class)") {
+    // value-identical results still hash-mismatch when one reader
+    // renders DECIMAL as decimal.Decimal and the other as float64 —
+    // low scale does NOT save an output column (q_bm25_search's
+    // DECIMAL(18,6) was driver-red)
+    val bad = docs.select(col("id"), col("x").cast("decimal(18,6)").as("score"))
+    val errs = OracleLint.check("deliberately_decimal_out", bad)
+    assert(errs.exists(e => e.contains("'score'") && e.contains("decimal")),
+      s"lint missed the decimal output: $errs")
+    // the finished form passes
+    val good = docs.select(col("id"),
+      round(col("x").cast("decimal(18,6)").cast("double"), 6).as("score"))
+    assert(OracleLint.check("finished_decimal", good).isEmpty)
+  }
+
   test("an array-typed output column is flagged") {
     val bad = docs.select(col("id"), array(col("x"), col("x")).as("v"))
     val errs = OracleLint.check("deliberately_array", bad)
