@@ -567,6 +567,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("sum_chars"))),
 
+    // ---- deterministic 5-fold cross-validation assignment: fold =
+    //      md5(doc_id) mod 5, the same fold on every run/layout/
+    //      engine — per-row emission so the oracle certifies every
+    //      single assignment, not just the counts ----
+    "q_kfold" -> ((s, d) =>
+      graft.ops.Sampling.kFold(
+          t("documents")(s, d).select("doc_id"), col("doc_id"), k = 5)
+        .select("doc_id", "fold")),
+
     // ---- burst-collapse event dedup: drop telemetry repeats landing
     //      within 10 min of the previous same (user, type) event — one
     //      key shuffle + lag, the streaming-friendly dedup shape ----
@@ -1103,6 +1112,17 @@ object SparkEntry {
         docs, col("source") === "src0", col("text"), buckets = 4096)
       graft.text.Dsir.resample(docs, "doc_id", "text", model, k = 100)
     }),
+
+    // ---- corpus drift report: per-bucket Jensen-Shannon terms
+    //      between src0 and the rest of the corpus over the DSIR
+    //      hashed-gram feature space — "did this snapshot's
+    //      distribution move"; two bounded count passes, then pure
+    //      arithmetic over 4096 rows. Every term replayed by the
+    //      oracle (9-dp round absorbs ln's cross-engine ulp) ----
+    "q_corpus_drift" -> ((s, d) =>
+      graft.text.Drift.bucketDriftWithin(
+        t("documents")(s, d), col("source") === "src0",
+        col("text"), buckets = 4096)),
 
     // ---- exact substring dedup (Lee et al. 2022 ExactSubstr at
     //      8-token granularity): any 8-token window recurring anywhere
@@ -2455,6 +2475,56 @@ object SparkEntry {
          SELECT split, count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS sum_chars
          FROM s GROUP BY 1""",
+
+    // replays Drift.bucketDrift: the q_dsir_weights gram/bucket CTEs
+    // split by source, densified over all 4096 buckets via range();
+    // probabilities are single exact divisions, the JS term mirrors
+    // Spark's ln(x)*(1/ln 2) spelling with the same literal constant,
+    // rounded to 9 dp on both sides
+    "q_corpus_drift" ->
+      """WITH toks AS (
+           SELECT source, regexp_extract_all(lower(text), '\S+') AS arr
+           FROM documents),
+         grams AS (
+           SELECT source, unnest(arr) AS g FROM toks
+           UNION ALL
+           SELECT source, arr[pos+1] || ' ' || arr[pos+2] AS g
+           FROM (SELECT source, arr, unnest(range(len(arr) - 1)) AS pos
+                 FROM toks WHERE len(arr) >= 2)),
+         b AS (SELECT source,
+             ('0x' || substr(md5(g), 1, 3))::BIGINT AS bucket
+           FROM grams),
+         ca AS (SELECT bucket, count(*) AS c_a FROM b
+           WHERE source = 'src0' GROUP BY bucket),
+         cb AS (SELECT bucket, count(*) AS c_b FROM b
+           WHERE source <> 'src0' GROUP BY bucket),
+         allb AS (SELECT unnest(range(4096)) AS bucket),
+         j AS (
+           SELECT allb.bucket,
+             COALESCE(ca.c_a, 0) AS c_a, COALESCE(cb.c_b, 0) AS c_b
+           FROM allb LEFT JOIN ca ON ca.bucket = allb.bucket
+                     LEFT JOIN cb ON cb.bucket = allb.bucket),
+         tot AS (SELECT sum(c_a) AS na, sum(c_b) AS nb FROM j),
+         p AS (
+           SELECT j.bucket, j.c_a, j.c_b,
+             (j.c_a + CAST(1 AS DOUBLE)) / (tot.na + 4096.0) AS p_a,
+             (j.c_b + CAST(1 AS DOUBLE)) / (tot.nb + 4096.0) AS p_b
+           FROM j CROSS JOIN tot)
+         SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           p_a, p_b,
+           round((p_a * ln(p_a * 2.0 / (p_a + p_b)) +
+                  p_b * ln(p_b * 2.0 / (p_a + p_b)))
+             * 1.4426950408889634 * 0.5, 9) AS js_term
+         FROM p""",
+
+    // replays kFold verbatim: first 8 md5 hex chars as an integer,
+    // mod 5 (('0x'||hex)::BIGINT ≡ Spark's conv(hex,16,10))
+    "q_kfold" ->
+      """SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 5 AS INTEGER) AS fold
+         FROM documents""",
 
     "q_event_dedup_window" ->
       """WITH e AS (SELECT event_id, user_id, event_type, ts,

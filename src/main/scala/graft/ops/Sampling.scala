@@ -85,6 +85,27 @@ object Sampling {
     df.withColumn(labelCol, label)
   }
 
+  /** Deterministic K-fold assignment: `fold = md5(key)[0..8) mod k` —
+    * the cross-validation companion of [[datasetSplit]]. Same key →
+    * same fold on every run, any layout, any engine that agrees on
+    * md5 (the oracle replays it verbatim), so fold membership
+    * survives pipeline rebuilds and incremental ingest lands new rows
+    * across folds with no coordination. 32 hash bits keep the mod-k
+    * bias below 2⁻²⁵ for any k ≤ 10³. NULL keys take fold k-1 (the
+    * [[datasetSplit]] last-band rule).
+    */
+  def kFold(
+      df: DataFrame,
+      key: Column,
+      k: Int,
+      foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.withColumn(foldCol,
+      coalesce(pmod(h, lit(k.toLong)).cast("int"), lit(k - 1)))
+  }
+
   /** Solve for the per-stratum keep rates (in 1/256ths) that move the
     * corpus to a target mixture while keeping as many rows as
     * possible: the achievable total is `T = min_s count(s)/target(s)`

@@ -344,4 +344,30 @@ class PlanSpec extends SparkTestBase {
         s"$name lost the object-hash partial pass:\n$plan")
     }
   }
+
+  test("q_copurchase pairs entirely JOIN-FREE (heap collect + map-side expand)") {
+    // the guarded market-basket pipeline replaced the per-basket
+    // self-join with a bounded-heap collect and a higher-order
+    // transform: the whole plan must carry NO join operator of any
+    // kind and no Window — pair volume is bounded by construction,
+    // not by data luck
+    val plan = finalPlan(q("q_copurchase"))
+    assert(!plan.contains("Join") && !plan.contains("Cartesian"),
+      s"a join reappeared in the basket pipeline:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window crept into the basket pipeline:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"bounded-heap basket collect missing:\n$plan")
+  }
+
+  test("q_scd2_asof runs the as-of carry, never an interval nested loop") {
+    // the point-in-time lookup is a union + ONE window carry; Spark's
+    // native plan for the raw valid_from <= t < valid_to range join
+    // would be BroadcastNestedLoop/Cartesian — the 100 TB cliff
+    val plan = finalPlan(q("q_scd2_asof"))
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"SCD2 as-of lookup degenerated to a nested loop:\n$plan")
+    assert("Window".r.findAllMatchIn(plan).length >= 1,
+      s"as-of window carry missing:\n$plan")
+  }
 }

@@ -235,6 +235,23 @@ class TemporalJoinsSpec extends SparkTestBase {
     }
   }
 
+  test("kFold is exhaustive, near-uniform, and layout-independent") {
+    import graft.ops.Sampling
+    val df = (1 to 20000).toDF("id")
+    val got = Sampling.kFold(df, col("id"), k = 5)
+    assert(got.count() == 20000)
+    val byFold = got.groupBy("fold").count()
+      .as[(Int, Long)].collect().toMap
+    assert(byFold.keySet == Set(0, 1, 2, 3, 4), s"folds: ${byFold.keySet}")
+    // each fold within loose binomial bounds of 4000
+    byFold.values.foreach(n => assert(n > 3600 && n < 4400,
+      s"fold sizes skewed: $byFold"))
+    val again = Sampling.kFold(df.repartition(17), col("id"), 5)
+      .select("id", "fold").as[(Int, Int)].collect().toMap
+    assert(got.select("id", "fold").as[(Int, Int)].collect().toMap == again)
+    intercept[IllegalArgumentException] { Sampling.kFold(df, col("id"), 1) }
+  }
+
   test("blockedLevenshteinPairs equals brute force within blocks") {
     import graft.ops.FuzzyMatch
     val words = Seq("red widget", "red widgit", "red gadget", "blue bolt",
