@@ -120,4 +120,34 @@ object Drift {
       .agg(round(
         sum(col("js_term").cast("decimal(28,12)")).cast("double"), 9))
       .head().getDouble(0)
+
+  /** [[jsDivergence]] over already-computed bucket-count maps —
+    * driver-side, for monitors that hold the (bounded) counts in hand
+    * (e.g. [[graft.streaming.DriftMonitor]] folding a micro-batch
+    * against a stored reference). Same smoothing, same per-bucket
+    * 9-dp rounding, same exact-decimal total as the DataFrame path:
+    * DriftMonitorSpec pins the two paths equal on the same data.
+    */
+  def jsOfCounts(
+      a: Map[Int, Long],
+      b: Map[Int, Long],
+      buckets: Int): Double = {
+    val na = a.values.map(BigInt(_)).sum.toDouble
+    val nb = b.values.map(BigInt(_)).sum.toDouble
+    val bk = buckets.toDouble
+    val log2e = 1.4426950408889634 // 1 / ln(2), the bucketDrift literal
+    var sum = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < buckets) {
+      val pA = (a.getOrElse(i, 0L) + 1.0) / (na + bk)
+      val pB = (b.getOrElse(i, 0L) + 1.0) / (nb + bk)
+      val term = (pA * math.log(pA * 2.0 / (pA + pB)) +
+        pB * math.log(pB * 2.0 / (pA + pB))) * log2e * 0.5
+      sum = sum.add(java.math.BigDecimal.valueOf(term)
+        .setScale(9, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    java.math.BigDecimal.valueOf(0)
+      .add(sum).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+  }
 }
