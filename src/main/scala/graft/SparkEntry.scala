@@ -1124,6 +1124,20 @@ object SparkEntry {
         t("documents")(s, d), col("source") === "src0",
         col("text"), buckets = 4096)),
 
+    // ---- numeric-column drift (PSI over fixed value bands): price
+    //      distribution of early vs late shipments — the standard
+    //      model-monitoring drift score, banded so it is two hash
+    //      aggregates and never a global sort; every band term
+    //      oracle-replayed ----
+    "q_numeric_drift" -> ((s, d) => {
+      val li = t("lineitem")(s, d)
+      val cut = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+      graft.text.Drift.psiBands(
+        li.filter(col("l_shipdate") < lit(cut)),
+        li.filter(col("l_shipdate") >= lit(cut)),
+        col("l_extendedprice"), lo = 0.0, hi = 120000.0, nBands = 48)
+    }),
+
     // ---- exact substring dedup (Lee et al. 2022 ExactSubstr at
     //      8-token granularity): any 8-token window recurring anywhere
     //      in the corpus is cut from every occurrence but the globally
@@ -2475,6 +2489,41 @@ object SparkEntry {
          SELECT split, count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS sum_chars
          FROM s GROUP BY 1""",
+
+    // replays Drift.psiBands: same band arithmetic (exact edges —
+    // 2-dp prices sit ≥ 4e-6 band-widths from every 2500-multiple, so
+    // floor cannot flip cross-engine), same add-1 smoothing over the
+    // 51-cell grid, same single-ln 9-dp-rounded term
+    "q_numeric_drift" ->
+      """WITH t AS (
+           SELECT l_extendedprice AS v,
+             l_shipdate < TIMESTAMP '1995-01-01' AS a
+           FROM lineitem),
+         bands AS (SELECT unnest(range(-1, 50)) AS band),
+         c AS (SELECT
+             CASE WHEN v IS NULL THEN 49
+                  WHEN v < 0.0 THEN -1
+                  WHEN v >= 120000.0 THEN 48
+                  ELSE CAST(floor((v - 0.0) / 2500.0) AS INTEGER)
+             END AS band, a
+           FROM t),
+         g AS (SELECT band,
+             count(*) FILTER (WHERE a) AS c_a,
+             count(*) FILTER (WHERE NOT a) AS c_b
+           FROM c GROUP BY band),
+         j AS (SELECT bands.band,
+             COALESCE(g.c_a, 0) AS c_a, COALESCE(g.c_b, 0) AS c_b
+           FROM bands LEFT JOIN g ON g.band = bands.band),
+         tot AS (SELECT sum(c_a) AS na, sum(c_b) AS nb FROM j),
+         p AS (SELECT j.band, j.c_a, j.c_b,
+             (j.c_a + CAST(1 AS DOUBLE)) / (tot.na + 51.0) AS p_a,
+             (j.c_b + CAST(1 AS DOUBLE)) / (tot.nb + 51.0) AS p_b
+           FROM j CROSS JOIN tot)
+         SELECT CAST(band AS INTEGER) AS band,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           p_a, p_b,
+           round((p_a - p_b) * ln(p_a / p_b), 9) AS psi_term
+         FROM p""",
 
     // replays Drift.bucketDrift: the q_dsir_weights gram/bucket CTEs
     // split by source, densified over all 4096 buckets via range();

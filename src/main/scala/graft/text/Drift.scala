@@ -121,6 +121,83 @@ object Drift {
         sum(col("js_term").cast("decimal(28,12)")).cast("double"), 9))
       .head().getDouble(0)
 
+  /** Numeric-column drift via the Population Stability Index — THE
+    * standard model-monitoring drift score ("PSI > 0.2 ⇒ investigate")
+    * — between corpora `a` and `b` on `valueCol`, over FIXED value
+    * bands: `band i = [lo + i·w, lo + (i+1)·w)` for
+    * `w = (hi − lo)/nBands`, plus underflow band −1, overflow band
+    * `nBands`, and null band `nBands + 1`. Fixed bands (the
+    * q_lm_buckets rule) are what make this a pair of hash aggregates
+    * — a quantile-banded PSI would need a global sort or a sketch;
+    * at 100 TB the fixed-band form is exact, single-pass, and its
+    * band edges cannot flip between engines (integer floor on exact
+    * arithmetic).
+    *
+    * Emits one row per band of the full grid (`nBands + 3` rows):
+    * `(band, c_a, c_b, p_a, p_b, psi_term)` with
+    * `psi_term = (p_a − p_b)·ln(p_a / p_b)` rounded to 9 dp —
+    * smoothed add-1 probabilities over `nBands + 3` cells, so empty
+    * cells on one side stay finite. Total PSI = sum of terms
+    * ([[psi]]). Determinism: the [[bucketDrift]] contract (exact
+    * divisions, one ln, 9-dp round).
+    */
+  def psiBands(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      nBands: Int): DataFrame = {
+    require(nBands >= 2 && hi > lo,
+      s"need nBands >= 2 and hi > lo, got $nBands over [$lo, $hi)")
+    val cells = nBands + 3 // value bands + under/over/null
+    def bandOf(v: Column): Column = when(v.isNull, lit(nBands + 1))
+      .when(v < lo, lit(-1))
+      .when(v >= hi, lit(nBands))
+      .otherwise(floor((v - lit(lo)) / lit((hi - lo) / nBands)).cast("int"))
+    val tagged = a.select(valueCol.as("__v"), lit(true).as("__a"))
+      .unionByName(b.select(valueCol.as("__v"), lit(false).as("__a")))
+    val spark = a.sparkSession
+    import spark.implicits._
+    // densified over the FULL grid: an empty band still carries
+    // smoothed mass, and its term is nonzero whenever the two totals
+    // differ — dropping empty bands would silently understate PSI
+    val counts = (-1 to (nBands + 1)).toDF("band")
+      .join(tagged
+        .select(bandOf(col("__v")).as("band"), col("__a"))
+        .groupBy(col("band"))
+        .agg(count(when(col("__a"), lit(1))).as("c_a"),
+          count(when(!col("__a"), lit(1))).as("c_b")),
+        Seq("band"), "left")
+      .select(col("band"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val totals = counts.agg(sum(col("c_a")), sum(col("c_b"))).head()
+    val na = (if (totals.isNullAt(0)) 0L else totals.getLong(0)).toDouble
+    val nb = (if (totals.isNullAt(1)) 0L else totals.getLong(1)).toDouble
+    val pA = (col("c_a") + lit(1.0)) / lit(na + cells)
+    val pB = (col("c_b") + lit(1.0)) / lit(nb + cells)
+    counts.select(col("band"), col("c_a"), col("c_b"),
+        pA.as("p_a"), pB.as("p_b"))
+      .withColumn("psi_term", round(
+        (col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")), 9))
+  }
+
+  /** Total PSI: exact decimal sum of the 9-dp band terms over the
+    * full grid, as a 9-dp double.
+    */
+  def psi(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      nBands: Int): Double =
+    psiBands(a, b, valueCol, lo, hi, nBands)
+      .agg(round(
+        sum(col("psi_term").cast("decimal(28,12)")).cast("double"), 9))
+      .head().getDouble(0)
+
   /** [[jsDivergence]] over already-computed bucket-count maps —
     * driver-side, for monitors that hold the (bounded) counts in hand
     * (e.g. [[graft.streaming.DriftMonitor]] folding a micro-batch

@@ -59,6 +59,40 @@ class DriftSpec extends SparkTestBase {
     assert(m1 == m2, "drift terms depend on layout")
   }
 
+  test("PSI: identity is 0, a mean shift scores, grid is full") {
+    val base = (1 to 1000).map(i => (i % 100).toDouble)
+    val shifted = base.map(_ + 40.0)
+    val a = base.toDF("v")
+    assert(Drift.psi(a, base.toDF("v"), col("v"), 0.0, 200.0, 20) == 0.0)
+    val drift = Drift.psi(a, shifted.toDF("v"), col("v"), 0.0, 200.0, 20)
+    assert(drift > 0.2, s"mean shift under the classic alert bar: $drift")
+    val report = Drift.psiBands(a, shifted.toDF("v"), col("v"), 0.0, 200.0, 20)
+    assert(report.count() == 23) // 20 bands + under/over/null
+  }
+
+  test("PSI routes underflow, overflow, and nulls to their own bands") {
+    val a = Seq(Some(-5.0), Some(5.0), Some(250.0), None).toDF("v")
+    val b = Seq(Some(5.0)).toDF("v")
+    val bands = Drift.psiBands(a, b, col("v"), 0.0, 200.0, 20)
+      .filter(col("c_a") > 0)
+      .select("band", "c_a").as[(Int, Long)].collect().toMap
+    assert(bands == Map(-1 -> 1L, 0 -> 1L, 20 -> 1L, 21 -> 1L),
+      s"band routing wrong: $bands")
+  }
+
+  test("PSI empty bands still carry terms when corpus sizes differ") {
+    // na != nb makes even an empty band's smoothed probabilities
+    // unequal — the densified grid must include them or the total
+    // understates
+    val a = (1 to 100).map(_ => 5.0).toDF("v")
+    val b = (1 to 900).map(_ => 5.0).toDF("v")
+    val terms = Drift.psiBands(a, b, col("v"), 0.0, 200.0, 20)
+      .filter(col("c_a") === 0 && col("c_b") === 0)
+      .select("psi_term").as[Double].collect()
+    assert(terms.nonEmpty && terms.forall(_ != 0.0),
+      "empty bands lost their size-imbalance terms")
+  }
+
   test("bucketDriftWithin (one fused pass) equals bucketDrift on slices") {
     val tagged = (english.map((_, "a")) ++ german.map((_, "b")))
       .toDF("text", "src")
