@@ -2010,6 +2010,25 @@ object SparkEntry {
       graft.ops.Graph.pageRankInt(edges, col("src"), col("dst"), iters = 3)
     }),
 
+    // ---- k-anonymity audit: (segment, nation) combinations shared
+    //      by fewer than 8 customers are re-identification risks —
+    //      one hash aggregate + size filter; output is the SMALL
+    //      groups by definition ----
+    "q_k_anonymity" -> ((s, d) =>
+      graft.ops.DataQuality.kAnonymityViolations(
+        t("customer")(s, d), Seq("c_mktsegment", "c_nationkey"), k = 8L)),
+
+    // ---- l-diversity audit: quasi groups whose members all fall in
+    //      fewer than 3 account-balance bands leak the band by
+    //      membership alone (homogeneity attack) ----
+    "q_l_diversity" -> ((s, d) =>
+      graft.ops.DataQuality.lDiversityViolations(
+        t("customer")(s, d)
+          .withColumn("bal_band",
+            when(col("c_acctbal") < 0, "neg")
+              .when(col("c_acctbal") < 5000, "mid").otherwise("high")),
+        Seq("c_mktsegment", "c_nationkey"), "bal_band", l = 3L)),
+
     // ---- referential-integrity audit (orders ↔ lineitem on the
     //      order key): both sides pre-aggregate to one (key, count)
     //      row before the full-outer join, so the join carries
@@ -4448,6 +4467,23 @@ object SparkEntry {
                 FROM nodes CROSS JOIN params
                 LEFT JOIN c3 ON c3.node = nodes.node)
          SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""",
+
+    "q_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS group_size
+         FROM customer
+         GROUP BY 1, 2 HAVING count(*) < 8""",
+
+    "q_l_diversity" ->
+      """WITH b AS (SELECT c_mktsegment, c_nationkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band
+         FROM customer)
+         SELECT c_mktsegment, c_nationkey,
+           count(*) AS group_size,
+           count(DISTINCT bal_band) AS n_sensitive
+         FROM b GROUP BY 1, 2
+         HAVING count(DISTINCT bal_band) < 3""",
 
     "q_ref_audit" ->
       """WITH l AS (SELECT l_orderkey AS k, count(*) AS ln

@@ -142,4 +142,53 @@ object DataQuality {
       coalesce(sum(when(col("rn").isNull, col("ln"))), lit(0L))
         .cast("long").as("n_orphan_left_rows"))
   }
+
+  /** k-anonymity audit over a quasi-identifier combination: every
+    * combination of `quasiCols` values shared by FEWER than `k` rows
+    * is a re-identification risk (the released rows are distinguishable
+    * down to a group smaller than k — Sweeney's criterion). Emits the
+    * violating combinations with their group sizes, so the caller can
+    * suppress, generalize, or reject the release. An empty result =
+    * the projection is k-anonymous.
+    *
+    * NULL quasi-identifier values group together (a null is as
+    * identifying as any other shared value in a release).
+    *
+    * Scale: ONE hash aggregate over the quasi columns (map-side
+    * combine) + the size filter — violations are by definition the
+    * SMALL groups, so the output is tiny even when the input is not.
+    * For the companion "how anonymous are we" scalar, aggregate the
+    * result (`min(group_size)` over all groups is a second bounded
+    * aggregate callers can run on the same grouped frame).
+    */
+  def kAnonymityViolations(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2L, s"k-anonymity needs k >= 2, got $k")
+    df.groupBy(quasiCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
+
+  /** l-diversity audit: among the groups that PASS k-anonymity sized
+    * grouping, a sensitive attribute with fewer than `l` distinct
+    * values per group still leaks it (everyone in the group shares
+    * it — homogeneity attack). Emits quasi combinations whose
+    * sensitive diversity is below `l`, with group size and the
+    * distinct count. One aggregate, exact distinct per group.
+    */
+  def lDiversityViolations(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2L, s"l-diversity needs l >= 2, got $l")
+    df.groupBy(quasiCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(s"`$sensitiveCol`")).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+  }
 }

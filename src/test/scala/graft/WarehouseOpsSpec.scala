@@ -180,6 +180,34 @@ class WarehouseOpsSpec extends SparkTestBase {
       "clean output keeps the input schema (no tag column)")
   }
 
+  test("kAnonymity flags exactly the under-k groups; empty = anonymous") {
+    val rows = Seq.fill(10)(("SEG1", 1)) ++ Seq.fill(3)(("SEG1", 2)) ++
+      Seq.fill(1)(("SEG2", 1))
+    val df = rows.toDF("seg", "nat")
+    val got = DataQuality.kAnonymityViolations(df, Seq("seg", "nat"), 5L)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("SEG1", 2, 3L), ("SEG2", 1, 1L)))
+    assert(DataQuality.kAnonymityViolations(df, Seq("seg", "nat"), 2L)
+      .filter($"seg" === "SEG1" && $"nat" === 1).isEmpty)
+    // nulls group together (as identifying as any shared value)
+    val withNull = (rows ++ Seq((null, 1), (null, 1))).toDF("seg", "nat")
+    val nullGroup = DataQuality
+      .kAnonymityViolations(withNull, Seq("seg", "nat"), 5L)
+      .filter($"seg".isNull).as[(String, Int, Long)].collect().toSeq
+    assert(nullGroup == Seq((null, 1, 2L)))
+  }
+
+  test("lDiversity flags homogeneous groups regardless of their size") {
+    val df = (Seq.fill(20)(("A", "flu")) ++                 // big but uniform
+      Seq(("B", "flu"), ("B", "cold"), ("B", "covid"))      // small, diverse
+      ).toDF("zip", "diagnosis")
+    val got = DataQuality
+      .lDiversityViolations(df, Seq("zip"), "diagnosis", 2L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("A", 20L, 1L)),
+      s"homogeneity attack not flagged: $got")
+  }
+
   test("epoch sketches merge to the whole-corpus estimate") {
     val ev = (1 to 2000).map(i => (s"day${i % 7}", s"user${i % 311}"))
       .toDF("day", "uid")
