@@ -1124,6 +1124,14 @@ object SparkEntry {
         t("documents")(s, d), col("source") === "src0",
         col("text"), buckets = 4096)),
 
+    // ---- corpus card: the one-call dataset datasheet — size, source
+    //      fan-out, token/char volume, exact-dup mass, empty docs,
+    //      language mix; ALL exact integers in one aggregation pass,
+    //      long format so snapshot cards diff with a join ----
+    "q_corpus_card" -> ((s, d) =>
+      graft.text.TextOps.corpusCard(
+        t("documents")(s, d), "source", "text")),
+
     // ---- numeric-column drift (PSI over fixed value bands): price
     //      distribution of early vs late shipments — the standard
     //      model-monitoring drift score, banded so it is two hash
@@ -2508,6 +2516,54 @@ object SparkEntry {
          SELECT split, count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS sum_chars
          FROM s GROUP BY 1""",
+
+    // replays corpusCard: the q_doc_langid CASE (ties in en/de/fr/es
+    // order), \S+ token counts, md5 text fingerprints — all exact
+    // integers, unioned in the same fixed metric vocabulary
+    "q_corpus_card" ->
+      """WITH h AS (SELECT
+           source, text,
+           length(text) AS chars,
+           len(regexp_extract_all(text, '\S+')) AS ntok,
+           md5(text) AS fp,
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS en_hits,
+           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS de_hits,
+           len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un)\b')) AS fr_hits,
+           len(regexp_extract_all(lower(text), '\b(el|los|las|es|un|una)\b')) AS es_hits
+         FROM documents),
+         l AS (SELECT *,
+           CASE
+             WHEN en_hits >= de_hits AND en_hits >= fr_hits
+              AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+             WHEN de_hits >= en_hits AND de_hits >= fr_hits
+              AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+             WHEN fr_hits >= en_hits AND fr_hits >= de_hits
+              AND fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+             WHEN es_hits >= en_hits AND es_hits >= de_hits
+              AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+             ELSE 'unknown' END AS lang
+           FROM h)
+         SELECT 'n_docs' AS metric, count(*) AS value FROM l
+         UNION ALL SELECT 'n_sources',
+           CAST(count(DISTINCT source) AS BIGINT) FROM l
+         UNION ALL SELECT 'total_tokens',
+           CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM l
+         UNION ALL SELECT 'total_chars',
+           CAST(coalesce(sum(chars), 0) AS BIGINT) FROM l
+         UNION ALL SELECT 'n_distinct_texts',
+           CAST(count(DISTINCT fp) AS BIGINT) FROM l
+         UNION ALL SELECT 'n_empty_docs',
+           count(*) FILTER (WHERE ntok = 0) FROM l
+         UNION ALL SELECT 'n_docs_en',
+           count(*) FILTER (WHERE lang = 'en') FROM l
+         UNION ALL SELECT 'n_docs_de',
+           count(*) FILTER (WHERE lang = 'de') FROM l
+         UNION ALL SELECT 'n_docs_fr',
+           count(*) FILTER (WHERE lang = 'fr') FROM l
+         UNION ALL SELECT 'n_docs_es',
+           count(*) FILTER (WHERE lang = 'es') FROM l
+         UNION ALL SELECT 'n_docs_unknown',
+           count(*) FILTER (WHERE lang = 'unknown') FROM l""",
 
     // replays Drift.psiBands: same band arithmetic (exact edges —
     // 2-dp prices sit ≥ 4e-6 band-widths from every 2500-multiple, so

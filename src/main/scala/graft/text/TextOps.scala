@@ -351,6 +351,51 @@ object TextOps {
     */
   def fingerprint64(text: Column): Column = xxhash64(text)
 
+  /** Corpus card — the "datasheet for a dataset" one-call summary
+    * (Gebru et al. 2021 motivation, counting form): corpus size,
+    * source fan-out, token/char volume, exact-duplicate mass, empty
+    * docs, and the language mix, as long-format `(metric, value)`
+    * rows. Every metric is an EXACT integer (counts and integer
+    * sums — no FP means), so the card is deterministic on any
+    * layout/engine and diffable between snapshots (card(v17) vs
+    * card(v18) is a two-frame join).
+    *
+    * ONE aggregation pass: the distinct-counts (sources,
+    * fingerprints) expand through Spark's single Expand+aggregate
+    * plan; everything else rides the same scan. Output is one bounded
+    * row per metric.
+    */
+  def corpusCard(
+      docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val prepared = docs.select(
+      col(sourceCol).as("__src"),
+      length(col(textCol)).cast("long").as("__chars"),
+      size(tokens(col(textCol))).cast("long").as("__ntok"),
+      fingerprint(col(textCol)).as("__fp"),
+      langId(col(textCol)).as("__lang"))
+    val row = prepared.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("__src")).as("n_sources"),
+      coalesce(sum(col("__ntok")), lit(0L)).as("total_tokens"),
+      coalesce(sum(col("__chars")), lit(0L)).as("total_chars"),
+      countDistinct(col("__fp")).as("n_distinct_texts"),
+      count(when(col("__ntok") === 0, lit(1))).as("n_empty_docs"),
+      count(when(col("__lang") === "en", lit(1))).as("n_docs_en"),
+      count(when(col("__lang") === "de", lit(1))).as("n_docs_de"),
+      count(when(col("__lang") === "fr", lit(1))).as("n_docs_fr"),
+      count(when(col("__lang") === "es", lit(1))).as("n_docs_es"),
+      count(when(col("__lang") === "unknown", lit(1)))
+        .as("n_docs_unknown"))
+    val metrics = Seq("n_docs", "n_sources", "total_tokens",
+      "total_chars", "n_distinct_texts", "n_empty_docs", "n_docs_en",
+      "n_docs_de", "n_docs_fr", "n_docs_es", "n_docs_unknown")
+    row.select(explode(map(
+        metrics.flatMap(m => Seq(lit(m), col(m))): _*))
+      .as(Seq("metric", "value")))
+  }
+
   /** Sub-document boilerplate removal (the CCNet line-dedup shape,
     * Wenzek et al. 2020): split every document into aligned
     * `segLen`-token segments, count how many DISTINCT documents each

@@ -229,6 +229,24 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("corpusCard counts a hand-checked corpus exactly") {
+    val df = Seq(
+      ("web", 1L, "the cat and the dog"),   // en, 5 tokens
+      ("web", 2L, "the cat and the dog"),   // exact dup of doc 1
+      ("books", 3L, "der hund ist ein tier"), // de, 5 tokens
+      ("books", 4L, ""),                    // empty
+      ("web", 5L, "zzz qqq"))               // unknown, 2 tokens
+      .toDF("source", "doc_id", "text")
+    val card = graft.text.TextOps.corpusCard(df, "source", "text")
+      .as[(String, Long)].collect().toMap
+    assert(card == Map(
+      "n_docs" -> 5L, "n_sources" -> 2L,
+      "total_tokens" -> 17L, "total_chars" -> 66L, // dup doc counts too
+      "n_distinct_texts" -> 4L, "n_empty_docs" -> 1L,
+      "n_docs_en" -> 2L, "n_docs_de" -> 1L, "n_docs_fr" -> 0L,
+      "n_docs_es" -> 0L, "n_docs_unknown" -> 2L), s"card: $card")
+  }
+
   test("stripBoilerplate segment order is chunk order, not lexicographic") {
     val df = Seq(
       (1L, "zz yy xx aa bb cc"),          // segs "zz yy xx", "aa bb cc"
