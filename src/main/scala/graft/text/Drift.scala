@@ -233,7 +233,6 @@ object Drift {
         .setScale(9, java.math.RoundingMode.HALF_UP))
       i += 1
     }
-    java.math.BigDecimal.valueOf(0)
-      .add(sum).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    sum.doubleValue // exact: a sum of scale-9 decimals is scale-9
   }
 }
