@@ -2018,6 +2018,17 @@ object SparkEntry {
       graft.ops.Graph.pageRankInt(edges, col("src"), col("dst"), iters = 3)
     }),
 
+    // ---- event-volume anomaly days: daily counts flagged by the
+    //      robust median/MAD rule (|n − med| > 3·MAD) — all integer
+    //      order statistics, so the flags are layout/engine-exact;
+    //      the series is calendar-bounded, the cost is the count ----
+    "q_event_anomaly" -> ((s, d) => {
+      val daily = t("events")(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.ops.Anomaly.robustOutliers(daily, "n_events", k = 3L)
+    }),
+
     // ---- k-anonymity audit: (segment, nation) combinations shared
     //      by fewer than 8 customers are re-identification risks —
     //      one hash aggregate + size filter; output is the SMALL
@@ -4523,6 +4534,34 @@ object SparkEntry {
                 FROM nodes CROSS JOIN params
                 LEFT JOIN c3 ON c3.node = nodes.node)
          SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""",
+
+    // lower-median order statistics replayed with row_number: rank
+    // (n+1)//2 over (value, day) — ties on value don't affect an
+    // order STATISTIC, the day tiebreak just makes rn total
+    "q_event_anomaly" ->
+      """WITH daily AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS n_events
+           FROM events GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM daily),
+         med AS (
+           SELECT n_events AS median FROM (
+             SELECT n_events,
+               row_number() OVER (ORDER BY n_events, day) AS rn
+             FROM daily) CROSS JOIN n
+           WHERE rn = (n.n + 1) // 2),
+         mad AS (
+           SELECT dev AS mad FROM (
+             SELECT abs(daily.n_events - med.median) AS dev,
+               row_number() OVER (
+                 ORDER BY abs(daily.n_events - med.median), day) AS rn
+             FROM daily CROSS JOIN med) CROSS JOIN n
+           WHERE rn = (n.n + 1) // 2)
+         SELECT daily.day, daily.n_events,
+           CAST(med.median AS BIGINT) AS median,
+           CAST(mad.mad AS BIGINT) AS mad,
+           abs(daily.n_events - med.median) > 3 * mad.mad AS is_anomaly
+         FROM daily CROSS JOIN med CROSS JOIN mad""",
 
     "q_k_anonymity" ->
       """SELECT c_mktsegment, c_nationkey, count(*) AS group_size
