@@ -2018,6 +2018,22 @@ object SparkEntry {
       graft.ops.Graph.pageRankInt(edges, col("src"), col("dst"), iters = 3)
     }),
 
+    // ---- A/B conversion significance: deterministic variant split
+    //      (user_id parity), per-USER conversion (a heavy buyer: ≥ 16
+    //      purchase events), pooled two-proportion z-test — exact
+    //      counts, one fixed sequence of correctly-rounded IEEE ops
+    //      for z (9-dp rounded), so even the significance flag is
+    //      engine-exact ----
+    "q_ab_test" -> ((s, d) => {
+      val perUser = t("events")(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("np"))
+      graft.ops.Experiment.abTest(
+        perUser, pmod(col("user_id"), lit(2)), col("user_id"),
+        col("np") >= 16L)
+    }),
+
     // ---- event-volume anomaly days: daily counts flagged by the
     //      robust median/MAD rule (|n − med| > 3·MAD) — all integer
     //      order statistics, so the flags are layout/engine-exact;
@@ -4534,6 +4550,42 @@ object SparkEntry {
                 FROM nodes CROSS JOIN params
                 LEFT JOIN c3 ON c3.node = nodes.node)
          SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""",
+
+    // the z expression mirrors the Scala operation sequence token for
+    // token (each IEEE op correctly rounded; the sequence is the
+    // contract), rounded to 9 dp before the threshold compare
+    "q_ab_test" ->
+      """WITH u AS (
+           SELECT user_id % 2 AS v, user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >= 16
+               THEN 1 ELSE 0 END AS c
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT CAST(v AS VARCHAR) AS v, count(*) AS n,
+             sum(c) AS k
+           FROM u GROUP BY 1),
+         a AS (SELECT * FROM s ORDER BY v LIMIT 1),
+         b AS (SELECT * FROM s ORDER BY v DESC LIMIT 1),
+         f AS (SELECT
+             a.v AS variant_a, b.v AS variant_b,
+             CAST(a.n AS BIGINT) AS n_a, CAST(a.k AS BIGINT) AS conv_a,
+             CAST(b.n AS BIGINT) AS n_b, CAST(b.k AS BIGINT) AS conv_b,
+             CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE) AS p_a,
+             CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE) AS p_b,
+             CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE) AS pp,
+             CAST(a.n AS DOUBLE) AS nad, CAST(b.n AS DOUBLE) AS nbd
+           FROM a CROSS JOIN b)
+         SELECT variant_a, variant_b, n_a, conv_a, n_b, conv_b,
+           p_a, p_b,
+           CASE WHEN p_a = p_b THEN 0.0 ELSE
+             round((p_a - p_b) /
+               sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd)), 9)
+           END AS z,
+           abs(CASE WHEN p_a = p_b THEN 0.0 ELSE
+             round((p_a - p_b) /
+               sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd)), 9)
+           END) > 1.96 AS significant
+         FROM f""",
 
     // lower-median order statistics replayed with row_number: rank
     // (n+1)//2 over (value, day) — ties on value don't affect an
