@@ -2018,6 +2018,16 @@ object SparkEntry {
       graft.ops.Graph.pageRankInt(edges, col("src"), col("dst"), iters = 3)
     }),
 
+    // ---- funnel time-to-convert histogram: users completing
+    //      view→click→purchase banded by whole days between first
+    //      view and funnel completion — fixed integer-microsecond
+    //      bands (no percentile sort), exact on any layout/engine ----
+    "q_funnel_latency" -> ((s, d) =>
+      graft.ops.Funnel.conversionLatencyBands(
+        t("events")(s, d), col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"),
+        bandWidthUs = 86400L * 1000000L)),
+
     // ---- A/B conversion significance: deterministic variant split
     //      (user_id parity), per-USER conversion (a heavy buyer: ≥ 16
     //      purchase events), pooled two-proportion z-test — exact
@@ -4550,6 +4560,28 @@ object SparkEntry {
                 FROM nodes CROSS JOIN params
                 LEFT JOIN c3 ON c3.node = nodes.node)
          SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""",
+
+    // the q_funnel stage chain + integer-microsecond banding; micros
+    // derive as epoch_ns // 1000 — the SAME floor the Spark loader
+    // applies (ts div 1000), so band edges cannot shift by the
+    // sub-microsecond nanos DuckDB still sees
+    "q_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+         d AS (SELECT
+             (epoch_ns(s3.t) // 1000) - (epoch_ns(s1.t) // 1000) AS du
+           FROM s3 JOIN s1 ON s3.user_id = s1.user_id)
+         SELECT du // 86400000000 AS band,
+           count(*) AS n_users,
+           CAST(min(du) AS BIGINT) AS min_us,
+           CAST(max(du) AS BIGINT) AS max_us
+         FROM d GROUP BY 1""",
 
     // the z expression mirrors the Scala operation sequence token for
     // token (each IEEE op correctly rounded; the sequence is the

@@ -24,6 +24,36 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** The per-stage `(user, first-completion-time)` tables — the state
+    * the funnel chain runs on, one frame per stage prefix, shared by
+    * [[funnelCounts]] (which counts them) and latency analyses (which
+    * join them: time-to-convert for a user = stage k's time minus
+    * stage 1's). Each frame is persisted (read by the next stage and
+    * by the caller; caller/session owns clearCache).
+    */
+  def stageTimes(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      stages: Seq[String]): Seq[DataFrame] = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val base = events.select(
+      userCol.as("__u"), tsCol.as("__ts"), typeCol.as("__ty"))
+    var reached: DataFrame = null
+    stages.zipWithIndex.map { case (st, i) =>
+      val hits = base.filter(col("__ty") === lit(st))
+      reached =
+        (if (i == 0) hits
+         else hits
+           .join(reached.withColumnRenamed("__t", "__prev"), Seq("__u"))
+           .filter(col("__ts") > col("__prev")))
+          .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+          .persist()
+      reached
+    }
+  }
+
   /** Per-stage cumulative conversion counts:
     * `(stage, step ∈ 1..n, n_users)` — n_users monotonically
     * non-increasing down the funnel.
@@ -34,22 +64,36 @@ object Funnel {
       tsCol: Column,
       typeCol: Column,
       stages: Seq[String]): DataFrame = {
-    require(stages.nonEmpty, "need at least one funnel stage")
-    val base = events.select(
-      userCol.as("__u"), tsCol.as("__ts"), typeCol.as("__ty"))
-    var reached: DataFrame = null
-    val perStage = stages.zipWithIndex.map { case (st, i) =>
-      val hits = base.filter(col("__ty") === lit(st))
-      reached =
-        (if (i == 0) hits
-         else hits
-           .join(reached.withColumnRenamed("__t", "__prev"), Seq("__u"))
-           .filter(col("__ts") > col("__prev")))
-          .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
-          .persist()
+    val times = stageTimes(events, userCol, tsCol, typeCol, stages)
+    stages.zip(times).zipWithIndex.map { case ((st, reached), i) =>
       reached.agg(count(lit(1)).as("n_users"))
         .select(lit(st).as("stage"), lit(i + 1).as("step"), col("n_users"))
-    }
-    perStage.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Time-to-convert histogram: users who completed the WHOLE funnel,
+    * banded by `floor((t_last − t_first) / bandWidthUs)` microseconds
+    * — fixed value bands (the q_lm_buckets rule: a percentile would
+    * need a global sort; bands are one hash aggregate and exact
+    * integer arithmetic, so the histogram is layout/engine-exact).
+    * Emits `(band, n_users, min_us, max_us)` for occupied bands.
+    */
+  def conversionLatencyBands(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      stages: Seq[String],
+      bandWidthUs: Long): DataFrame = {
+    require(stages.size >= 2, "latency needs at least two stages")
+    require(bandWidthUs > 0, s"bandWidthUs must be positive: $bandWidthUs")
+    val times = stageTimes(events, userCol, tsCol, typeCol, stages)
+    val first = times.head.select(col("__u"), unix_micros(col("__t")).as("__t0"))
+    val last = times.last.select(col("__u"), unix_micros(col("__t")).as("__t1"))
+    last.join(first, Seq("__u"))
+      .select((col("__t1") - col("__t0")).as("__d"))
+      .groupBy(expr(s"__d div ${bandWidthUs}L").as("band"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("__d")).as("min_us"), max(col("__d")).as("max_us"))
   }
 }

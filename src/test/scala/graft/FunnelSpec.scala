@@ -34,6 +34,25 @@ class FunnelSpec extends SparkTestBase {
       ("purchase", 3, 1L))) // u1 only (u5's tie rejected)
   }
 
+  test("conversionLatencyBands bands first-view→completion exactly") {
+    val events = Seq(
+      // u1: view@1m → purchase@3m → delta 2m → band 0 (2m width)
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // u2: view@1m → purchase@7m → delta 6m → band 3
+      (2L, ts(1), "view"), (2L, ts(5), "click"), (2L, ts(7), "purchase"),
+      // u3 never purchases → absent
+      (3L, ts(1), "view"), (3L, ts(2), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.conversionLatencyBands(events, col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"),
+        bandWidthUs = 2L * 60L * 1000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 120000000L, 120000000L)),
+      3L -> ((1L, 360000000L, 360000000L))), s"bands: $got")
+  }
+
   test("funnel counts are monotonically non-increasing, any layout") {
     val events = Tables.events(spark, sfDir)
     val counts = Funnel.funnelCounts(events, col("user_id"), col("ts"),
