@@ -48,6 +48,10 @@ object Anomaly {
       .withColumn("median", lit(med))
       .withColumn("mad", lit(mad))
       .withColumn("is_anomaly",
-        abs(col(s"`$valueCol`") - lit(med)) > lit(k) * lit(mad))
+        // same long cast as the order statistics above — a
+        // fractional-typed series must not mix truncated median/MAD
+        // with exact values in the comparison
+        abs(col(s"`$valueCol`").cast("long") - lit(med)) >
+          lit(k) * lit(mad))
   }
 }

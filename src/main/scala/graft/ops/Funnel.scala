@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * event volume never concentrates in a task, unlike
   * collect-the-user's-events-and-fold designs. Intermediate stage
   * tables are persisted because stage k's plan is read by stages
-  * k+1..n AND by its own count branch (caller/session owns
-  * clearCache — the tfidf/bm25 contract).
+  * k+1..n AND by its own count branch; [[funnelCounts]] and
+  * [[conversionLatencyBands]] release every stage frame before
+  * returning (raw [[stageTimes]] callers own the handles they get).
   */
 object Funnel {
 
@@ -57,6 +58,13 @@ object Funnel {
   /** Per-stage cumulative conversion counts:
     * `(stage, step ∈ 1..n, n_users)` — n_users monotonically
     * non-increasing down the funnel.
+    *
+    * Leak-free: each stage's count action materializes its frame;
+    * the predecessor is unpersisted as soon as its last reader (the
+    * successor's build) has consumed it, so NO cached stage frames
+    * outlive the call. The counts themselves are ≤ |stages| longs —
+    * a driver-bounded collect by construction (the [[Anomaly]] /
+    * Experiment rule) — and return as a literal frame.
     */
   def funnelCounts(
       events: DataFrame,
@@ -64,11 +72,18 @@ object Funnel {
       tsCol: Column,
       typeCol: Column,
       stages: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
     val times = stageTimes(events, userCol, tsCol, typeCol, stages)
-    stages.zip(times).zipWithIndex.map { case ((st, reached), i) =>
-      reached.agg(count(lit(1)).as("n_users"))
-        .select(lit(st).as("stage"), lit(i + 1).as("step"), col("n_users"))
-    }.reduce(_.unionByName(_))
+    val counts = times.zipWithIndex.map { case (reached, i) =>
+      val n = reached.count()
+      if (i > 0) { times(i - 1).unpersist(); () }
+      n
+    }
+    times.last.unpersist()
+    import spark.implicits._
+    stages.zip(counts).zipWithIndex
+      .map { case ((st, n), i) => (st, i + 1, n) }
+      .toDF("stage", "step", "n_users")
   }
 
   /** Time-to-convert histogram: users who completed the WHOLE funnel,
@@ -88,12 +103,26 @@ object Funnel {
     require(stages.size >= 2, "latency needs at least two stages")
     require(bandWidthUs > 0, s"bandWidthUs must be positive: $bandWidthUs")
     val times = stageTimes(events, userCol, tsCol, typeCol, stages)
+    // materialize the chain front-to-back, releasing each MIDDLE
+    // stage as soon as its successor lands — only the first and last
+    // frames (the two the band plan reads) stay cached past the fold
+    times.zipWithIndex.foreach { case (f, i) =>
+      f.count()
+      if (i >= 2) { times(i - 1).unpersist(); () }
+    }
     val first = times.head.select(col("__u"), unix_micros(col("__t")).as("__t0"))
     val last = times.last.select(col("__u"), unix_micros(col("__t")).as("__t1"))
-    last.join(first, Seq("__u"))
+    val bands = last.join(first, Seq("__u"))
       .select((col("__t1") - col("__t0")).as("__d"))
       .groupBy(expr(s"__d div ${bandWidthUs}L").as("band"))
       .agg(count(lit(1)).as("n_users"),
         min(col("__d")).as("min_us"), max(col("__d")).as("max_us"))
+      .persist()
+    bands.count()
+    times.head.unpersist()
+    times.last.unpersist()
+    // the ONE frame the caller owns (band-cardinality, not user-
+    // cardinality): release via bands.unpersist()/clearCache when done
+    bands
   }
 }

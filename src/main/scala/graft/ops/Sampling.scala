@@ -91,8 +91,9 @@ object Sampling {
     * md5 (the oracle replays it verbatim), so fold membership
     * survives pipeline rebuilds and incremental ingest lands new rows
     * across folds with no coordination. 32 hash bits keep the mod-k
-    * bias below 2⁻²⁵ for any k ≤ 10³. NULL keys take fold k-1 (the
-    * [[datasetSplit]] last-band rule).
+    * bias below k/2³² — ≈2⁻²² at k = 10³, and below 2⁻²⁵ for
+    * k ≤ 128. NULL keys take fold k-1 (the [[datasetSplit]]
+    * last-band rule).
     */
   def kFold(
       df: DataFrame,

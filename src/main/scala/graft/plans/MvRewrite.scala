@@ -232,12 +232,18 @@ class MvRewriteRule extends Rule[LogicalPlan] {
             keep(al, retyped(al, "min_v"))
           case Max(e) if isValue(e, mv.value) =>
             keep(al, retyped(al, "max_v"))
-          // avg finishes from the state's (sum_v, n) pair — exactly
-          // the division Average.evaluateExpression performs over its
-          // own partial state for a double result (int/long/double
-          // inputs all finish as double-cast sum / double-cast count).
-          // Decimal-result avgs veto: their result scale and HALF_UP
-          // finish are engine-specific and not replicated here.
+          // avg finishes from the state's (sum_v, n) pair — the same
+          // division Average.evaluateExpression performs over its own
+          // partial state for a double result. Caveat for INTEGRAL
+          // value columns: Average accumulates its sum in double
+          // (lossy per-add once the running sum passes 2^53), while
+          // the MV state sum_v is an exact long — so past 2^53 the
+          // rewrite can differ from the unrewritten plan by the
+          // accumulated rounding ulps (the rewrite is the MORE exact
+          // of the two). Double value columns share the double sum
+          // and match bit-for-bit. Decimal-result avgs veto: their
+          // result scale and HALF_UP finish are engine-specific and
+          // not replicated here.
           case Average(e, _)
               if isValue(e, mv.value) && al.dataType == DoubleType =>
             keep(al, Divide(

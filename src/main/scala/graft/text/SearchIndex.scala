@@ -48,6 +48,27 @@ import graft.streaming.TableStore
   */
 object SearchIndex {
 
+  /** Postings layout version, stamped into the index meta at build
+    * time and REQUIRED by [[addDocuments]]/[[search]]. Version 2 is
+    * the denormalized-dl layout (dl inside each posting row, doclen
+    * hive-bucketed by dbucket); version-1 indexes (pre-dl postings)
+    * lack the stamp entirely, so reading one fails loudly here
+    * instead of silently null-filling `dl` into garbage BM25 scores.
+    */
+  val FormatVersion = "2"
+
+  private def requireFormat(meta: Map[String, String], name: String): Unit = {
+    val v = meta.getOrElse("format",
+      throw new IllegalStateException(
+        s"index '$name' has no format stamp: it was persisted by a " +
+          s"pre-v$FormatVersion build (postings without the dl " +
+          "column); rebuild it with SearchIndex.build before " +
+          "searching or refreshing"))
+    require(v == FormatVersion,
+      s"index '$name' is format v$v; this build reads v$FormatVersion" +
+        " — rebuild the index")
+  }
+
   val postingsSchema: StructType = StructType(Seq(
     StructField("term", StringType),
     StructField("doc_id", LongType),
@@ -110,7 +131,7 @@ object SearchIndex {
     store.overwrite(s"${name}_postings", postingsOf(tf, dl, nBuckets),
       partitionBy = Seq("bucket"),
       meta = Map("n_docs" -> n.toString, "total_dl" -> t.toString,
-        "n_buckets" -> nBuckets.toString))
+        "n_buckets" -> nBuckets.toString, "format" -> FormatVersion))
     store.overwrite(s"${name}_doclen",
       dl.withColumn("dbucket", bucketOf(col("doc_id"), nBuckets)),
       partitionBy = Seq("dbucket"))
@@ -131,6 +152,7 @@ object SearchIndex {
       textCol: String): Unit = {
     val spark = docs.sparkSession
     val meta = store.readMeta(s"${name}_postings")
+    requireFormat(meta, name)
     val nBuckets = meta("n_buckets").toInt
     val tf = tfOf(docs, idCol, textCol).persist()
     val dl = dlOf(docs, idCol, tf).persist()
@@ -153,7 +175,7 @@ object SearchIndex {
       meta = Map(
         "n_docs" -> (meta("n_docs").toLong + dn).toString,
         "total_dl" -> (meta("total_dl").toLong + dt).toString,
-        "n_buckets" -> nBuckets.toString))
+        "n_buckets" -> nBuckets.toString, "format" -> FormatVersion))
     // doclen: only the batch's doc-id buckets are read back and
     // rewritten — every cold bucket carries forward by reference
     val dlb = dl.withColumn("dbucket", bucketOf(col("doc_id"), nBuckets))
@@ -192,6 +214,7 @@ object SearchIndex {
       b: Double = 0.75): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
     val meta = store.readMeta(s"${name}_postings")
+    requireFormat(meta, name)
     val nBuckets = meta("n_buckets").toInt
     val nDocs = meta("n_docs").toLong
     val totalDl = meta("total_dl").toLong

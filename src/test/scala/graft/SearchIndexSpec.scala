@@ -115,4 +115,60 @@ class SearchIndexSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dl == Map(1L -> 4L, 2L -> 4L, 3L -> 3L, 4L -> 4L, 5L -> 3L))
   }
+
+  test("a pre-format-stamp index fails loudly instead of null-filling dl") {
+    val docs = corpus.toDF("doc_id", "text")
+    val qs = queries.toDF("qid", "qtext")
+    // simulate a v1 (pre-dl) index: postings persisted WITHOUT the
+    // format stamp in meta — exactly what an old build left behind
+    // (written directly, never through SearchIndex.build, because
+    // TableStore meta carries forward and the stamp would survive)
+    val staging = newStore("oldfmt_src")
+    SearchIndex.build(staging, "docs", docs, "doc_id", "text", nBuckets = 16)
+    val store = newStore("oldfmt")
+    val postings = staging
+      .read(spark, "docs_postings", SearchIndex.postingsSchema)
+      .drop("dl").withColumn("dl", lit(null).cast("long"))
+      .select("term", "doc_id", "tf", "dl", "bucket")
+    store.overwrite("docs_postings", postings,
+      partitionBy = Seq("bucket"),
+      meta = staging.readMeta("docs_postings") - "format")
+    val e1 = intercept[IllegalStateException] {
+      SearchIndex.search(spark, store, "docs", qs, "qid", "qtext", k = 3)
+    }
+    assert(e1.getMessage.contains("format stamp"))
+    val e2 = intercept[IllegalStateException] {
+      SearchIndex.addDocuments(store, "docs",
+        Seq((9L, "apple")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("format stamp"))
+  }
+
+  test("funnel helpers release every cached stage frame they create") {
+    // regression for the stageTimes persist leak (ADVICE r9): repeated
+    // funnelCounts / conversionLatencyBands calls must not accumulate
+    // user-cardinality cached frames
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:01:00", "cart"),
+      (1L, "2024-01-01 00:02:00", "buy"),
+      (2L, "2024-01-01 00:00:30", "view"),
+      (2L, "2024-01-01 00:03:00", "cart"))
+      .toDF("user_id", "ts_s", "etype")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("etype"))
+    val stages = Seq("view", "cart", "buy")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    graft.ops.Funnel.funnelCounts(events, col("user_id"), col("ts"),
+      col("etype"), stages).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "funnelCounts leaked cached stage frames")
+    val bands = graft.ops.Funnel.conversionLatencyBands(events,
+      col("user_id"), col("ts"), col("etype"), stages, 60L * 1000000L)
+    bands.collect()
+    // the ONE documented caller-owned frame is the band result itself
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
+      "conversionLatencyBands leaked stage frames beyond the band result")
+    bands.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
 }
