@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR (default sf0.1), local[32].
   *
-  * Writes the full result JSON (per-query seconds AND per-query
-  * shuffle read/write bytes — wall-time saturated the baseline rounds
+  * Writes the full result JSON (per-query seconds, per-query
+  * shuffle read/write bytes, and before/after machine-load context — wall-time saturated the baseline rounds
   * ago; shuffle volume is the signal that catches O(n²) candidate
   * growth in the LSH paths before wall-time does) to a file
   * (SPARK_GRAFT_BENCH_OUT, default ./BENCH_OUT.json) and stdout, then
@@ -39,6 +39,35 @@ object Bench {
     }
     def reset(): Unit = { read.set(0L); write.set(0L) }
   }
+
+  /** Machine-load snapshot — 1/5/15-min loadavg plus the number of
+    * OTHER live JVMs on the box. Captured before and after the timed
+    * loop and recorded in the artifact, so a contended run is
+    * machine-identifiable from the JSON alone: r9's driver artifact
+    * disagreed with the same-commit builder run by 50% (137.9 s vs
+    * 92.1 s) and the contention explanation had to be reconstructed
+    * from per-query forensics after the fact.
+    */
+  private def envSnapshot(): String = {
+    val load =
+      try Files.readString(Paths.get("/proc/loadavg")).trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Exception => "-1,-1,-1" }
+    val jvms =
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.list(Paths.get("/proc")).iterator().asScala.count { p =>
+          p.getFileName.toString.forall(_.isDigit) && {
+            val comm = p.resolve("comm")
+            try Files.readString(comm).trim == "java"
+            catch { case _: Exception => false }
+          }
+        }
+      } catch { case _: Exception => -1 }
+    s"""{"loadavg":[$load],"java_procs":$jvms,""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -89,6 +118,7 @@ object Bench {
     // still letting a real regression through
     val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(Runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $Runs")
+    val envBefore = envSnapshot()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val samples = (1 to Runs).map { _ =>
@@ -135,8 +165,9 @@ object Bench {
       "\"" + k + s"""\":{"read":$r,"write":$w}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val envAfter = envSnapshot()
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,"queries":$qs,"shuffle_bytes":$sh,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,"queries":$qs,"shuffle_bytes":$sh,"env_before":$envBefore,"env_after":$envAfter,"sf":"$sfDir"}"""
     println(full)
     Files.writeString(Paths.get(out), full + "\n")
     // the contract-format line goes LAST on both streams AND must fit

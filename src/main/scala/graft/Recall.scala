@@ -160,6 +160,18 @@ object Recall {
       recallFloor = 0.9,
       truth = qmRow.getLong(3),
       emitted = qmRow.getLong(3))
+    // q_quality_scores is the APPLY surface of the same training run
+    // (scoreColumn over the identical weights — the scores in
+    // `qmScored` ARE the column the query emits), so it carries its
+    // own floor row with the same thresholded-accuracy gate, the
+    // q_bm25_search_indexed shares-the-oracle precedent; it is also
+    // golden-pinned (q_quality_scores_sf0.01.tsv, QualityModelSpec).
+    val qsApply = Metric("q_quality_scores",
+      recall = qmRow.getDouble(0),
+      precision = Some(sep),
+      recallFloor = 0.9,
+      truth = qmRow.getLong(3),
+      emitted = qmRow.getLong(3))
 
     // -- deterministic k-means: internal objective floor. The
     //    synthetic labels overlap too much for purity to discriminate
@@ -220,7 +232,8 @@ object Recall {
       recallFloor = 0.14,
       truth = 64L, emitted = pcaModel.components.size.toLong)
 
-    Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf, knnIvfPq, qm, km, pca)
+    Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf, knnIvfPq, qm,
+      qsApply, km, pca)
   }
 
   def toJson(ms: Seq[Metric]): String =
