@@ -1265,8 +1265,11 @@ object SparkEntry {
       graft.dedup.Dedup.minhashLshVerified(t("documents")(s, d), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"), col("jaccard"))),
 
-    // ---- MinHash estimate-only LSH (rows-only; recall/precision vs
-    //      exact ground truth measured in DedupSpec) ----
+    // ---- MinHash estimate-only LSH (oracle-checked: xxhash64
+    //      replayed in DuckDB — OracleXxh64 — then the 64 universal
+    //      hashes, slice-equality banding, and agreement fraction
+    //      are exact integer SQL; recall vs exact ground truth is
+    //      additionally floored in RECALL.json) ----
     "q_minhash_est" -> ((s, d) =>
       graft.dedup.Dedup.minhashLsh(t("documents")(s, d), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"))),
@@ -1293,7 +1296,10 @@ object SparkEntry {
           keepBy = Some(col("n_chars")))
         .select("doc_id", "n_chars")),
 
-    // ---- SimHash near-dup pairs (rows-only; custom Catalyst expr) ----
+    // ---- SimHash near-dup pairs (oracle-checked: the xxhash64
+    //      shingle hashes replay in DuckDB via OracleXxh64, the bit
+    //      votes and Hamming filter are plain SQL, and the 8x8-bit
+    //      chunk banding is pigeonhole-exact at maxDist 7) ----
     "q_simhash_pairs" -> ((s, d) =>
       graft.dedup.Dedup.simhashPairs(t("documents")(s, d), "doc_id", "text", 7)),
 
@@ -2375,7 +2381,11 @@ object SparkEntry {
       // the PPJoin prefix form must emit EXACTLY the all-pairs result
       // — one oracle, two plans, same certification logic as the
       // persisted-index/live BM25 pair above
-      "q_ngram_jaccard_prefix" -> oracleSqlBase("q_ngram_jaccard_pairs"))
+      "q_ngram_jaccard_prefix" -> oracleSqlBase("q_ngram_jaccard_pairs"),
+      // xxhash64 replayed in DuckDB (OracleXxh64) makes the LSH
+      // estimate and SimHash queries hash-checkable end to end
+      "q_minhash_est" -> OracleXxh64.minhashEstSql,
+      "q_simhash_pairs" -> OracleXxh64.simhashPairsSql)
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_lineitem_agg" ->
