@@ -1313,7 +1313,9 @@ object SparkEntry {
         10)
     }),
 
-    // ---- LSH-bucketed ANN (rows-only; recall measured in tests) ----
+    // ---- LSH-bucketed ANN (oracle-checked: OracleAnn replays the
+    //      fixed-seed hyperplane signatures, Hamming-1 multiprobe and
+    //      exact rerank in DuckDB; recall floor kept in RECALL.json) ----
     "q_knn_lsh" -> ((s, d) => {
       val emb = t("embeddings")(s, d)
       graft.similarity.Knn.lshKnn(
@@ -1324,7 +1326,8 @@ object SparkEntry {
     }),
 
     // ---- IVF ANN: trained coarse quantizer + nprobe cell search
-    //      (rows-only; planted-dup determinism + recall in KnnSpec) ----
+    //      (oracle-checked: OracleAnn unrolls the driver-path spherical
+    //      k-means and replays probe + rerank; recall in RECALL.json) ----
     "q_knn_ivf" -> ((s, d) => {
       val emb = t("embeddings")(s, d)
       graft.similarity.Ivf.ivfKnn(
@@ -1336,8 +1339,9 @@ object SparkEntry {
 
     // ---- IVF-PQ ANN: product-quantized codes (m=8 ints per vector
     //      instead of 64 doubles) ranked by asymmetric distance —
-    //      the memory-bound scale path (rows-only; ADC arithmetic
-    //      pinned in IvfSpec, recall floor 0.6 in RECALL.json) ----
+    //      the memory-bound scale path (oracle-checked: OracleAnn
+    //      replays coarse + per-subspace PQ training, encode and ADC
+    //      bit-exactly; recall floor 0.6 kept in RECALL.json) ----
     "q_knn_ivfpq" -> ((s, d) => {
       val emb = t("embeddings")(s, d)
       graft.similarity.Ivf.ivfPqKnn(
@@ -1398,8 +1402,9 @@ object SparkEntry {
         "vec_id", "embedding", 0.4)
     }),
 
-    // ---- embedding near-dup, LSH-bucketed scale path (rows-only;
-    //      deterministic planted-dup recall measured in DedupSpec) ----
+    // ---- embedding near-dup, LSH-bucketed scale path (oracle-checked
+    //      via the OracleAnn signature replay; planted-dup recall
+    //      still measured in DedupSpec) ----
     "q_embedding_neardup_lsh" -> ((s, d) => {
       graft.dedup.Dedup.embeddingNearDupLsh(
         t("embeddings")(s, d), "vec_id", "embedding", 64, 0.4)
@@ -1407,8 +1412,9 @@ object SparkEntry {
 
     // ---- embedding near-dup, IVF cell-blocked scale path: the right
     //      blocker for clustered embeddings — candidate volume tracks
-    //      the data's own density (rows-only; recall vs exact ground
-    //      truth asserted in RECALL.json) ----
+    //      the data's own density (oracle-checked: OracleAnn replays
+    //      √n-cell training + multi-assignment blocking; recall vs
+    //      exact ground truth still asserted in RECALL.json) ----
     "q_embedding_neardup_ivf" -> ((s, d) => {
       graft.similarity.Ivf.cellNearDup(
         t("embeddings")(s, d), "vec_id", "embedding", 64, 0.4)
@@ -1701,7 +1707,8 @@ object SparkEntry {
 
     // ---- trainable quality filter (fastText-style): logistic weights
     //      by batch GD — one aggregation pass per iteration, exact
-    //      decimal gradient sums (layout-independent, golden-pinned) --
+    //      decimal gradient sums (layout-independent; oracle-checked:
+    //      OracleQuality unrolls all 15 iterations in DuckDB SQL) ----
     "q_quality_model" -> ((s, d) =>
       graft.text.QualityModel.weightsDf(s,
         graft.text.QualityModel.features(col("text")),
@@ -2385,7 +2392,23 @@ object SparkEntry {
       // xxhash64 replayed in DuckDB (OracleXxh64) makes the LSH
       // estimate and SimHash queries hash-checkable end to end
       "q_minhash_est" -> OracleXxh64.minhashEstSql,
-      "q_simhash_pairs" -> OracleXxh64.simhashPairsSql)
+      "q_simhash_pairs" -> OracleXxh64.simhashPairsSql,
+      // the ANN surface replayed in DuckDB (OracleAnn): fixed-seed
+      // hyperplanes inlined from the engine's own plane generator,
+      // the driver-path spherical k-means unrolled iteration by
+      // iteration with the JVM's exact fold orders — approximate
+      // operators, deterministic functions, hash-checkable
+      "q_knn_lsh" -> OracleAnn.knnLshSql,
+      "q_knn_ivf" -> OracleAnn.knnIvfSql,
+      "q_knn_ivfpq" -> OracleAnn.ivfPqSql,
+      "q_embedding_neardup_lsh" -> OracleAnn.neardupLshSql,
+      "q_embedding_neardup_ivf" -> OracleAnn.neardupIvfSql,
+      // quality-classifier training replayed in DuckDB (OracleQuality):
+      // 15 unrolled GD iterations over lattice-snapped features with
+      // the fastText-style table sigmoid inlined as plan literals —
+      // the learned weights AND the scoring pass, hash-checkable
+      "q_quality_model" -> OracleQuality.qualityModelSql,
+      "q_quality_scores" -> OracleQuality.qualityScoresSql)
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_lineitem_agg" ->

@@ -37,6 +37,69 @@ object QualityModel {
   val Stopwords: Seq[String] =
     Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was")
 
+  // ---------------- quantized sigmoid (fastText-style) --------------
+  //
+  // fastText precomputes σ as a 512-bin lookup over [−8, 8]
+  // (src/utils.cc: SIGMOID_TABLE_SIZE/MAX_SIGMOID) and never calls
+  // exp() in the training loop. Adopting the same shape here buys two
+  // things at once: the hot scoring path needs one multiply + one
+  // array load instead of a libm exp call, and — because the table
+  // entries are PLAN LITERALS and everything else in training is
+  // rational arithmetic over engine-identical doubles — the whole
+  // 15-iteration GD run becomes bit-replayable in DuckDB SQL
+  // (OracleQuality), which is what moves q_quality_model /
+  // q_quality_scores onto the hash-certified surface. A raw
+  // `exp(-margin)` is NOT cross-engine reproducible: JVM Math.exp is
+  // a platform intrinsic, DuckDB uses libm, and the last-ulp
+  // disagreements leak through the DECIMAL(28,12) gradient casts.
+
+  val SigmoidBins = 512
+  val SigmoidBound = 8.0
+
+  /** `SigmoidTable(i) = σ(i/32 − 8)`, i ∈ [0, 512]. Built once on the
+    * JVM; the oracle inlines these exact values as VALUES literals, so
+    * both engines look up the identical double.
+    */
+  val SigmoidTable: Array[Double] = Array.tabulate(SigmoidBins + 1)(i =>
+    1.0 / (1.0 + math.exp(SigmoidBound - i * (2.0 * SigmoidBound / SigmoidBins))))
+
+  /** Quantized sigmoid as a Column: 0 below −8, 1 above 8, else the
+    * table entry at `⌊(x+8)·32⌋` — one codegen'd arithmetic index into
+    * a literal array, no transcendental in the plan.
+    */
+  def sigmoid(x: Column): Column =
+    when(x <= lit(-SigmoidBound), lit(0.0))
+      .when(x >= lit(SigmoidBound), lit(1.0))
+      .otherwise(element_at(typedlit(SigmoidTable.toSeq),
+        ((x + lit(SigmoidBound)) *
+          lit(SigmoidBins / (2.0 * SigmoidBound))).cast("int") + lit(1)))
+
+  /** Scalar twin of [[sigmoid]] for sequential reference replays —
+    * same clamp, same truncating index.
+    */
+  def sigmoidScalar(x: Double): Double =
+    if (x <= -SigmoidBound) 0.0
+    else if (x >= SigmoidBound) 1.0
+    else SigmoidTable(((x + SigmoidBound) *
+      (SigmoidBins / (2.0 * SigmoidBound))).toInt)
+
+  /** Exact DECIMAL→double for the training sums, via the explicit
+    * integer route both engines replay identically: the sum of
+    * 9-dp-lattice addends is itself on the 9-dp lattice, so
+    * `unscaled(9) / 1e9` is one correctly-rounded double division of
+    * two exactly-representable values (|unscaled| < 2^53 up to
+    * |sum| ~ 9·10^6 — far above any verify scale). The DuckDB replay
+    * is `CAST(CAST(x*1e9 AS BIGINT) AS DOUBLE) / 1e9` — the same two
+    * exact operands, the same single rounding. A plain
+    * `BigDecimal.doubleValue` / `CAST(DECIMAL AS DOUBLE)` pair would
+    * hinge on each engine's internal (and different) cast path.
+    * Throws on a non-lattice value — that means a caller broke the
+    * round-then-cast discipline upstream.
+    */
+  private[graft] def latticeDouble(bd: java.math.BigDecimal): Double =
+    bd.setScale(9, java.math.RoundingMode.UNNECESSARY)
+      .scaleByPowerOfTen(9).longValueExact.toDouble / 1e9
+
   /** The standard feature columns over a text column: bias first, all
     * bounded-scale (ratios and logs) so plain GD converges without
     * per-feature normalization state.
@@ -47,14 +110,22 @@ object QualityModel {
     val toks = tokenCount(text).cast("double")
     val safeChars = greatest(chars, lit(1.0))
     val safeToks = greatest(toks, lit(1.0))
+    // The two log features and the entropy feature are the only
+    // transcendental-sourced values in the model; they are snapped to
+    // a decimal lattice (the q_lm_score round-then-accumulate
+    // discipline) so the feature doubles are engine-identical — JVM
+    // Math.log and a SQL engine's ln() agree only to the last ulp,
+    // and an unrounded ulp would propagate through every gradient
+    // cast. 1e-9 / 1e-6 quantization is far below any model signal.
+    // The ratio features are exact integer quotients and stay raw.
     Seq(
       "bias" -> lit(1.0),
-      "log_chars" -> log(chars + lit(1.0)),
-      "log_tokens" -> log(toks + lit(1.0)),
+      "log_chars" -> round(log(chars + lit(1.0)), 9),
+      "log_tokens" -> round(log(toks + lit(1.0)), 9),
       "punct_ratio" -> punctCount(text).cast("double") / safeChars,
       "digit_ratio" -> digitCount(text).cast("double") / safeChars,
       "upper_ratio" -> upperCount(text).cast("double") / safeChars,
-      "entropy" -> graft.functions.GraftFunctions.charEntropy(text),
+      "entropy" -> round(graft.functions.GraftFunctions.charEntropy(text), 6),
       "mean_token_len" -> chars / safeToks,
       "stopword_rate" -> wordHits(text, Stopwords).cast("double") / safeToks)
   }
@@ -94,9 +165,14 @@ object QualityModel {
       // the gradients: Σx and Σx² per feature — n rides in the SAME
       // pass (a separate count() would be one more scheduled job, and
       // on small data the fixed job cost dominates; see PLANS_r6)
+      // round-then-cast (the q_lm_score discipline): a 9-dp-rounded
+      // double casts to the EXACT lattice decimal on any engine; a raw
+      // double→DECIMAL(28,12) cast hinges on each engine's internal
+      // double-rounding path. 1e-9 stat quantization is noise to GD.
       val statCols = (0 until d).flatMap(i => Seq(
-        sum(col(s"x$i").cast("decimal(28,12)")).as(s"s$i"),
-        sum((col(s"x$i") * col(s"x$i")).cast("decimal(28,12)")).as(s"q$i")))
+        sum(round(col(s"x$i"), 9).cast("decimal(28,12)")).as(s"s$i"),
+        sum(round(col(s"x$i") * col(s"x$i"), 9).cast("decimal(28,12)"))
+          .as(s"q$i")))
       val st = frame
         .agg(statCols.head, statCols.tail :+ count(lit(1)).as("n"): _*)
         .head()
@@ -106,8 +182,8 @@ object QualityModel {
       val scale = new Array[Double](d)
       var i = 0
       while (i < d) {
-        val s = Option(st.getDecimal(2 * i)).fold(0.0)(_.doubleValue)
-        val q = Option(st.getDecimal(2 * i + 1)).fold(0.0)(_.doubleValue)
+        val s = Option(st.getDecimal(2 * i)).fold(0.0)(latticeDouble)
+        val q = Option(st.getDecimal(2 * i + 1)).fold(0.0)(latticeDouble)
         val m = s / n
         val v = q / n - m * m
         // constant features (the bias) pass through unstandardized so
@@ -123,17 +199,18 @@ object QualityModel {
       while (it < iters) {
         // margin = w·z as a literal-folded expression; err = p − y
         val margin = (0 until d).map(i => z(i) * lit(w(i))).reduce(_ + _)
-        val p = lit(1.0) / (lit(1.0) + exp(-margin))
+        val p = sigmoid(margin)
         val err = p - col("y")
         // exact decimal partial sums → layout-independent gradients
+        // (round-then-cast, same rationale as the stats pass)
         val gradCols = (0 until d).map(i =>
-          sum((err * z(i)).cast("decimal(28,12)")).as(s"g$i"))
+          sum(round(err * z(i), 9).cast("decimal(28,12)")).as(s"g$i"))
         val row = frame.agg(gradCols.head, gradCols.tail: _*).head()
         i = 0
         while (i < d) {
           val g = row.getDecimal(i)
           // null only if the frame is empty — keep weights at zero
-          if (g != null) w(i) -= lr * (g.doubleValue / n)
+          if (g != null) w(i) -= lr * (latticeDouble(g) / n)
           i += 1
         }
         it += 1
@@ -164,7 +241,7 @@ object QualityModel {
     val margin = feats.zip(weights)
       .map { case ((_, c), wi) => c * lit(wi) }
       .reduce(_ + _)
-    lit(1.0) / (lit(1.0) + exp(-margin))
+    sigmoid(margin)
   }
 
   /** Schema of [[weightsDf]] — the persistence contract; shared with

@@ -26,12 +26,13 @@ class QualityModelSpec extends SparkTestBase {
 
     // replay on the COLLECTED feature projection: per-row doubles in
     // the same operation order as the column expressions, partial
-    // sums through the same double→DECIMAL(28,12) cast (HALF_UP on
-    // java BigDecimal.valueOf — the Spark Cast path). Decimal addition
-    // is exact, so ANY summation order must give identical weights.
+    // sums through the same round-to-9dp→decimal lattice (HALF_UP on
+    // java BigDecimal.valueOf — the Spark round() path). Decimal
+    // addition is exact, so ANY summation order must give identical
+    // weights.
     def dec(v: Double): java.math.BigDecimal =
       java.math.BigDecimal.valueOf(v)
-        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
     val d = feats.size
     val rows = docs
       .select(feats.map(_._2) :+ label.as("y"): _*)
@@ -49,8 +50,8 @@ class QualityModelSpec extends SparkTestBase {
     val mean = new Array[Double](d)
     val scale = new Array[Double](d)
     for (i <- 0 until d) {
-      val m = sAcc(i).doubleValue / n
-      val v = qAcc(i).doubleValue / n - m * m
+      val m = QualityModel.latticeDouble(sAcc(i)) / n
+      val v = QualityModel.latticeDouble(qAcc(i)) / n - m * m
       if (v > 1e-12) { mean(i) = m; scale(i) = math.sqrt(v) }
       else { mean(i) = 0.0; scale(i) = 1.0 }
     }
@@ -63,14 +64,14 @@ class QualityModelSpec extends SparkTestBase {
         while (i < d) {
           margin += (x(i) - mean(i)) / scale(i) * wz(i); i += 1
         }
-        val err = 1.0 / (1.0 + math.exp(-margin)) - y
+        val err = QualityModel.sigmoidScalar(margin) - y
         i = 0
         while (i < d) {
           acc(i) = acc(i).add(dec(err * ((x(i) - mean(i)) / scale(i))))
           i += 1
         }
       }
-      for (i <- 0 until d) wz(i) -= lr * (acc(i).doubleValue / n)
+      for (i <- 0 until d) wz(i) -= lr * (QualityModel.latticeDouble(acc(i)) / n)
     }
     val ref = new Array[Double](d)
     var shift = 0.0
@@ -123,8 +124,9 @@ class QualityModelSpec extends SparkTestBase {
     assert(a == b, "reloaded scorer disagrees with the in-memory one")
   }
 
-  // committed sf0.01 goldens (no SQL oracle: training is
-  // iterative-global) — shared TSV mechanism in SparkTestBase
+  // committed sf0.01 goldens — belt-and-braces beside the DuckDB
+  // oracle (OracleQuality replays the full training since round 10):
+  // the goldens catch a drift even when the oracle harness is down
   test("q_quality_model matches its committed sf0.01 golden output") {
     checkGoldenTsv("q_quality_model")
   }
