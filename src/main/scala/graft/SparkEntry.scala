@@ -1616,8 +1616,9 @@ object SparkEntry {
 
     // ---- BPE vocabulary induction (Sennrich 2016): one shuffle for
     //      word-type counts + a driver merge loop over the bounded
-    //      table; deterministic, so the merge sequence pins as a golden
-    //      (BpeSpec) — DuckDB has no iterative-merge form ----
+    //      table; deterministic, golden-pinned (BpeSpec) AND
+    //      oracle-checked — OracleBpe unrolls the merge loop round by
+    //      round in DuckDB SQL ----
     "q_bpe_vocab" -> ((s, d) =>
       graft.text.Bpe.vocabDf(s, bpeMerges(s, d))),
 
@@ -2408,7 +2409,12 @@ object SparkEntry {
       // the fastText-style table sigmoid inlined as plan literals —
       // the learned weights AND the scoring pass, hash-checkable
       "q_quality_model" -> OracleQuality.qualityModelSql,
-      "q_quality_scores" -> OracleQuality.qualityScoresSql)
+      "q_quality_scores" -> OracleQuality.qualityScoresSql,
+      // BPE merge induction unrolled round by round in DuckDB
+      // (OracleBpe): pair-count agg → total-order argmax → greedy
+      // merge-as-string-replace, 64 rounds — the LAST no-oracle
+      // query; the whole surface is now hash-certified
+      "q_bpe_vocab" -> OracleBpe.bpeVocabSql(64, 20000))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_lineitem_agg" ->
