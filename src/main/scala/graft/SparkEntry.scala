@@ -2201,6 +2201,20 @@ object SparkEntry {
         t("lineitem")(s, d), "l_orderkey", "l_partkey",
         k = 3, minSupport = 3L)),
 
+    // ---- co-purchase community density: per-item triangle counts
+    //      over the support>=2 co-purchase graph — degree-ordered
+    //      orientation bounds the wedge fan-out by O(sqrt(m)) on any
+    //      graph (hub edges orient INTO the hub), all-integer so the
+    //      oracle replays to hash equality ----
+    "q_triangle_count" -> ((s, d) =>
+      graft.ops.Graph.triangleCounts(
+        graft.ops.Basket.coPurchasePairs(
+          t("lineitem")(s, d), "l_orderkey", "l_partkey",
+          minSupport = 2L),
+        col("item_1"), col("item_2"))
+        .select(col("node").as("item"), col("n_triangles"),
+          col("degree"))),
+
     // ---- RFM customer segmentation: recency/frequency/monetary
     //      VALUE bands (fixed thresholds, not global ranks — a global
     //      ntile would single-partition sort at scale); money sums in
@@ -4602,6 +4616,39 @@ object SparkEntry {
          FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
            AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+
+    // the degree-ordered orientation is a strict total order on
+    // (degree, id), so the oriented DAG — and with it the one wedge
+    // per triangle — is engine-independent; all arithmetic integer
+    "q_triangle_count" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (
+           SELECT x, count(*) AS d FROM (
+             SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+           GROUP BY 1),
+         o AS (
+           SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS a,
+                  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS b
+           FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+         tri AS (
+           SELECT e1.a, e1.b, e2.b AS c
+           FROM o e1 JOIN o e2 ON e1.b = e2.a
+           JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pv AS (
+           SELECT node, count(*) AS n_triangles FROM (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+           GROUP BY 1)
+         SELECT pv.node AS item, pv.n_triangles, deg.d AS degree
+         FROM pv JOIN deg ON deg.x = pv.node""",
 
     // the symmetrized pair table ranked per item; (support desc,
     // other asc) is a total order, so row_number replays the

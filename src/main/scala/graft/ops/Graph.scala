@@ -118,4 +118,64 @@ object Graph {
     graft.dedup.Dedup.nearDupClusters(e, maxIter)
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
   }
+
+  /** Per-vertex triangle participation over an undirected edge list:
+    * `(node, n_triangles, degree)` for every node in at least one
+    * triangle — the local-clustering signal behind co-purchase
+    * community density, link-spam heuristics, and graph-feature
+    * extraction. All-integer, so the result is layout-exact and the
+    * DuckDB oracle replays it to hash equality.
+    *
+    * Algorithm: degree-ordered edge orientation (compact-forward /
+    * node-iterator, Schank & Wagner 2005; Suri & Vassilvitskii's
+    * MR-adaptation WWW'11) — orient each undirected edge from the
+    * (degree, id)-smaller endpoint to the larger, a strict total
+    * order, so the oriented graph is a DAG and triangle {x,y,z} with
+    * orientation order a<b<c is found EXACTLY once as wedge a→b→c
+    * closed by a→c. The orientation is the scale guarantee: every
+    * out-neighborhood is bounded by O(√m) on any graph (arboricity
+    * bound), so the wedge join's per-key fan-out — the step that
+    * explodes a naive formulation on hub vertices — cannot blow up:
+    * a hub of degree 10⁶ has out-degree ≤ √m regardless, because its
+    * edges orient INTO it from the (necessarily lower-degree) other
+    * endpoints. Three hash joins + two aggregations, all on the edge
+    * key space; no driver materialization, no windows. The `distinct`
+    * exchange is reused across the degree and orientation subtrees
+    * (ReusedExchange) rather than persisted — triangle counting is a
+    * one-shot analytic, and cache retention is the caller's call.
+    *
+    * Self-loops drop (a loop closes no triangle); parallel edges
+    * collapse via the canonical `least/greatest` distinct.
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column): DataFrame = {
+    val e = edges
+      .select(least(srcCol, dstCol).as("u"), greatest(srcCol, dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"))
+    val wedges = o.as("e1")
+      .join(o.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tri = wedges.join(
+      o.select(col("a").as("ca"), col("b").as("cb")),
+      col("a") === col("ca") && col("c") === col("cb"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .join(deg.select(col("x").as("node"), col("d").as("degree")),
+        Seq("node"))
+  }
 }

@@ -64,4 +64,56 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(re == got)
   }
+
+  test("triangleCounts on hand-checked graphs") {
+    // K4 on {0,1,2,3}: C(4,3)=4 triangles, every vertex in 3, deg 3
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L)).toDF("s", "t")
+    val gotK4 = Graph.triangleCounts(k4, col("s"), col("t"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotK4 == (0L to 3L).map(v => (v, 3L, 3L)).toSet)
+
+    // path 0-1-2-3: no triangles → empty output
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "t")
+    assert(Graph.triangleCounts(path, col("s"), col("t")).isEmpty)
+
+    // one triangle {0,1,2} + pendant 3, with a self-loop, a reversed
+    // duplicate, and a parallel edge — all must collapse
+    val messy = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (1L, 0L),
+      (2L, 2L), (2L, 3L)).toDF("s", "t")
+    val gotMessy = Graph.triangleCounts(messy, col("s"), col("t"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotMessy == Set((0L, 1L, 2L), (1L, 1L, 2L), (2L, 1L, 3L)))
+  }
+
+  test("triangleCounts is layout-independent and matches a brute count") {
+    // deterministic pseudo-random graph on 40 nodes
+    val edges = (0 until 300).map(i =>
+      ((i * 13 + 5).toLong % 40, (i * 29 + 11).toLong % 40))
+      .toDF("s", "t")
+    val got = Graph.triangleCounts(edges, col("s"), col("t"))
+      .as[(Long, Long, Long)].collect().toSet
+    val re = Graph.triangleCounts(edges.repartition(7), col("s"),
+        col("t")).as[(Long, Long, Long)].collect().toSet
+    assert(re == got, "triangle counts depend on layout")
+    // brute-force reference: all C(3) vertex combinations
+    val adj = edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a != b }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val nodes = adj.map(_._1).toSeq.sorted
+    val perVertex = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      k <- j + 1 until nodes.size
+      if adj((nodes(i), nodes(j))) && adj((nodes(j), nodes(k))) &&
+        adj((nodes(i), nodes(k)))
+    } Seq(nodes(i), nodes(j), nodes(k)).foreach(v =>
+      perVertex(v) += 1L)
+    val deg = adj.groupBy(_._1).map { case (v, s) => v -> s.size.toLong }
+    val want = perVertex.map { case (v, n) => (v, n, deg(v)) }.toSet
+    assert(got == want,
+      s"mismatch vs brute force: got ${got.size} rows, want ${want.size}")
+  }
 }

@@ -150,6 +150,21 @@ class PlanSpec extends SparkTestBase {
       s"BPE apply fell out of codegen:\n$plan")
   }
 
+  test("q_triangle_count joins hash-keyed, never a cartesian form") {
+    // the scale contract of the degree orientation: the wedge and
+    // closure steps are equi-joins on edge endpoints (hash exchanges
+    // or broadcasts), NEVER a cartesian/nested-loop form — the
+    // O(sqrt(m)) out-degree bound only helps if the join is keyed
+    val plan = finalPlan(q("q_triangle_count"))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle count degenerated to an unkeyed join:\n$plan")
+    // edge canon + degree agg + deg attach + wedge + closure + vertex
+    // agg: a bounded exchange budget, most reused/broadcast at this sf
+    assert(shuffles(plan) <= 10,
+      s"triangle count grew unexpected exchanges:\n$plan")
+  }
+
   test("q_substring_dedup anchors shuffle hashes, never a cartesian form") {
     val plan = finalPlan(q("q_substring_dedup"))
     assert(!plan.contains("CartesianProduct"),
