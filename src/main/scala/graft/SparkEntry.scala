@@ -82,6 +82,41 @@ object SparkEntry {
         numMerges = 64, maxWordTypes = 20000)
     })
 
+  /** Hybrid retrieval (shared by q_hybrid_search and q_mmr_rerank):
+    * lexical BM25 top-20 and dense cosine top-20 per query, fused by
+    * Reciprocal Rank Fusion on exact-decimal contributions — ranks,
+    * not raw scores, fuse, so the two systems' incommensurable score
+    * spaces never meet. Query embeddings are vectors 0/1/2 of the
+    * aligned embeddings table.
+    */
+  private def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      ("q1", "hash join batch", 0L),
+      ("q2", "window sort column", 1L),
+      ("q3", "customer order data stream", 2L))
+      .toDF("qid", "qtext", "qvec")
+    val lex = graft.text.TextOps.bm25Search(
+      t("documents")(s, d), "doc_id", "text",
+      queries.select("qid", "qtext"), "qid", "qtext", k = 20)
+    val emb = t("embeddings")(s, d)
+    val dense = graft.similarity.Knn.bruteForceKnn(
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("vector")),
+        emb.select(col("vec_id"), col("embedding").as("vector")), 20)
+      .join(broadcast(queries.select(col("qvec").as("query_id"),
+        col("qid"))), Seq("query_id"))
+    graft.ops.Fusion.reciprocalRankFusion(
+        Seq(
+          lex.select(col("qid"), col("doc_id").as("id"), col("rank")),
+          dense.select(col("qid"), col("vec_id").as("id"),
+            col("rank"))),
+        "qid", "id", "rank", rrfK = 60, topK = 10)
+      .select(col("qid"), col("rank"), col("id").as("doc_id"),
+        col("rrf_score"), col("n_systems"))
+  }
+
   /** Quality-classifier weights memoized per (JVM, sf dir):
     * q_quality_model and q_quality_scores share one training run
     * (deterministic — exact decimal gradient sums — so memoization is
@@ -2027,32 +2062,25 @@ object SparkEntry {
     //      scores, are what fuse, so the two systems' incommensurable
     //      score spaces never meet. Query embeddings are vectors
     //      0/1/2 of the aligned embeddings table ----
-    "q_hybrid_search" -> ((s, d) => {
-      import s.implicits._
-      val queries = Seq(
-        ("q1", "hash join batch", 0L),
-        ("q2", "window sort column", 1L),
-        ("q3", "customer order data stream", 2L))
-        .toDF("qid", "qtext", "qvec")
-      val lex = graft.text.TextOps.bm25Search(
-        t("documents")(s, d), "doc_id", "text",
-        queries.select("qid", "qtext"), "qid", "qtext", k = 20)
+    "q_hybrid_search" -> ((s, d) => hybridSearch(s, d)),
+
+    // ---- MMR diversification of the fused ranking (the RAG stack's
+    //      third stage: retrieve → fuse → diversify): greedy λ=0.7
+    //      selection of 5 per query, each round trading relevance
+    //      against max cosine redundancy with what's already chosen —
+    //      bounded candidate sets by contract, k unrolled rounds,
+    //      every argmax (score desc, id asc)-deterministic, replayed
+    //      end to end by OracleMmr ----
+    "q_mmr_rerank" -> ((s, d) => {
       val emb = t("embeddings")(s, d)
-      val dense = graft.similarity.Knn.bruteForceKnn(
-          emb.filter(col("vec_id") < 3)
-            .select(col("vec_id").as("query_id"),
-              col("embedding").as("vector")),
-          emb.select(col("vec_id"), col("embedding").as("vector")), 20)
-        .join(broadcast(queries.select(col("qvec").as("query_id"),
-          col("qid"))), Seq("query_id"))
-      graft.ops.Fusion.reciprocalRankFusion(
-          Seq(
-            lex.select(col("qid"), col("doc_id").as("id"), col("rank")),
-            dense.select(col("qid"), col("vec_id").as("id"),
-              col("rank"))),
-          "qid", "id", "rank", rrfK = 60, topK = 10)
+      graft.ops.Fusion.mmrRerank(
+          hybridSearch(s, d).select(col("qid"),
+            col("doc_id").as("id"), col("rrf_score").as("rel")),
+          emb.select(col("vec_id").as("id"),
+            col("embedding").as("vector")),
+          lambda = 0.7, k = 5)
         .select(col("qid"), col("rank"), col("id").as("doc_id"),
-          col("rrf_score"), col("n_systems"))
+          col("mmr_score"))
     }),
 
     // ---- ordered conversion funnel (view → click → purchase, each
@@ -2462,7 +2490,100 @@ object SparkEntry {
       // (OracleBpe): pair-count agg → total-order argmax → greedy
       // merge-as-string-replace, 64 rounds — the LAST no-oracle
       // query; the whole surface is now hash-certified
-      "q_bpe_vocab" -> OracleBpe.bpeVocabSql(64, 20000))
+      "q_bpe_vocab" -> OracleBpe.bpeVocabSql(64, 20000),
+      // MMR greedy selection unrolled round by round (OracleMmr),
+      // candidates sourced from the embedded hybrid-search replay
+      "q_mmr_rerank" -> OracleMmr.mmrSql(hybridSearchSql, 0.7, 5))
+
+  /** The q_hybrid_search oracle: both input rankings replayed
+    * verbatim (the q_bm25_search chain at top-20; the
+    * q_knn_bruteforce cosine chain over query vectors 0/1/2), then
+    * RRF on exact 9-dp-lattice decimal contributions. Shared with
+    * OracleMmr, which embeds it as the candidate source.
+    */
+  private val hybridSearchSql: String =
+    """WITH q(qid, qtext) AS (VALUES
+           ('q1', 'hash join batch'),
+           ('q2', 'window sort column'),
+           ('q3', 'customer order data stream')),
+         qt AS (SELECT DISTINCT qid, term FROM (
+           SELECT qid,
+             unnest(regexp_extract_all(lower(qtext), '\S+')) AS term
+           FROM q)),
+         toks AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         tfq AS (SELECT * FROM tf
+           WHERE term IN (SELECT term FROM qt)),
+         df AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs,
+                   avg(coalesce(dl.dl, 0)) AS avgdl
+                 FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+         w AS (SELECT tfq.doc_id, tfq.term,
+           CAST(round(
+             ln((tot.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tfq.tf * 2.2
+                / (tfq.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / tot.avgdl))),
+             6) AS DECIMAL(18,6)) AS wgt
+           FROM tfq
+           JOIN dl ON dl.doc_id = tfq.doc_id
+           JOIN df ON df.term = tfq.term
+           CROSS JOIN tot),
+         sc AS (SELECT qt.qid, w.doc_id,
+             CAST(sum(w.wgt) AS DECIMAL(18,6)) AS score
+           FROM w JOIN qt ON qt.term = w.term GROUP BY 1, 2),
+         lex AS (SELECT qid, doc_id, rank FROM (
+           SELECT qid, doc_id,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+           WHERE rank <= 20),
+         e0 AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+           FROM embeddings),
+         e AS (SELECT vec_id, v FROM e0
+           WHERE sqrt(list_reduce(list_transform(v, x -> x * x),
+             (acc, x) -> acc + x)) > 0),
+         dq AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id < 3),
+         dscored AS (
+           SELECT dq.query_id, e.vec_id,
+             round(
+               list_reduce(list_transform(list_zip(dq.qv, e.v),
+                 p -> p[1] * p[2]), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(dq.qv, x -> x * x),
+                    (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(e.v, x -> x * x),
+                    (acc, x) -> acc + x))), 4) AS score
+           FROM e, dq WHERE e.vec_id <> dq.query_id),
+         den AS (SELECT
+             CASE query_id WHEN 0 THEN 'q1' WHEN 1 THEN 'q2'
+               ELSE 'q3' END AS qid,
+             vec_id AS doc_id, rank
+           FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id) AS rank
+             FROM dscored)
+           WHERE rank <= 20),
+         contrib AS (SELECT qid, doc_id,
+             CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(18,9)) AS c
+           FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)),
+         fused AS (SELECT qid, doc_id,
+             CAST(sum(c) AS DECIMAL(18,9)) AS s,
+             count(*) AS n_systems
+           FROM contrib GROUP BY 1, 2)
+         SELECT qid, rank, doc_id,
+           round(CAST(s AS DOUBLE), 9) AS rrf_score, n_systems
+         FROM (
+           SELECT qid, doc_id, s, n_systems,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY s DESC, doc_id) AS INTEGER)
+               AS rank
+           FROM fused)
+         WHERE rank <= 10"""
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_lineitem_agg" ->
@@ -5023,89 +5144,7 @@ object SparkEntry {
     // at top-20; the q_knn_bruteforce cosine chain over query vectors
     // 0/1/2), then RRF on exact 9-dp-lattice decimal contributions —
     // ranks fuse, never the raw score spaces
-    "q_hybrid_search" ->
-      """WITH q(qid, qtext) AS (VALUES
-           ('q1', 'hash join batch'),
-           ('q2', 'window sort column'),
-           ('q3', 'customer order data stream')),
-         qt AS (SELECT DISTINCT qid, term FROM (
-           SELECT qid,
-             unnest(regexp_extract_all(lower(qtext), '\S+')) AS term
-           FROM q)),
-         toks AS (SELECT doc_id,
-           unnest(regexp_extract_all(lower(text), '\S+')) AS term
-           FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-         tfq AS (SELECT * FROM tf
-           WHERE term IN (SELECT term FROM qt)),
-         df AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
-         tot AS (SELECT count(*) AS n_docs,
-                   avg(coalesce(dl.dl, 0)) AS avgdl
-                 FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
-         w AS (SELECT tfq.doc_id, tfq.term,
-           CAST(round(
-             ln((tot.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-             * (tfq.tf * 2.2
-                / (tfq.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / tot.avgdl))),
-             6) AS DECIMAL(18,6)) AS wgt
-           FROM tfq
-           JOIN dl ON dl.doc_id = tfq.doc_id
-           JOIN df ON df.term = tfq.term
-           CROSS JOIN tot),
-         sc AS (SELECT qt.qid, w.doc_id,
-             CAST(sum(w.wgt) AS DECIMAL(18,6)) AS score
-           FROM w JOIN qt ON qt.term = w.term GROUP BY 1, 2),
-         lex AS (SELECT qid, doc_id, rank FROM (
-           SELECT qid, doc_id,
-             row_number() OVER (
-               PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
-           FROM sc)
-           WHERE rank <= 20),
-         e0 AS (SELECT vec_id,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-           FROM embeddings),
-         e AS (SELECT vec_id, v FROM e0
-           WHERE sqrt(list_reduce(list_transform(v, x -> x * x),
-             (acc, x) -> acc + x)) > 0),
-         dq AS (SELECT vec_id AS query_id, v AS qv FROM e
-           WHERE vec_id < 3),
-         dscored AS (
-           SELECT dq.query_id, e.vec_id,
-             round(
-               list_reduce(list_transform(list_zip(dq.qv, e.v),
-                 p -> p[1] * p[2]), (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_transform(dq.qv, x -> x * x),
-                    (acc, x) -> acc + x))
-                * sqrt(list_reduce(list_transform(e.v, x -> x * x),
-                    (acc, x) -> acc + x))), 4) AS score
-           FROM e, dq WHERE e.vec_id <> dq.query_id),
-         den AS (SELECT
-             CASE query_id WHEN 0 THEN 'q1' WHEN 1 THEN 'q2'
-               ELSE 'q3' END AS qid,
-             vec_id AS doc_id, rank
-           FROM (
-             SELECT query_id, vec_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY score DESC, vec_id) AS rank
-             FROM dscored)
-           WHERE rank <= 20),
-         contrib AS (SELECT qid, doc_id,
-             CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(18,9)) AS c
-           FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)),
-         fused AS (SELECT qid, doc_id,
-             CAST(sum(c) AS DECIMAL(18,9)) AS s,
-             count(*) AS n_systems
-           FROM contrib GROUP BY 1, 2)
-         SELECT qid, rank, doc_id,
-           round(CAST(s AS DOUBLE), 9) AS rrf_score, n_systems
-         FROM (
-           SELECT qid, doc_id, s, n_systems,
-             CAST(row_number() OVER (
-               PARTITION BY qid ORDER BY s DESC, doc_id) AS INTEGER)
-               AS rank
-           FROM fused)
-         WHERE rank <= 10""",
+    "q_hybrid_search" -> hybridSearchSql,
 
     // the oracle recomputes from the raw fact rows — the Spark side
     // answers from the maintained MV state, so a hash match proves the

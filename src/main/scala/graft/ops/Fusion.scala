@@ -70,4 +70,103 @@ object Fusion {
       .select(col("qid"), col("rank"), col("id"), col("rrf_score"),
         col("n_systems"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversification stage after retrieval+fusion:
+    * greedily select `k` results per query, each round picking the
+    * candidate maximizing
+    * `λ·rel − (1−λ)·max_{s ∈ selected} sim(cand, s)` — relevance
+    * traded against redundancy with what is already chosen.
+    *
+    * Engine-exactness: candidate-pair cosines snap to the 4-dp
+    * lattice (the KNN discipline), the MMR expression is one fixed
+    * sequence of correctly-rounded IEEE ops over lattice inputs
+    * rounded to 9 dp (the abTest precedent), and every argmax breaks
+    * ties on (score desc, id asc) — so all `k` unrolled selection
+    * rounds replay in DuckDB to hash equality (OracleMmr).
+    *
+    * Scale: candidates are a bounded top-k per query BY CONTRACT
+    * (the output of [[reciprocalRankFusion]] or any retriever), so
+    * the pairwise sim table is ≤ topK² rows per query and each of
+    * the `k` rounds is one join + one bounded-heap argmax — all
+    * distributed per query, nothing driver-side, no dependence on
+    * corpus size. Each round's cumulative selection is persisted and
+    * the previous round released (lineage would otherwise grow
+    * exponentially in `k`); the RETURNED frame stays persisted —
+    * callers release it with `unpersist()` when done.
+    *
+    * @param candidates (qid, id, rel) — rel on the 9-dp lattice
+    * @param vectors    (id, vector) — zero-norm/missing vectors
+    *                   contribute similarity 0 (never NaN)
+    * @param lambda     relevance weight in [0, 1]
+    * @param k          results per query
+    * @return (qid, rank, id, mmr_score) — mmr_score is the value at
+    *         selection time (round 1: λ·rel)
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      vectors: DataFrame,
+      lambda: Double = 0.7, k: Int = 5): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0,1], got $lambda")
+    require(k > 0, s"k must be positive, got $k")
+    import graft.similarity.Knn.{dot, norm}
+    import org.apache.spark.storage.StorageLevel
+    val mu = 1.0 - lambda // the exact IEEE complement — mirrored by
+    // the oracle, which inlines THIS double, not a re-typed "0.3"
+    val cand = candidates
+      .select(col("qid"), col("id"), col("rel").cast("double").as("rel"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val v = vectors
+      .select(col("id"), col("vector").cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v"))).filter(col("n") > 0)
+    val sim = cand.select(col("qid"), col("id").as("i"))
+      .join(cand.select(col("qid"), col("id").as("j")), Seq("qid"))
+      .filter(col("i") =!= col("j"))
+      .join(v.select(col("id").as("i"), col("v").as("vi"),
+        col("n").as("ni")), Seq("i"))
+      .join(v.select(col("id").as("j"), col("v").as("vj"),
+        col("n").as("nj")), Seq("j"))
+      .select(col("qid"), col("i"), col("j"),
+        round(dot(col("vi"), col("vj")) / (col("ni") * col("nj")), 4)
+          .as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round 1: pure relevance argmax
+    var sel = TopK.topKPerGroup(
+        cand.withColumn("neg_id", -col("id")),
+        Seq("qid"), struct(col("rel"), col("neg_id"), col("id")),
+        1, largest = true)
+      .select(col("qid"), col("id"),
+        round(lit(lambda) * col("rel"), 9).as("mmr_score"))
+      .withColumn("rank", lit(1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sel.count()
+    var r = 2
+    while (r <= k) {
+      val remaining = cand.join(sel.select(col("qid"), col("id")),
+        Seq("qid", "id"), "left_anti")
+      val maxSim = sim
+        .join(sel.select(col("qid"), col("id").as("j")), Seq("qid", "j"))
+        .groupBy(col("qid"), col("i")).agg(max(col("s")).as("ms"))
+        .withColumnRenamed("i", "id")
+      val scored = remaining.join(maxSim, Seq("qid", "id"), "left")
+        .withColumn("mmr", round(
+          lit(lambda) * col("rel") -
+            lit(mu) * coalesce(col("ms"), lit(0.0)), 9))
+      val winner = TopK.topKPerGroup(
+          scored.withColumn("neg_id", -col("id")),
+          Seq("qid"), struct(col("mmr"), col("neg_id"), col("id")),
+          1, largest = true)
+        .select(col("qid"), col("id"), col("mmr").as("mmr_score"))
+        .withColumn("rank", lit(r))
+      val next = sel.unionByName(winner)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      sel.unpersist()
+      sel = next
+      r += 1
+    }
+    sim.unpersist(); cand.unpersist()
+    sel.select(col("qid"), col("rank"), col("id"), col("mmr_score"))
+  }
 }

@@ -35,6 +35,27 @@ class FusionSpec extends SparkTestBase {
       ("q1", 1, 7L), ("q1", 2, 5L), ("q2", 1, 1L)))
   }
 
+  test("MMR greedy selection on a hand-checked geometry") {
+    // λ=0.5 and dyadic rels keep every IEEE product/difference exact:
+    // id1 rel 1.0 picked first (score 0.5); id2 duplicates id1's
+    // direction (sim 1.0 → mmr −0.125) so the orthogonal id3 (0.25)
+    // and the VECTORLESS id4 (sim coalesces to 0 → 0.125) both beat
+    // it; the redundant duplicate sinks to last despite rel 0.75.
+    val cand = Seq(("q1", 1L, 1.0), ("q1", 2L, 0.75), ("q1", 3L, 0.5),
+      ("q1", 4L, 0.25)).toDF("qid", "id", "rel")
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 1.0))).toDF("id", "vector")
+    val got = graft.ops.Fusion.mmrRerank(cand, vecs, lambda = 0.5, k = 4)
+    val rows = got.orderBy("rank")
+      .as[(String, Int, Long, Double)].collect().toSeq
+    got.unpersist()
+    assert(rows == Seq(
+      ("q1", 1, 1L, 0.5),
+      ("q1", 2, 3L, 0.25),
+      ("q1", 3, 4L, 0.125),
+      ("q1", 4, 2L, -0.125)))
+  }
+
   test("fusion is layout-independent") {
     val a = (1 to 50).map(i => ("q1", (i * 7 % 100).toLong, i))
       .toDF("qid", "id", "rank")
