@@ -1348,6 +1348,26 @@ object SparkEntry {
         10)
     }),
 
+    // ---- contrastive hard-negative mining: per query vector, the
+    //      10 most-similar corpus vectors of a DIFFERENT label —
+    //      positives (same-label pairs) excluded BEFORE ranking so
+    //      the top-k cannot under-fill; brute-force twin here, the
+    //      IVF/LSH candidate path composes via hardNegativesFrom ----
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val positives = q
+        .select(col("vec_id").as("query_id"), col("label").as("ql"))
+        .join(emb.select(col("vec_id"), col("label")),
+          col("label") === col("ql"))
+        .select(col("query_id"), col("vec_id"))
+      graft.similarity.Mining.hardNegatives(
+        q.select(col("vec_id").as("query_id"),
+          col("embedding").as("vector")),
+        emb.select(col("vec_id"), col("embedding").as("vector")),
+        positives, 10)
+    }),
+
     // ---- LSH-bucketed ANN (oracle-checked: OracleAnn replays the
     //      fixed-seed hyperplane signatures, Hamming-1 multiprobe and
     //      exact rerank in DuckDB; recall floor kept in RECALL.json) ----
@@ -4137,6 +4157,35 @@ object SparkEntry {
            UNION SELECT a, a FROM edges
            UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
          SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""",
+
+    // the positives anti-join (same-label pairs) becomes a label
+    // inequality on the scored cross join — exclusion BEFORE ranking,
+    // mirroring Mining.hardNegatives
+    "q_hard_negatives" ->
+      """WITH e0 AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+           FROM embeddings),
+         e AS (SELECT vec_id, label, v FROM e0
+           WHERE sqrt(list_reduce(list_transform(v, x -> x * x),
+             (acc, x) -> acc + x)) > 0),
+         q AS (SELECT vec_id AS query_id, label AS ql, v AS qv
+           FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+             round(
+               list_reduce(list_transform(list_zip(q.qv, e.v),
+                 p -> p[1] * p[2]), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                    (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(e.v, x -> x * x),
+                    (acc, x) -> acc + x))), 4) AS score
+           FROM e, q
+           WHERE e.vec_id <> q.query_id AND e.label <> q.ql)
+         SELECT query_id, rank, vec_id, score FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+           FROM scored)
+         WHERE rank <= 10""",
 
     // norm > 0 on both sides mirrors the operator's zero-vector guard
     "q_knn_bruteforce" ->
