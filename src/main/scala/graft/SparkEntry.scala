@@ -2084,6 +2084,21 @@ object SparkEntry {
     //      0/1/2 of the aligned embeddings table ----
     "q_hybrid_search" -> ((s, d) => hybridSearch(s, d)),
 
+    // ---- RM3 pseudo-relevance feedback: BM25 retrieve → expansion
+    //      terms from the top-10 feedback docs (RM1 weights) → re-
+    //      search with the β=0.5 interpolated query — the classic
+    //      recall lever; both passes and every derived scalar on the
+    //      lattice discipline, replayed end to end in DuckDB ----
+    "q_rm3_search" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        ("q1", "hash join batch"),
+        ("q2", "window sort column"),
+        ("q3", "customer order data stream")).toDF("qid", "qtext")
+      graft.text.TextOps.rm3Search(
+        t("documents")(s, d), "doc_id", "text", queries, "qid", "qtext")
+    }),
+
     // ---- MMR diversification of the fused ranking (the RAG stack's
     //      third stage: retrieve → fuse → diversify): greedy λ=0.7
     //      selection of 5 per query, each round trading relevance
@@ -5194,6 +5209,100 @@ object SparkEntry {
     // 0/1/2), then RRF on exact 9-dp-lattice decimal contributions —
     // ranks fuse, never the raw score spaces
     "q_hybrid_search" -> hybridSearchSql,
+
+    // two bm25-shaped passes with the RM1/RM3 scalars between them —
+    // every derived value one fixed sequence of correctly-rounded
+    // IEEE ops snapped to the 9-dp lattice before each decimal sum
+    "q_rm3_search" ->
+      """WITH q(qid, qtext) AS (VALUES
+           ('q1', 'hash join batch'),
+           ('q2', 'window sort column'),
+           ('q3', 'customer order data stream')),
+         qt AS (SELECT DISTINCT qid, term FROM (
+           SELECT qid,
+             unnest(regexp_extract_all(lower(qtext), '\S+')) AS term
+           FROM q)),
+         toks AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs,
+                   avg(coalesce(dl.dl, 0)) AS avgdl
+                 FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+         tf1 AS (SELECT * FROM tf
+           WHERE term IN (SELECT term FROM qt)),
+         df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+         w1 AS (SELECT tf1.doc_id, tf1.term,
+           CAST(round(
+             ln((tot.n_docs - df1.df + 0.5) / (df1.df + 0.5) + 1.0)
+             * (tf1.tf * 2.2
+                / (tf1.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / tot.avgdl))),
+             6) AS DECIMAL(18,6)) AS w
+           FROM tf1
+           JOIN dl ON dl.doc_id = tf1.doc_id
+           JOIN df1 ON df1.term = tf1.term
+           CROSS JOIN tot),
+         s1 AS (SELECT qt.qid, w1.doc_id,
+             CAST(sum(w1.w) AS DECIMAL(18,6)) AS score
+           FROM w1 JOIN qt ON qt.term = w1.term GROUP BY 1, 2),
+         fb AS (SELECT qid, doc_id, score FROM (
+           SELECT qid, doc_id, score, row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+           FROM s1) WHERE rn <= 10),
+         ssum AS (SELECT qid,
+             CAST(sum(score) AS DECIMAL(18,6)) AS ssum
+           FROM fb GROUP BY 1),
+         wd AS (SELECT fb.qid, fb.doc_id,
+             round(CAST(fb.score AS DOUBLE) / CAST(ssum.ssum AS DOUBLE),
+               9) AS wd
+           FROM fb JOIN ssum ON ssum.qid = fb.qid),
+         prm AS (SELECT wd.qid, tf.term,
+             CAST(sum(CAST(round((tf.tf / dl.dl) * wd.wd, 9)
+               AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS p_rm
+           FROM wd
+           JOIN tf ON tf.doc_id = wd.doc_id
+           JOIN dl ON dl.doc_id = wd.doc_id
+           GROUP BY 1, 2),
+         expt AS (SELECT qid, term, p_rm FROM (
+           SELECT qid, term, p_rm, row_number() OVER (
+             PARTITION BY qid ORDER BY p_rm DESC, term) AS rn
+           FROM prm) WHERE rn <= 10),
+         nq AS (SELECT qid, count(*) AS nq FROM qt GROUP BY 1),
+         orig AS (SELECT qt.qid, qt.term,
+             CAST(round(1.0e0 / nq.nq, 9) AS DECIMAL(18,9)) AS p_orig
+           FROM qt JOIN nq ON nq.qid = qt.qid),
+         wq AS (SELECT qid, term,
+             CAST(round(0.5 * coalesce(p_orig, CAST(0 AS DECIMAL(18,9)))
+               + 0.5 * coalesce(p_rm, CAST(0 AS DECIMAL(18,9))),
+               9) AS DECIMAL(18,9)) AS wt
+           FROM orig FULL OUTER JOIN expt USING (qid, term)),
+         tf2 AS (SELECT * FROM tf
+           WHERE term IN (SELECT DISTINCT term FROM wq)),
+         df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+         w2 AS (SELECT tf2.doc_id, tf2.term,
+           CAST(round(
+             ln((tot.n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1.0)
+             * (tf2.tf * 2.2
+                / (tf2.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / tot.avgdl))),
+             6) AS DECIMAL(18,6)) AS w
+           FROM tf2
+           JOIN dl ON dl.doc_id = tf2.doc_id
+           JOIN df2 ON df2.term = tf2.term
+           CROSS JOIN tot),
+         s2 AS (SELECT wq.qid, w2.doc_id,
+             CAST(sum(CAST(round(wq.wt * w2.w, 9)
+               AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS score2
+           FROM w2 JOIN wq ON wq.term = w2.term GROUP BY 1, 2)
+         SELECT qid, rank, doc_id,
+           round(CAST(score2 AS DOUBLE), 9) AS score
+         FROM (
+           SELECT qid, doc_id, score2,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score2 DESC, doc_id) AS INTEGER)
+               AS rank
+           FROM s2)
+         WHERE rank <= 10""",
 
     // the oracle recomputes from the raw fact rows — the Spark side
     // answers from the maintained MV state, so a hash match proves the

@@ -185,6 +185,147 @@ object TextOps {
         round(col("score").cast("double"), 6).as("score"))
   }
 
+  /** RM3 pseudo-relevance-feedback search (Lavrenko & Croft relevance
+    * models; the RM3 interpolation of Abdul-Jaleel et al., TREC'04):
+    * BM25 retrieve → estimate an expansion-term distribution from the
+    * top `fbDocs` feedback documents → re-search with the original
+    * query interpolated against the expansion terms. The classic
+    * recall lever when queries underspecify vocabulary.
+    *
+    *  - RM1 term weights: `p(t|R) = Σ_d (tf(t,d)/dl(d)) · wd(d)` over
+    *    the feedback docs, `wd` the BM25-score-normalized doc weight;
+    *    top `fbTerms` terms by (weight desc, term asc).
+    *  - RM3: `w(t) = β·p_orig(t) + (1−β)·p_rm(t)` with
+    *    `p_orig = 1/|q|` uniform over the original terms.
+    *  - Re-score: `Σ_t w(t) · bm25(t, d)` over the expanded
+    *    vocabulary, top `k` by (score desc, doc_id asc).
+    *
+    * Engine-exactness (the bm25Search discipline extended): per-term
+    * BM25 weights stay 6-dp DECIMAL; every derived scalar (normalized
+    * doc weight, RM1 contribution, interpolated weight, rescore
+    * contribution) is one fixed sequence of correctly-rounded IEEE
+    * ops over engine-identical operands, snapped to the 9-dp lattice
+    * BEFORE each exact-decimal sum — so both ranking passes and the
+    * emitted scores replay in DuckDB to hash equality.
+    *
+    * Scale: two bm25-shaped passes (query-vocabulary semi-joins keep
+    * every stage on matched postings) plus feedback-bounded
+    * intermediates — `fb` is ≤ fbDocs rows per query, the RM1 window
+    * ranks only the feedback docs' vocabulary, and the expanded
+    * vocabulary is ≤ |q| + fbTerms terms per query.
+    *
+    * `beta` must carry a SHORT exact decimal expansion (0.5, 0.25,
+    * 0.75…): its exact binary value becomes a decimal literal in the
+    * interpolation, and a value like 0.3 would drag its full binary
+    * expansion into the decimal plan.
+    */
+  def rm3Search(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      queries: org.apache.spark.sql.DataFrame,
+      qidCol: String, qtextCol: String,
+      fbDocs: Int = 10, fbTerms: Int = 10, beta: Double = 0.5,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(fbDocs > 0, s"fbDocs must be positive, got $fbDocs")
+    require(fbTerms > 0, s"fbTerms must be positive, got $fbTerms")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    require(k > 0, s"top-k needs k > 0, got $k")
+    val qt = queries.select(col(qidCol).as("qid"),
+        explode(tokens(lower(col(qtextCol)))).as("term"))
+      .distinct()
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val totals = docs.select(col(idCol).as("doc_id"))
+      .join(dl, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        avg(coalesce(col("dl"), lit(0L))).as("avgdl"))
+    // per-(doc, term) BM25 weight over a given vocabulary — the
+    // bm25Search formula verbatim (6-dp DECIMAL)
+    def weights(terms: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val tfv = tf.join(broadcast(terms.select("term").distinct()),
+        Seq("term"), "left_semi")
+      val df = tfv.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0))
+      val nrm = col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("avgdl")))
+      tfv.join(dl, Seq("doc_id")).join(df, Seq("term"))
+        .crossJoin(broadcast(totals))
+        .withColumn("w", round(idf * nrm, 6).cast("decimal(18,6)"))
+        .select("doc_id", "term", "w")
+    }
+    // pass 1: original-query BM25 → feedback docs
+    val s1 = weights(qt.select("term")).join(broadcast(qt), Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("w")).cast("decimal(18,6)").as("score"))
+    val fb = graft.ops.TopK.topKPerGroup(
+        s1.withColumn("neg_id", -col("doc_id")), Seq("qid"),
+        struct(col("score"), col("neg_id"), col("doc_id")),
+        fbDocs, largest = true)
+      .select(col("qid"), col("doc_id"), col("score"))
+      .persist()
+    val ssum = fb.groupBy(col("qid"))
+      .agg(sum(col("score")).cast("decimal(18,6)").as("ssum"))
+    val wdoc = fb.join(ssum, Seq("qid"))
+      .withColumn("wd", round(
+        col("score").cast("double") / col("ssum").cast("double"), 9))
+      .select("qid", "doc_id", "wd")
+    // RM1 over the feedback docs' own vocabulary
+    val prm = wdoc.join(tf, Seq("doc_id")).join(dl, Seq("doc_id"))
+      .withColumn("c",
+        round((col("tf") / col("dl")) * col("wd"), 9)
+          .cast("decimal(18,9)"))
+      .groupBy(col("qid"), col("term"))
+      .agg(sum(col("c")).cast("decimal(18,9)").as("p_rm"))
+    // top expansion terms: the vocabulary of ≤ fbDocs docs per query
+    // is bounded, so a per-query window rank is cheap here (terms are
+    // strings — the bounded-heap's negation tie-break is numeric-only)
+    val wTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("p_rm").desc, col("term").asc)
+    val expTerms = prm.withColumn("rn", row_number().over(wTerm))
+      .filter(col("rn") <= fbTerms)
+      .select(col("qid"), col("term"), col("p_rm"))
+    // RM3 interpolation
+    val nq = qt.groupBy(col("qid")).agg(count(lit(1)).as("nq"))
+    val orig = qt.join(nq, Seq("qid"))
+      .withColumn("p_orig",
+        round(lit(1.0) / col("nq").cast("double"), 9))
+      .select("qid", "term", "p_orig")
+    // the interpolation and the rescore product run in EXACT DECIMAL:
+    // β·(9-dp lattice) lands on 10-dp midpoints every second value,
+    // exactly where a double round's half-case behavior diverges
+    // between engines — decimal arithmetic has no half-case ambiguity
+    // (both engines round exact decimals half-away-from-zero)
+    val bDec = lit(new java.math.BigDecimal(beta))
+    val mDec = lit(new java.math.BigDecimal(1.0 - beta))
+    val zero9 = lit(0).cast("decimal(18,9)")
+    val wq = orig.join(expTerms, Seq("qid", "term"), "full_outer")
+      .select(col("qid"), col("term"),
+        round(
+          bDec * coalesce(col("p_orig").cast("decimal(18,9)"), zero9) +
+            mDec * coalesce(col("p_rm"), zero9),
+          9).cast("decimal(18,9)").as("wt"))
+    // pass 2: rescore over the expanded vocabulary
+    val s2 = weights(wq.select("term")).join(broadcast(wq), Seq("term"))
+      .withColumn("c",
+        round(col("wt") * col("w"), 9).cast("decimal(18,9)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).cast("decimal(18,9)").as("score2"))
+    graft.ops.TopK.topKPerGroup(
+        s2.withColumn("neg_id", -col("doc_id")), Seq("qid"),
+        struct(col("score2"), col("neg_id"), col("doc_id")),
+        k, largest = true)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("score2").cast("double"), 9).as("score"))
+  }
+
   /** BPE-style token-count estimate: the GPT-2 pre-tokenizer pattern
     * (letter runs / digit runs / punctuation runs, each with an
     * optional leading space) restricted to the Java-regex ∩ RE2 common

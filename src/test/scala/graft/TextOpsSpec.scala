@@ -170,6 +170,36 @@ class TextOpsSpec extends SparkTestBase {
     assert(rep == Set(3L, 4L))
   }
 
+  test("rm3Search expands the query through feedback-doc vocabulary") {
+    // "apple" retrieves docs 1 and 2; both carry "cider", which doc 3
+    // shares EXCLUSIVELY — plain BM25 can never return doc 3 for
+    // "apple" (no term overlap), RM3's expansion must
+    val docs = Seq(
+      (1L, "apple cider apple"),
+      (2L, "apple cider press"),
+      (3L, "cider barrel cellar"),
+      (4L, "grape wine cellar")).toDF("doc_id", "text")
+    val queries = Seq(("qA", "apple")).toDF("qid", "qtext")
+    val plain = TextOps.bm25Search(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L, 2L), s"BM25 control leaked: $plain")
+    val rm3 = TextOps.rm3Search(docs, "doc_id", "text",
+        queries, "qid", "qtext", fbDocs = 2, fbTerms = 3, k = 4)
+      .select("qid", "rank", "doc_id").as[(String, Int, Long)]
+      .collect().sortBy(_._2)
+    assert(rm3.map(_._3).contains(3L),
+      s"expansion failed to reach the no-overlap doc: ${rm3.toSeq}")
+    // original-term anchoring: the apple-bearing docs still lead
+    assert(rm3.take(2).map(_._3).toSet == Set(1L, 2L), rm3.toSeq.toString)
+    // layout independence
+    val rm3b = TextOps.rm3Search(docs.repartition(5), "doc_id", "text",
+        queries, "qid", "qtext", fbDocs = 2, fbTerms = 3, k = 4)
+      .select("qid", "rank", "doc_id").as[(String, Int, Long)]
+      .collect().sortBy(_._2)
+    assert(rm3b.toSeq == rm3.toSeq, "RM3 depends on layout")
+  }
+
   test("stripBoilerplate removes shared segments, keeps order, keeps rows") {
     // segLen=3: docs 1 and 2 share their FIRST 3-token segment exactly;
     // remaining segments are unique
