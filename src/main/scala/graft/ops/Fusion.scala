@@ -90,10 +90,12 @@ object Fusion {
     * the pairwise sim table is ≤ topK² rows per query and each of
     * the `k` rounds is one join + one bounded-heap argmax — all
     * distributed per query, nothing driver-side, no dependence on
-    * corpus size. Each round's cumulative selection is persisted and
-    * the previous round released (lineage would otherwise grow
-    * exponentially in `k`); the RETURNED frame stays persisted —
-    * callers release it with `unpersist()` when done.
+    * corpus size. Every round CUTS its lineage with `localCheckpoint`
+    * (the pageRankInt discipline): round r references round r−1 three
+    * times (remaining + max-sim + union), so an uncut logical plan —
+    * even a fully persisted one — grows 3^k references to the
+    * candidate source and drowns the ANALYZER long before execution
+    * (measured: 60 s of pure planning at k=5 over 30 rows).
     *
     * @param candidates (qid, id, rel) — rel on the 9-dp lattice
     * @param vectors    (id, vector) — zero-norm/missing vectors
@@ -111,12 +113,11 @@ object Fusion {
       s"lambda must be in [0,1], got $lambda")
     require(k > 0, s"k must be positive, got $k")
     import graft.similarity.Knn.{dot, norm}
-    import org.apache.spark.storage.StorageLevel
     val mu = 1.0 - lambda // the exact IEEE complement — mirrored by
     // the oracle, which inlines THIS double, not a re-typed "0.3"
     val cand = candidates
       .select(col("qid"), col("id"), col("rel").cast("double").as("rel"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val v = vectors
       .select(col("id"), col("vector").cast("array<double>").as("v"))
       .withColumn("n", norm(col("v"))).filter(col("n") > 0)
@@ -130,7 +131,7 @@ object Fusion {
       .select(col("qid"), col("i"), col("j"),
         round(dot(col("vi"), col("vj")) / (col("ni") * col("nj")), 4)
           .as("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // round 1: pure relevance argmax
     var sel = TopK.topKPerGroup(
         cand.withColumn("neg_id", -col("id")),
@@ -139,8 +140,7 @@ object Fusion {
       .select(col("qid"), col("id"),
         round(lit(lambda) * col("rel"), 9).as("mmr_score"))
       .withColumn("rank", lit(1))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    sel.count()
+      .localCheckpoint()
     var r = 2
     while (r <= k) {
       val remaining = cand.join(sel.select(col("qid"), col("id")),
@@ -159,14 +159,9 @@ object Fusion {
           1, largest = true)
         .select(col("qid"), col("id"), col("mmr").as("mmr_score"))
         .withColumn("rank", lit(r))
-      val next = sel.unionByName(winner)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      sel.unpersist()
-      sel = next
+      sel = sel.unionByName(winner).localCheckpoint()
       r += 1
     }
-    sim.unpersist(); cand.unpersist()
     sel.select(col("qid"), col("rank"), col("id"), col("mmr_score"))
   }
 }

@@ -48,7 +48,6 @@ class FusionSpec extends SparkTestBase {
     val got = graft.ops.Fusion.mmrRerank(cand, vecs, lambda = 0.5, k = 4)
     val rows = got.orderBy("rank")
       .as[(String, Int, Long, Double)].collect().toSeq
-    got.unpersist()
     assert(rows == Seq(
       ("q1", 1, 1L, 0.5),
       ("q1", 2, 3L, 0.25),
