@@ -46,6 +46,15 @@ object Fusion {
     require(rankings.nonEmpty, "need at least one ranking to fuse")
     require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
     require(topK > 0, s"topK must be positive, got $topK")
+    rankings.foreach { r =>
+      // the (score desc, id asc) tie-break rides the bounded heap as
+      // a negated id — a string id would fail analysis later with a
+      // worse message
+      require(r.schema(idCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"idCol '$idCol' must be numeric (tie-break negation), got " +
+          r.schema(idCol).dataType.simpleString)
+    }
     val contribs = rankings.map(_.select(
       col(qidCol).as("qid"), col(idCol).as("id"),
       // one IEEE division (both engines correctly round it) snapped
@@ -112,6 +121,10 @@ object Fusion {
     require(lambda >= 0.0 && lambda <= 1.0,
       s"lambda must be in [0,1], got $lambda")
     require(k > 0, s"k must be positive, got $k")
+    require(candidates.schema("id").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "candidate id must be numeric (tie-break negation), got " +
+        candidates.schema("id").dataType.simpleString)
     import graft.similarity.Knn.{dot, norm}
     val mu = 1.0 - lambda // the exact IEEE complement — mirrored by
     // the oracle, which inlines THIS double, not a re-typed "0.3"
