@@ -1564,6 +1564,27 @@ object SparkEntry {
     //      planned as ONE equi-join on (user, time-bucket) + residual
     //      filter instead of Spark's nested-loop plan for the raw
     //      inequality ----
+    // ---- interval-OVERLAP join: per-user processing windows
+    //      [ts, ts + (1 + id % 37) min] that intersect — each interval
+    //      explodes to its covered bins, one equi-join on (user, bin),
+    //      and the canonical-bucket rule (keep the pair only in the
+    //      bin holding max(start_a, start_b)) makes it dedupe-free ----
+    "q_interval_overlap" -> ((s, d) => {
+      val ev = t("events")(s, d).filter(col("user_id").isNotNull)
+      def iv(suffix: String) = ev.select(
+        col("user_id"), col("event_id").as(s"id_$suffix"),
+        unix_micros(col("ts")).as(s"s_$suffix"),
+        (unix_micros(col("ts")) +
+          (lit(1L) + pmod(col("event_id"), lit(37L))) * lit(60000000L))
+          .as(s"e_$suffix"))
+      graft.ops.TemporalJoins.intervalOverlapJoin(
+          iv("a"), iv("b"), Seq("user_id"),
+          "s_a", "e_a", "s_b", "e_b",
+          binWidth = 2400L * 1000000L) // 40 min bins ≥ max interval
+        .filter(col("id_a") < col("id_b"))
+        .select(col("user_id"), col("id_a"), col("id_b"))
+    }),
+
     "q_range_join" -> ((s, d) => {
       val ev = t("events")(s, d).filter(col("user_id").isNotNull)
       val a = ev.select(
@@ -4362,6 +4383,19 @@ object SparkEntry {
          FROM e a JOIN e b
            ON a.user_id = b.user_id
           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 3600 SECOND""",
+
+    // the oracle states the overlap predicate directly; micros derive
+    // via epoch_ns // 1000, the q_funnel_latency precedent for the
+    // nanos-typed events timestamps
+    "q_interval_overlap" ->
+      """WITH iv AS (SELECT user_id, event_id AS id,
+           epoch_ns(ts) // 1000 AS s,
+           epoch_ns(ts) // 1000 + (1 + event_id % 37) * 60000000 AS e
+         FROM events WHERE user_id IS NOT NULL)
+         SELECT a.user_id, a.id AS id_a, b.id AS id_b
+         FROM iv a JOIN iv b
+           ON a.user_id = b.user_id AND a.id < b.id
+          AND a.s <= b.e AND b.s <= a.e""",
 
     "q_sample_hash" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

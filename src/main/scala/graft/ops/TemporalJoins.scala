@@ -176,4 +176,54 @@ object TemporalJoins {
       .filter(col(rightTime) > col(leftTime) && col(rightTime) <= upper)
       .drop("_bkt")
   }
+
+  /** Interval-OVERLAP join: pairs with equal `keys` whose closed
+    * intervals `[startA, endA]` and `[startB, endB]` intersect
+    * (`sA ≤ eB ∧ sB ≤ eA`) — resource-conflict detection, session
+    * co-presence, validity-window reconciliation.
+    *
+    * Plan shape (the bandJoin scheme generalized to two intervals):
+    * each interval explodes to every `binWidth` bucket it covers, the
+    * non-equi predicate becomes ONE equi-join on (keys, bucket) plus
+    * the exact residual filter, and — the dedupe-free trick — a
+    * qualifying pair is kept only in the single CANONICAL bucket
+    * containing `max(sA, sB)` (the overlap's start), so each pair is
+    * produced exactly once with no distinct pass. Spark's native plan
+    * for the raw inequality is a per-key nested loop; this is a hash
+    * join whose cost is (interval length / binWidth) explosion factor
+    * plus true match volume — pick `binWidth` near the typical
+    * interval length (time-column units: seconds for timestamps).
+    *
+    * Bucket granularity affects cost only, never results (the
+    * residual runs on the exact endpoints). Intervals must satisfy
+    * `end ≥ start`; both sides' non-key columns must be disjoint.
+    */
+  def intervalOverlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      keys: Seq[String],
+      startA: String, endA: String,
+      startB: String, endB: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!(a.columns ++ b.columns).contains("_bkt"),
+      "column name _bkt is reserved by intervalOverlapJoin")
+    val sharedNonKey = (a.columns.toSet -- keys) & (b.columns.toSet -- keys)
+    require(sharedNonKey.isEmpty,
+      s"non-key columns ${sharedNonKey.mkString(",")} exist on both sides — " +
+        "rename one side (the residual filter would be ambiguous)")
+    def bin(c: String): Column =
+      floor(col(c).cast("double") / binWidth.toDouble).cast("long")
+    def covered(s: String, e: String): Column =
+      explode(sequence(bin(s), bin(e)))
+    val ax = a.withColumn("_bkt", covered(startA, endA))
+    val bx = b.withColumn("_bkt", covered(startB, endB))
+    val canonical = col("_bkt") ===
+      floor(greatest(col(startA).cast("double"), col(startB).cast("double"))
+        / binWidth.toDouble).cast("long")
+    ax.join(bx, (keys :+ "_bkt").toSeq)
+      .filter(col(startA) <= col(endB) && col(startB) <= col(endA))
+      .filter(canonical)
+      .drop("_bkt")
+  }
 }

@@ -195,6 +195,44 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(asLong == Set(11L))
   }
 
+  test("intervalOverlapJoin equals the naive overlap join, no duplicates") {
+    // numeric intervals spanning MANY bins relative to binWidth=10 —
+    // the canonical-bucket rule must still emit each pair exactly once
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i.toLong, rnd.nextInt(4).toLong, s, s + rnd.nextInt(80).toLong)
+    }
+    val a = rows.toDF("id_a", "k", "sa", "ea")
+    val b = rows.toDF("id_b", "k", "sb", "eb")
+    val got = TemporalJoins.intervalOverlapJoin(
+        a, b, Seq("k"), "sa", "ea", "sb", "eb", binWidth = 10L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val expected = (for {
+      (ia, ka, s1, e1) <- rows; (ib, kb, s2, e2) <- rows
+      if ka == kb && s1 <= e2 && s2 <= e1
+    } yield (ia, ib)).toSeq
+    assert(got.size == got.toSet.size, "duplicate pairs emitted")
+    assert(got.toSet == expected.toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("intervalOverlapJoin: closed-interval boundary semantics") {
+    val a = Seq((1L, 1L, 100L, 200L)).toDF("id_a", "k", "sa", "ea")
+    val b = Seq(
+      (10L, 1L, 200L, 300L),  // touches at 200: closed → overlap
+      (11L, 1L, 201L, 300L),  // gap of 1: no overlap
+      (12L, 1L, 0L, 99L),     // ends just before: no overlap
+      (13L, 1L, 0L, 100L),    // touches at 100: overlap
+      (14L, 1L, 120L, 180L),  // contained: overlap
+      (15L, 2L, 100L, 200L))  // other key: never
+      .toDF("id_b", "k", "sb", "eb")
+    val got = TemporalJoins.intervalOverlapJoin(
+        a, b, Seq("k"), "sa", "ea", "sb", "eb", binWidth = 50L)
+      .select("id_b").as[Long].collect().toSet
+    assert(got == Set(10L, 13L, 14L))
+  }
+
   test("hashSample is deterministic and rate-proportional") {
     val df = (1 to 20000).toDF("id")
     val s1 = Sampling.hashSample(df, col("id"), 16).as[Int].collect().toSet
