@@ -150,6 +150,16 @@ class PlanSpec extends SparkTestBase {
       s"BPE apply fell out of codegen:\n$plan")
   }
 
+  test("q_interval_overlap binning yields a hash join, never a nested loop") {
+    // the operator's reason to exist: Spark's native plan for the raw
+    // overlap inequality is BroadcastNestedLoopJoin / cartesian; the
+    // covered-bin explosion must turn it into an equi-join
+    val plan = finalPlan(q("q_interval_overlap"))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap degenerated to an unkeyed join:\n$plan")
+  }
+
   test("q_triangle_count joins hash-keyed, never a cartesian form") {
     // the scale contract of the degree orientation: the wedge and
     // closure steps are equi-joins on edge endpoints (hash exchanges
