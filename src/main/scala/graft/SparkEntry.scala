@@ -1348,6 +1348,19 @@ object SparkEntry {
         10)
     }),
 
+    // ---- SQ8 scalar-quantized KNN: per-dimension linear int8 codes
+    //      (corpus at 1/4 the float32 bytes), exact top-k by squared
+    //      L2 over the codes — all-integer distances, so the oracle
+    //      recomputes quantization + ranking to hash equality ----
+    "q_knn_sq8" -> ((s, d) => {
+      val emb = t("embeddings")(s, d)
+      graft.similarity.Knn.sq8Knn(
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("vector")),
+        emb.select(col("vec_id"), col("embedding").as("vector")),
+        10)
+    }),
+
     // ---- contrastive hard-negative mining: per query vector, the
     //      10 most-similar corpus vectors of a DIFFERENT label —
     //      positives (same-label pairs) excluded BEFORE ranking so
@@ -1656,6 +1669,20 @@ object SparkEntry {
           concat_ws("-", col("l_orderkey"), col("l_linenumber")), 16)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"))),
+
+    // ---- weight-proportional Poisson sampling: keep probability
+    //      min(1, k·w/W) decided by an INTEGER-EXACT compare on the
+    //      first 48 md5 bits (u·W < k·w·2^48 in decimal arithmetic) —
+    //      one literal-folded total-weight agg, then a pure scan
+    //      filter: zero shuffle, heavy rows (p clamped at 1) can
+    //      never be lost to hash luck ----
+    "q_weighted_sample" -> ((s, d) =>
+      graft.ops.Sampling.weightedSample(
+          t("lineitem")(s, d),
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+          col("l_quantity"), expectedK = 1000L)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))),
 
     // ---- stratified hash sampling: per-stratum keep rates (the corpus
     //      rebalancing move: downsample the common, keep the rare) ----
@@ -2332,6 +2359,51 @@ object SparkEntry {
         col("item_1"), col("item_2"))
         .select(col("node").as("item"), col("n_triangles"),
           col("degree"))),
+
+    // ---- purchase attribution: credit each purchase to the user's
+    //      first and last preceding touch (click/view/signup) — one
+    //      user-keyed exchange, user-partitioned windows, exact
+    //      DECIMAL value sums; unattributed purchases surface as
+    //      'none' rather than dropping ----
+    "q_attribution" -> ((s, d) =>
+      graft.ops.Attribution.attribute(
+          t("events")(s, d), col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"),
+          touchTypes = Seq("click", "view", "signup"),
+          conversionType = "purchase")
+        .groupBy(coalesce(col("channel_first"), lit("none")).as("first_touch"),
+          coalesce(col("channel_last"), lit("none")).as("last_touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          // exact decimal accumulation, finished as a rounded double —
+          // the OracleLint rule (decimal outputs can never hash-match
+          // across the harness's two parquet readers)
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("attributed_value"))),
+
+    // ---- part skyline: the Pareto frontier minimizing retail price
+    //      while maximizing size — no pairwise comparison anywhere:
+    //      one x-class aggregate + banded strict-prefix maxima (bulk
+    //      rows shuffle once; the only window is band-partitioned
+    //      over x-classes). Oracle is the NOT EXISTS dominance SQL ----
+    "q_skyline" -> ((s, d) =>
+      graft.ops.Skyline.skyline2d(
+          t("part")(s, d), col("p_retailprice"), col("p_size"),
+          minimizeX = true, maximizeY = true)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))),
+
+    // ---- co-purchase 3-core: the maximal subgraph where every item
+    //      keeps >= 3 co-purchase partners — the density filter that
+    //      isolates genuinely connected product communities from
+    //      one-off pairings. Monotone peel to the unique fixpoint
+    //      (convergence probed by edge count — sound because edges
+    //      only leave), all-integer, oracle replays the peel unrolled ----
+    "q_kcore" -> ((s, d) =>
+      graft.ops.Graph.kCore(
+        graft.ops.Basket.coPurchasePairs(
+          t("lineitem")(s, d), "l_orderkey", "l_partkey",
+          minSupport = 2L),
+        col("item_1"), col("item_2"), k = 3)
+        .select(col("node").as("item"), col("degree"))),
 
     // ---- RFM customer segmentation: recency/frequency/monetary
     //      VALUE bands (fixed thresholds, not global ranks — a global
@@ -4248,6 +4320,38 @@ object SparkEntry {
            FROM scored)
          WHERE rank <= 10""",
 
+    // quantization recomputed from scratch: per-dim float min/max are
+    // exact under the double cast, and code = clamp(floor((x-mn)*s))
+    // is one subtract + one multiply + one floor — IEEE-identical in
+    // both engines, so codes (and the integer distances) match
+    // bit-for-bit. MATERIALIZED: the code table is referenced twice.
+    "q_knn_sq8" ->
+      """WITH ex AS MATERIALIZED (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         b AS MATERIALIZED (
+           SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+         c AS MATERIALIZED (
+           SELECT vec_id, ex.i,
+             least(255, greatest(0, CASE WHEN mx > mn
+               THEN CAST(floor((x - mn) * (256.0 / (mx - mn))) AS BIGINT)
+               ELSE 0 END)) AS code
+           FROM ex JOIN b ON ex.i = b.i),
+         d AS MATERIALIZED (
+           SELECT q.vec_id AS query_id, c.vec_id,
+             CAST(sum((q.code - c.code) * (q.code - c.code)) AS BIGINT)
+               AS dist
+           FROM c q JOIN c ON q.i = c.i
+             AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+           GROUP BY 1, 2)
+         SELECT query_id, vec_id, dist, rank FROM (
+           SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, vec_id) AS rank
+           FROM d)
+         WHERE rank <= 10""",
+
     // norm > 0 mirrors the operator's zero-vector guard
     "q_embedding_neardup" ->
       """WITH e0 AS (SELECT vec_id,
@@ -4409,6 +4513,21 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
                  CAST(l_linenumber AS VARCHAR)), 1, 2)) AS INTEGER) <
            CASE l_returnflag WHEN 'N' THEN 8 WHEN 'R' THEN 32 ELSE 64 END""",
+
+    // u·W < k·w·2^48 in HUGEINT — the same integer compare the engine
+    // evaluates in DECIMAL(38,0); both exact, so the kept set matches
+    // bit-for-bit
+    "q_weighted_sample" ->
+      """WITH tot AS (
+           SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS w
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem, tot
+         WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                 CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT)::HUGEINT
+               * tot.w
+             < 1000::HUGEINT * CAST(l_quantity AS HUGEINT)
+               * 281474976710656::HUGEINT""",
 
     "q_pivot" ->
       """SELECT l_returnflag,
@@ -4902,6 +5021,58 @@ object SparkEntry {
            GROUP BY 1)
          SELECT pv.node AS item, pv.n_triangles, deg.d AS degree
          FROM pv JOIN deg ON deg.x = pv.node""",
+
+    // (ts, event_id) is a total order per user, so the IGNORE NULLS
+    // window lookups replay exactly; value sums in exact DECIMAL
+    "q_attribution" ->
+      """WITH tagged AS (
+           SELECT event_id, user_id, ts, event_type, value,
+             CASE WHEN event_type IN ('click', 'view', 'signup')
+               THEN event_type END AS touch
+           FROM events),
+         attr AS (
+           SELECT event_type, value,
+             first_value(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel_first,
+             last_value(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel_last
+           FROM tagged)
+         SELECT coalesce(channel_first, 'none') AS first_touch,
+           coalesce(channel_last, 'none') AS last_touch,
+           count(*) AS n_purchases,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS attributed_value
+         FROM attr WHERE event_type = 'purchase'
+         GROUP BY 1, 2""",
+
+    // the textbook dominance form — the engine's banded two-pass is
+    // an exact evaluation of the same predicate, never an approximation
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+         FROM part p
+         WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+           AND NOT EXISTS (
+             SELECT 1 FROM part q
+             WHERE q.p_retailprice <= p.p_retailprice
+               AND q.p_size >= p.p_size
+               AND (q.p_retailprice < p.p_retailprice
+                    OR q.p_size > p.p_size))""",
+
+    // the monotone peel has a unique fixpoint, so the unrolled rounds
+    // (12 here; fixpoint at 10 on this graph, extras are no-ops)
+    // replay the convergence-probed engine loop exactly
+    "q_kcore" -> graft.ops.Graph.kCoreOracleSql(
+      """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e0 AS MATERIALIZED (
+           SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2)""",
+      k = 3, rounds = 12, nodeAlias = "item"),
 
     // the symmetrized pair table ranked per item; (support desc,
     // other asc) is a total order, so row_number replays the

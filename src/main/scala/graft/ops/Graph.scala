@@ -119,6 +119,101 @@ object Graph {
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
   }
 
+  /** k-core decomposition (fixed k): the maximal subgraph in which
+    * every node has degree ≥ k — THE standard density filter before
+    * community detection, spam/bot subgraph extraction, and graph
+    * feature engineering (a node's "coreness ≥ k" flag). Computed by
+    * the textbook peel: repeatedly delete nodes of degree < k until
+    * none remain. Peeling is MONOTONE (edges only ever leave), so the
+    * fixpoint is unique and layout-independent — the result is exact,
+    * deterministic, and all-integer, and the DuckDB oracle replays
+    * the same peel unrolled to hash equality.
+    *
+    * Scale shape: each round is one degree aggregate (map-side
+    * combined) plus two semi-joins of the edge list against the
+    * surviving-node set — all keyed on node id, no windows, no driver
+    * materialization. The convergence probe is an edge COUNT per
+    * round (a one-row action; monotonicity makes count-equality a
+    * sound fixpoint test — a strict subset cannot have equal size).
+    * Rounds are data-bounded, not fixed: real graphs peel in
+    * O(log n)-ish rounds; `maxIter` caps the pathological chain graph
+    * (which peels one layer per round). Lineage is cut with
+    * localCheckpoint every `checkEvery` rounds — the pageRankInt
+    * discipline; without it the analyzer walks a plan that doubles
+    * per round.
+    *
+    * @return (node, degree) for every node of the k-core, with its
+    *         degree WITHIN the core (≥ k by construction when
+    *         converged; if `maxIter` stopped the peel early the
+    *         result is the round-`maxIter` superset — detectable by
+    *         degrees < k in the output)
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      k: Int,
+      maxIter: Int = 50,
+      checkEvery: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    var e = edges
+      .select(least(srcCol, dstCol).as("u"), greatest(srcCol, dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // count() below must not re-run the upstream
+    def degrees(ed: DataFrame): DataFrame = ed
+      .select(col("u").as("x")).unionAll(ed.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    var n = e.count()
+    var it = 0
+    var converged = n == 0L
+    while (!converged && it < maxIter) {
+      val keep = degrees(e).filter(col("d") >= k).select(col("x"))
+      var e2 = e
+        .join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+      it += 1
+      if (it % checkEvery == 0) e2 = e2.localCheckpoint()
+      val n2 = e2.count()
+      converged = n2 == n
+      e = e2
+      n = n2
+    }
+    degrees(e).select(col("x").as("node"), col("d").as("degree"))
+  }
+
+  /** The [[kCore]] peel unrolled as DuckDB CTE rounds over a
+    * caller-supplied edge CTE — the oracle generator (`rounds` must
+    * reach the fixpoint on the oracle's data; extra rounds are
+    * no-ops, so over-provisioning is safe and cheap).
+    */
+  def kCoreOracleSql(
+      edgeCte: String,
+      k: Int,
+      rounds: Int,
+      nodeAlias: String = "node"): String = {
+    // AS MATERIALIZED: each round references the previous THREE times,
+    // so default CTE inlining would expand 3^rounds copies of the base
+    // scan (observed as fd exhaustion in DuckDB at 12 rounds)
+    val peels = (0 until rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT x, count(*) AS d FROM (
+            SELECT u AS x FROM e$i UNION ALL SELECT v FROM e$i) GROUP BY 1),
+          e${i + 1} AS MATERIALIZED (
+            SELECT e$i.u, e$i.v FROM e$i
+            JOIN d$i du ON du.x = e$i.u JOIN d$i dv ON dv.x = e$i.v
+            WHERE du.d >= $k AND dv.d >= $k)"""
+    }.mkString(",\n          ")
+    s"""WITH $edgeCte,
+          $peels
+          SELECT x AS $nodeAlias, d AS degree FROM (
+            SELECT x, count(*) AS d FROM (
+              SELECT u AS x FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+            GROUP BY 1)"""
+  }
+
   /** Per-vertex triangle participation over an undirected edge list:
     * `(node, n_triangles, degree)` for every node in at least one
     * triangle — the local-clustering signal behind co-purchase

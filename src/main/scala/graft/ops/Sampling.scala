@@ -107,6 +107,56 @@ object Sampling {
       coalesce(pmod(h, lit(k.toLong)).cast("int"), lit(k - 1)))
   }
 
+  /** Weight-proportional Poisson sampling: keep each row independently
+    * with inclusion probability `min(1, k·w/W)` where `W = Σ w` — the
+    * deterministic analogue of probability-proportional-to-size
+    * sampling (Poisson/PPS, the design behind priority and VarOpt
+    * sampling), with `E[|sample|] ≤ k` and equality when no weight is
+    * capped. Rows with `w·k ≥ W` are kept ALWAYS (probability clamps
+    * at 1), so heavy items — exactly the rows a weighted sample exists
+    * to represent — can never be lost to hash luck.
+    *
+    * The keep decision is INTEGER-EXACT, not a float threshold: with
+    * `u = first 48 bits of md5(key)` the rule is
+    * `u·W < k·w·2⁴⁸`, evaluated in DECIMAL(38,0) (Spark) / HUGEINT
+    * (the oracle) — both sides exact at any realistic `W`, so the
+    * kept set is bit-identical on any layout, any engine, any run.
+    * NULL keys pin to the top band `u = 2⁴⁸−1` (the [[hashByte]]
+    * last-band rule): dropped at every partial probability, kept only
+    * where the probability clamps to 1.
+    *
+    * 100 TB shape: ONE total-weight aggregate (map-side combined, one
+    * row collected) literal-folded into a scan-stage filter — the
+    * sample itself moves zero rows and shuffles nothing. Composes
+    * with incremental ingest IF `W` and `k` are held fixed (the rule
+    * is then a pure per-row predicate); re-solving `W` on a grown
+    * corpus re-prices every row, which is the PPS trade by
+    * definition.
+    *
+    * `weight` must be integral-valued and non-negative (cast happens
+    * here); zero-weight rows are never kept (`p = 0`).
+    */
+  def weightedSample(
+      df: DataFrame,
+      key: Column,
+      weight: Column,
+      expectedK: Long): DataFrame = {
+    require(expectedK > 0, s"expectedK must be positive, got $expectedK")
+    val wLong = weight.cast("long")
+    val totRow = df.agg(sum(wLong).as("w")).first()
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0L,
+      "total weight must be positive")
+    val totalW = totRow.getLong(0)
+    val u48 = coalesce(
+      conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+        .cast("decimal(38,0)"),
+      lit(BigDecimal((1L << 48) - 1)))
+    val lhs = u48 * lit(BigDecimal(totalW))
+    val rhs = wLong.cast("decimal(18,0)") *
+      lit(BigDecimal(expectedK)) * lit(BigDecimal(1L << 48))
+    df.filter(lhs < rhs)
+  }
+
   /** Solve for the per-stratum keep rates (in 1/256ths) that move the
     * corpus to a target mixture while keeping as many rows as
     * possible: the achievable total is `T = min_s count(s)/target(s)`

@@ -86,6 +86,57 @@ class GraphSpec extends SparkTestBase {
     assert(gotMessy == Set((0L, 1L, 2L), (1L, 1L, 2L), (2L, 1L, 3L)))
   }
 
+  test("kCore peels hand-checked graphs to the exact core") {
+    // K4 with a pendant chain: 3-core = the K4, all degrees 3
+    val k4chain = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
+    val got = Graph.kCore(k4chain, col("s"), col("t"), k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+
+    // the chain itself has an empty 2-core; its 1-core is everything
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "t")
+    assert(Graph.kCore(chain, col("s"), col("t"), k = 2).isEmpty)
+    assert(Graph.kCore(chain, col("s"), col("t"), k = 1)
+      .count() == 4L)
+
+    // cascade: triangle + tail whose removal drops a triangle vertex
+    // below 3 is NOT possible for k=2 — but a square with one diagonal
+    // peels nothing at k=2 and everything at k=3 except... check:
+    // square 0-1-2-3-0 with diagonal 0-2: degrees 3,2,3,2 — 3-core
+    // empty (peeling 1 and 3 leaves 0-2 at degree 1)
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+      .toDF("s", "t")
+    assert(Graph.kCore(sq, col("s"), col("t"), k = 3).isEmpty)
+    assert(Graph.kCore(sq, col("s"), col("t"), k = 2)
+      .as[(Long, Long)].collect().toMap ==
+      Map(0L -> 3L, 1L -> 2L, 2L -> 3L, 3L -> 2L))
+  }
+
+  test("kCore is idempotent, layout-independent, and degree-sound") {
+    val edges = (0 until 300).map(i =>
+      ((i * 13 + 5).toLong % 40, (i * 29 + 11).toLong % 40))
+      .toDF("s", "t")
+    val core = Graph.kCore(edges, col("s"), col("t"), k = 4)
+    val got = core.as[(Long, Long)].collect().toMap
+    // every core degree >= k (the peel converged)
+    assert(got.values.forall(_ >= 4L), s"degree < k in core: $got")
+    // layout independence
+    val re = Graph.kCore(edges.repartition(7), col("s"), col("t"), k = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(re == got, "kCore depends on layout")
+    // idempotence: peeling the core again removes nothing
+    val coreEdges = edges
+      .select(least(col("s"), col("t")).as("u"),
+        greatest(col("s"), col("t")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .join(core.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(core.select(col("node").as("v")), Seq("v"), "left_semi")
+    val again = Graph.kCore(coreEdges, col("u"), col("v"), k = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got, "kCore not a fixpoint of itself")
+  }
+
   test("triangleCounts is layout-independent and matches a brute count") {
     // deterministic pseudo-random graph on 40 nodes
     val edges = (0 until 300).map(i =>

@@ -94,4 +94,70 @@ class KnnSpec extends SparkTestBase {
     assert(!got.contains(11L), s"zero vector ranked: $got")
     assert(got.keySet == Set(10L, 12L) && got(10L) == 1)
   }
+
+  test("sq8 codes are in [0,255], layout-stable, and order-preserving") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("vector"))
+    val (mins, scales) = Knn.sq8Bounds(emb, col("vector"))
+    assert(mins.length == 64 && scales.length == 64)
+    val codes = emb.select(col("vec_id"),
+        Knn.sq8Code(col("vector"), mins, scales).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    // per-dimension extremes map to the full range: some coordinate
+    // hits 0 and some hits 255 in every dimension (min and max rows)
+    val byDim = (0 until 64).map(i => codes.values.map(_(i)))
+    assert(byDim.forall(_.min == 0), "min row must code to 0")
+    assert(byDim.forall(_.max == 255), "max row must code to 255")
+    // recomputing bounds on a repartitioned corpus changes nothing
+    val (m2, s2) = Knn.sq8Bounds(emb.repartition(7), col("vector"))
+    assert(m2.sameElements(mins) && s2.sameElements(scales))
+  }
+
+  test("sq8Knn: exact duplicate at distance 0 ranks first; high recall vs float") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpusBase = emb.select(col("vec_id"), col("embedding").as("vector"))
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        col("embedding").as("vector"))
+    val corpus = corpusBase.unionByName(planted)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vector"))
+    val got = Knn.sq8Knn(queries, corpus, 10)
+      .as[(Long, Long, Long, Int)].collect()
+    val q0 = got.filter(_._1 == 0L).sortBy(_._4)
+    assert(q0.head._2 == 10000L && q0.head._3 == 0L,
+      s"identical vector must quantize identically: ${q0.head}")
+    // quality vs the float L2 ranking, measured on the UNPLANTED
+    // corpus: top-10 overlap, and — the sharper metric — how much
+    // worse the quantized list's worst member is than the true 10th
+    // distance. The sf0.001 gaussian cloud is near-equidistant (the
+    // hardest case for any quantizer); measured: recall 0.70–0.90
+    // per query (mean 0.80), inflation ≤ 1.054.
+    val exactAll = {
+      val rows = corpusBase.as[(Long, Seq[Float])].collect()
+      val qs = rows.filter(_._1 < 5)
+      qs.map { case (qid, qv) =>
+        qid -> rows.filter(_._1 != qid).map { case (cid, cv) =>
+          (cid, qv.zip(cv).map { case (a, b) =>
+            (a.toDouble - b) * (a.toDouble - b) }.sum)
+        }.sortBy(r => (r._2, r._1))
+      }.toMap
+    }
+    val gotClean = Knn.sq8Knn(queries, corpusBase, 10)
+      .as[(Long, Long, Long, Int)].collect().groupBy(_._1)
+      .map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val (recalls, inflations) = exactAll.map { case (q, ranked) =>
+      val want = ranked.take(10).map(_._1).toSet
+      val trueTenth = ranked(9)._2
+      val distOf = ranked.map(r => r._1 -> r._2).toMap
+      val worstGot = gotClean(q).map(distOf).max
+      (gotClean(q).count(want.contains) / 10.0, worstGot / trueTenth)
+    }.unzip
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.75, f"sq8 top-10 recall vs float L2: $mean%.2f")
+    assert(inflations.forall(_ <= 1.1),
+      s"sq8 worst-member distance inflation: ${inflations.map(i =>
+        f"$i%.3f").mkString(",")}")
+  }
 }
