@@ -1628,6 +1628,20 @@ object SparkEntry {
           count(lit(1)).over(w).as("roll_n"))
     }),
 
+    // ---- time-weighted average event value per user (TWAP): each
+    //      value weighted by how long it held (until the user's next
+    //      event, integer microseconds), cents-scaled so numerator
+    //      and denominator are exact longs and the one finishing
+    //      division is IEEE-identical cross-engine ----
+    "q_twap" -> ((s, d) =>
+      graft.ops.TimeWeighted.timeWeightedAvg(
+          t("events")(s, d)
+            .withColumn("cents", round(col("value") * 100).cast("long")),
+          col("user_id"), col("ts"), col("event_id"), col("cents"))
+        .select(col("key").as("user_id"),
+          round(col("twa") / 100.0, 6).as("twap"),
+          col("span_us"))),
+
     // ---- time-bucket downsampling (OHLC bars): per user-hour
     //      open/close via min/max over (ts, event_id, value) structs —
     //      a one-shuffle hash aggregate, never a sort or window;
@@ -2390,6 +2404,17 @@ object SparkEntry {
           t("part")(s, d), col("p_retailprice"), col("p_size"),
           minimizeX = true, maximizeY = true)
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))),
+
+    // ---- the same frontier on the FACT table (cheapest price for a
+    //      given quantity band across 60k line items) — the shape the
+    //      banded two-pass exists for: the x-class aggregate carries
+    //      the bulk, the windows stay band-local ----
+    "q_skyline_lineitem" -> ((s, d) =>
+      graft.ops.Skyline.skyline2d(
+          t("lineitem")(s, d), col("l_extendedprice"), col("l_quantity"),
+          minimizeX = true, maximizeY = true)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity"))),
 
     // ---- co-purchase 3-core: the maximal subgraph where every item
     //      keeps >= 3 co-purchase partners — the density filter that
@@ -3256,6 +3281,28 @@ object SparkEntry {
            max(value) AS high, min(value) AS low,
            count(*) AS n_events
          FROM r GROUP BY 1, 2""",
+
+    // integer cents × integer microsecond weights — numerator and
+    // denominator exact; the two finishing divisions and the round
+    // are the same IEEE ops in both engines
+    "q_twap" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+         d AS (
+           SELECT user_id, cents,
+             lead(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) - us AS dur
+           FROM e)
+         SELECT user_id,
+           round(CAST(sum(cents * dur) AS DOUBLE)
+             / CAST(sum(dur) AS DOUBLE) / 100.0, 6) AS twap,
+           CAST(sum(dur) AS BIGINT) AS span_us
+         FROM d WHERE dur IS NOT NULL
+         GROUP BY 1 HAVING sum(dur) > 0""",
 
     "q_skew_salted_join" ->
       """SELECT s_name, round(sum(l_quantity), 2) AS sum_qty,
@@ -5061,6 +5108,18 @@ object SparkEntry {
                AND q.p_size >= p.p_size
                AND (q.p_retailprice < p.p_retailprice
                     OR q.p_size > p.p_size))""",
+
+    "q_skyline_lineitem" ->
+      """SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice,
+           p.l_quantity
+         FROM lineitem p
+         WHERE p.l_extendedprice IS NOT NULL AND p.l_quantity IS NOT NULL
+           AND NOT EXISTS (
+             SELECT 1 FROM lineitem q
+             WHERE q.l_extendedprice <= p.l_extendedprice
+               AND q.l_quantity >= p.l_quantity
+               AND (q.l_extendedprice < p.l_extendedprice
+                    OR q.l_quantity > p.l_quantity))""",
 
     // the monotone peel has a unique fixpoint, so the unrolled rounds
     // (12 here; fixpoint at 10 on this graph, extras are no-ops)
