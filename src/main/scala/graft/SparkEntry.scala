@@ -1642,6 +1642,43 @@ object SparkEntry {
           round(col("twa") / 100.0, 6).as("twap"),
           col("span_us"))),
 
+    // ---- daily new vs returning users + cumulative reach: first-seen
+    //      day per user (one user-keyed exchange over the bulk), then
+    //      all remaining work — the day-level join and the running
+    //      total — happens on day-cardinality rows (bounded by the
+    //      calendar, not the corpus; the q_event_anomaly envelope) ----
+    "q_new_users" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val newPerDay = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      val activePerDay = ev.distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      activePerDay
+        .join(newPerDay, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"),
+          (col("n_active") - coalesce(col("n_new"), lit(0L)))
+            .as("n_returning"))
+        .withColumn("cum_users", sum(col("n_new")).over(w))
+    }),
+
+    // ---- EWMA smoothing per user: the classic recurrence run as an
+    //      identical sequential fold in both engines (collect_list →
+    //      array_sort → aggregate here; list(ORDER BY) → list_reduce
+    //      in the oracle), so even an order-sensitive float recursion
+    //      hash-matches ----
+    "q_ewma" -> ((s, d) =>
+      graft.ops.Ewma.ewmaLast(
+          t("events")(s, d), col("user_id"), col("ts"), col("event_id"),
+          col("value"), alphaNum = 1, alphaDen = 4)
+        .select(col("key").as("user_id"),
+          round(col("ewma"), 6).as("ewma"), col("n_samples"))),
+
     // ---- time-bucket downsampling (OHLC bars): per user-hour
     //      open/close via min/max over (ts, event_id, value) structs —
     //      a one-shuffle hash aggregate, never a sort or window;
@@ -3281,6 +3318,40 @@ object SparkEntry {
            max(value) AS high, min(value) AS low,
            count(*) AS n_events
          FROM r GROUP BY 1, 2""",
+
+    "q_new_users" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         fs AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+         npd AS (SELECT day, count(*) AS n_new FROM fs GROUP BY 1),
+         apd AS (SELECT day, count(*) AS n_active
+                 FROM (SELECT DISTINCT user_id, day FROM ev) GROUP BY 1)
+         SELECT apd.day, coalesce(npd.n_new, 0) AS n_new,
+           apd.n_active - coalesce(npd.n_new, 0) AS n_returning,
+           CAST(sum(coalesce(npd.n_new, 0)) OVER (ORDER BY apd.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+         FROM apd LEFT JOIN npd ON apd.day = npd.day""",
+
+    // list_reduce without an init starts at the first element — the
+    // s1 = x1 seed — and then executes the same mult/mult/add chain
+    // in the same order as the engine's aggregate() fold
+    "q_ewma" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+         h AS (
+           SELECT user_id, list(x ORDER BY us, event_id) AS xs
+           FROM e GROUP BY 1)
+         SELECT user_id,
+           round(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
+             AS ewma,
+           CAST(len(xs) AS INTEGER) AS n_samples
+         FROM h""",
 
     // integer cents × integer microsecond weights — numerator and
     // denominator exact; the two finishing divisions and the round

@@ -239,12 +239,17 @@ class TableStore(root: String, keepVersions: Int = 2) {
     */
   def partitionValues(name: String): Seq[String] =
     currentVersion(name).flatMap(readManifest(name, _)).map { m =>
-      m.entries.keys.toSeq.sorted.map { d =>
-        val v = d.substring(d.indexOf('=') + 1)
-        if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
-        else ExternalCatalogUtils.unescapePathName(v)
-      }
+      m.entries.keys.toSeq.sorted.map(decodePartitionDir)
     }.getOrElse(Nil)
+
+  /** Inverse of [[partitionDirName]] (`null` for the Hive default
+    * partition).
+    */
+  private def decodePartitionDir(d: String): String = {
+    val v = d.substring(d.indexOf('=') + 1)
+    if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+    else ExternalCatalogUtils.unescapePathName(v)
+  }
 
   /** Read only the partitions whose value satisfies `pred` — e.g. the
     * reference's per-day range scan over sales files
@@ -335,6 +340,89 @@ class TableStore(root: String, keepVersions: Int = 2) {
       val carried = old.map(_.entries).getOrElse(Map.empty) -- touchedDirs
       Some(Manifest(partCol, carried ++ written.map(_ -> next)))
     }
+  }
+
+  /** Targeted small-file compaction of a partitioned table: bin-pack
+    * every partition whose file count exceeds `maxFilesPerPartition`
+    * into `max(1, ceil(bytes/targetBytes))` files, carrying every
+    * healthy partition forward BY REFERENCE (zero read, zero write).
+    * The streaming-ingest antidote: micro-batched
+    * [[overwritePartitions]] appends leave hot partitions with one
+    * file per batch, and at 100 TB the resulting open()/footer storm
+    * dominates read latency long before data volume does. Unlike
+    * [[compact]] (full rewrite), cost here is O(selected bytes), so
+    * it can run on every ingest cycle.
+    *
+    * File-count mechanics: rows are exchanged on
+    * `(partition, bucket)` with `bucket = pmod(xxhash64(row), n_p)` —
+    * each task writes at most one file per hive partition, and a
+    * partition's rows land in at most `n_p` distinct buckets, so the
+    * rewritten partition has between 1 and `n_p` files regardless of
+    * parallelism. Atomicity, CAS and retirement ride the normal
+    * [[overwritePartitions]] publish path.
+    *
+    * @return the partition values that were compacted (empty when the
+    *         table is absent or already healthy)
+    */
+  def compactSmallFiles(
+      spark: SparkSession,
+      name: String,
+      schema: StructType,
+      targetBytes: Long,
+      maxFilesPerPartition: Int = 4,
+      sortBy: Seq[String] = Nil): Seq[String] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(maxFilesPerPartition >= 1,
+      s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
+    val curOpt = currentVersion(name)
+    if (curOpt.isEmpty) return Nil
+    val m = readManifest(name, curOpt.get).getOrElse(throw
+      new IllegalArgumentException(
+        s"table $name is unpartitioned; use compact() for a full rewrite"))
+    // driver-side census, manifest-sized: one directory listing per
+    // live partition (the same budget readWhere's pruning pays)
+    val census = m.entries.toSeq.flatMap { case (dirName, ver) =>
+      val dir = versionDir(name, ver).resolve(dirName)
+      if (!Files.exists(dir)) None
+      else {
+        val s = Files.list(dir)
+        val files =
+          try s.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+          }.map(Files.size(_)).toList
+          finally s.close()
+        Some((decodePartitionDir(dirName), files.size, files.sum))
+      }
+    }
+    // the Hive default (null-value) partition is skipped: its rows
+    // cannot be addressed by an equality bucket expression — compact()
+    // the whole table if it ever degrades
+    val selected =
+      census.filter(c => c._1 != null && c._2 > maxFilesPerPartition)
+    if (selected.isEmpty) return Nil
+    val values = selected.map(_._1)
+    val nFiles = selected.map { case (v, _, bytes) =>
+      v -> math.max(1L, (bytes + targetBytes - 1L) / targetBytes)
+    }.toMap
+    val df = read(spark, name, schema, Some(values))
+    val partCol = m.partCol
+    val nfExpr = nFiles.foldLeft(
+      org.apache.spark.sql.functions.lit(1L)) { case (acc, (v, n)) =>
+      org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.col(partCol) === v,
+          org.apache.spark.sql.functions.lit(n)).otherwise(acc)
+    }
+    val dataCols = schema.fieldNames.toIndexedSeq
+      .map(org.apache.spark.sql.functions.col)
+    val bucketed = df.withColumn("__b",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(dataCols: _*), nfExpr))
+      .repartition(org.apache.spark.sql.functions.col(partCol),
+        org.apache.spark.sql.functions.col("__b"))
+      .select(dataCols: _*)
+    overwritePartitions(name, bucketed, partCol, values, sortBy)
+    values
   }
 
   /** Rewrite the whole table into one fresh version (read fan-out back
