@@ -395,4 +395,56 @@ class PlanSpec extends SparkTestBase {
     assert("Window".r.findAllMatchIn(plan).length >= 1,
       s"as-of window carry missing:\n$plan")
   }
+
+  test("q_weighted_sample keeps rows with a shuffle-free scan filter") {
+    // the keep rule (u48·W < k·w·2^48) literal-folds the total weight
+    // into a pure predicate: the sample itself must move zero rows
+    // (measured 1.8 KB shuffle at 60 M rows — this pins it structurally)
+    val plan = finalPlan(q("q_weighted_sample"))
+    assert(shuffles(plan) == 0,
+      s"weighted sampling must not shuffle, got ${shuffles(plan)}:\n$plan")
+  }
+
+  test("q_knn_sq8 prunes per-partition before the rank exchange") {
+    // the corpus joins the broadcast query set and the top-k filter
+    // runs as WindowGroupLimit BELOW the exchange: only ~k rows per
+    // (query, partition) ever shuffle — the quantized flat scan's
+    // scale property (3.4 KB shuffle at 4 M vectors)
+    val plan = finalPlan(q("q_knn_sq8"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-partition top-k prune missing:\n$plan")
+  }
+
+  test("q_skyline never plans a pairwise dominance form") {
+    // the banded two-pass is aggregate+window shaped; the naive
+    // NOT EXISTS dominance evaluation would be a nested-loop
+    // anti-join — the O(n²) cliff the operator exists to avoid
+    Seq("q_skyline", "q_skyline_lineitem").foreach { name =>
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"$name degenerated to a pairwise dominance plan:\n$plan")
+    }
+  }
+
+  test("q_attribution and q_twap reuse ONE user-keyed exchange") {
+    // window + same-key aggregate: the partitioning must be planned
+    // once and reused — a second hash exchange on the same key is
+    // wasted data movement at any scale
+    Seq("q_attribution" -> 2, "q_twap" -> 2).foreach { case (name, cap) =>
+      val plan = finalPlan(q(name))
+      assert(shuffles(plan) <= cap,
+        s"$name expected <= $cap exchanges, got ${shuffles(plan)}:\n$plan")
+      assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+        s"$name degenerated:\n$plan")
+    }
+  }
+
+  test("q_ewma folds per key through ONE exchange") {
+    val plan = finalPlan(q("q_ewma"))
+    assert(shuffles(plan) == 1,
+      s"EWMA expected exactly 1 exchange, got ${shuffles(plan)}:\n$plan")
+  }
 }
