@@ -2175,6 +2175,36 @@ object SparkEntry {
         t("documents")(s, d), "doc_id", "text", queries, "qid", "qtext")
     }),
 
+    // ---- ranking-quality evaluation: nDCG@10 / MRR / P@10 / R@10 of
+    //      the BM25 ranking against all-terms-containment judgments —
+    //      DCG terms pre-quantized to integer micro-units (constants
+    //      of the metric), so every sum is exact and order-free; the
+    //      eval regression gate of the retrieval stack ----
+    "q_rank_eval" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        ("q1", "hash join batch"),
+        ("q2", "window sort column"),
+        ("q3", "customer order data stream")).toDF("qid", "qtext")
+      val docs = t("documents")(s, d)
+      val ranking = graft.text.TextOps.bm25Search(
+          docs, "doc_id", "text", queries, "qid", "qtext", k = 10)
+        .select("qid", "doc_id", "rank")
+      val qt = queries.select(col("qid"),
+        explode(graft.text.TextOps.tokens(lower(col("qtext"))))
+          .as("term")).distinct()
+      val nTerms = qt.groupBy(col("qid")).agg(count(lit(1)).as("n_terms"))
+      val dt = docs.select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(lower(col("text"))))
+          .as("term")).distinct()
+      val qrels = qt.join(dt, Seq("term"))
+        .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("m"))
+        .join(nTerms, Seq("qid"))
+        .filter(col("m") === col("n_terms"))
+        .select("qid", "doc_id")
+      graft.ops.RankEval.rankingMetrics(ranking, qrels, 10)
+    }),
+
     // ---- hybrid retrieval (RAG shape): lexical BM25 top-20 and
     //      dense cosine top-20 per query, fused by Reciprocal Rank
     //      Fusion on exact-decimal contributions — ranks, not raw
@@ -2683,7 +2713,65 @@ object SparkEntry {
       "q_bpe_vocab" -> OracleBpe.bpeVocabSql(64, 20000),
       // MMR greedy selection unrolled round by round (OracleMmr),
       // candidates sourced from the embedded hybrid-search replay
-      "q_mmr_rerank" -> OracleMmr.mmrSql(hybridSearchSql, 0.7, 5))
+      "q_mmr_rerank" -> OracleMmr.mmrSql(hybridSearchSql, 0.7, 5),
+      // the BM25 chain re-ranked at top-10, judged by all-terms
+      // containment, scored with the SAME integer DCG micro-unit
+      // table RankEval inlines into the plan
+      "q_rank_eval" -> rankEvalSql(oracleSqlBase("q_bm25_search")))
+
+  /** The q_rank_eval oracle: the q_bm25_search CTE chain re-ranked at
+    * top-10 (no k=5 cut), all-terms-containment qrels, and the metric
+    * arithmetic over [[graft.ops.RankEval.dcgUnits]]' exact integer
+    * micro-units — every sum integer, every division one double op.
+    */
+  private def rankEvalSql(bm25: String): String = {
+    val cut = bm25.indexOf("-- ranking stays")
+    require(cut > 0, "q_bm25_search oracle shape changed")
+    val ctes = bm25.substring(0, cut).trim.stripSuffix(",")
+    val k = 10
+    val units = graft.ops.RankEval.dcgUnitsSqlValues(k)
+    val cumVals = graft.ops.RankEval.dcgUnits(k).scanLeft(0L)(_ + _).tail
+      .zipWithIndex.map { case (c, i) => s"(${i + 1}, ${c}::BIGINT)" }
+      .mkString(", ")
+    s"""$ctes,
+         rk AS (SELECT qid, doc_id, CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER)
+             AS rank FROM sc),
+         dt2 AS (SELECT DISTINCT doc_id, term FROM toks),
+         nt AS (SELECT qid, count(*) AS n_terms FROM qt GROUP BY 1),
+         qrels AS (
+           SELECT qt.qid, dt2.doc_id
+           FROM qt JOIN dt2 ON qt.term = dt2.term
+           JOIN nt ON nt.qid = qt.qid
+           GROUP BY qt.qid, dt2.doc_id, nt.n_terms
+           HAVING count(*) = nt.n_terms),
+         u(rank, uu) AS (VALUES $units),
+         cm(n, cum) AS (VALUES $cumVals),
+         flg AS (
+           SELECT rk.qid, rk.rank,
+             CASE WHEN qr.doc_id IS NOT NULL THEN 1 END AS rel
+           FROM rk LEFT JOIN qrels qr
+             ON qr.qid = rk.qid AND qr.doc_id = rk.doc_id
+           WHERE rk.rank <= $k),
+         pq AS (
+           SELECT flg.qid,
+             CAST(sum(CASE WHEN rel = 1 THEN u.uu ELSE 0 END) AS BIGINT)
+               AS dcg_units,
+             count(CASE WHEN rel = 1 THEN 1 END) AS hits,
+             min(CASE WHEN rel = 1 THEN flg.rank END) AS frr
+           FROM flg JOIN u ON u.rank = flg.rank GROUP BY 1),
+         nr AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY 1)
+         SELECT pq.qid, coalesce(nr.n_rel, 0) AS n_rel, pq.hits,
+           CAST(coalesce(pq.frr, 0) AS INTEGER) AS first_rel_rank,
+           round(coalesce(CAST(pq.dcg_units AS DOUBLE)
+             / CAST(cm.cum AS DOUBLE), 0.0), 6) AS ndcg,
+           round(coalesce(1.0 / pq.frr, 0.0), 6) AS mrr,
+           round(CAST(pq.hits AS DOUBLE) / $k.0, 6) AS "precision",
+           round(coalesce(CAST(pq.hits AS DOUBLE)
+             / CAST(nr.n_rel AS DOUBLE), 0.0), 6) AS recall
+         FROM pq LEFT JOIN nr ON nr.qid = pq.qid
+         LEFT JOIN cm ON cm.n = least($k, nr.n_rel)"""
+  }
 
   /** The q_hybrid_search oracle: both input rankings replayed
     * verbatim (the q_bm25_search chain at top-20; the
