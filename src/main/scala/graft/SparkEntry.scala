@@ -1642,6 +1642,47 @@ object SparkEntry {
           round(col("twa") / 100.0, 6).as("twap"),
           col("span_us"))),
 
+    // ---- order-free table fingerprint: sum of 60-bit md5 row keys
+    //      mod 2^53-1 — any engine, any layout, any row order gives
+    //      the identical (n_rows, checksum); the migration-validation
+    //      handshake (one map-side pass, single-row result). Money
+    //      rides as integer cents (float formatting is where engines
+    //      diverge — the operator contract) ----
+    "q_table_checksum" -> ((s, d) =>
+      graft.ops.DataQuality.tableChecksum(
+        t("lineitem")(s, d),
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long")))),
+
+    // ---- top session paths: the first 5 event types of each 30-min
+    //      session joined '>'-wise, counted across sessions — the
+    //      "what do users actually do" path table. Ordered string
+    //      assembly via the collect/sort/slice fold (user-partitioned
+    //      windows; the EWMA sequential-fold discipline) ----
+    "q_top_paths" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val ev = t("events")(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("ns",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) >= 1800L * 1000000L,
+            1L).otherwise(0L))
+        .withColumn("sid", sum(col("ns")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      ev.groupBy(col("user_id"), col("sid"))
+        .agg(array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("event_type")))).as("h"))
+        .select(array_join(
+          transform(slice(col("h"), 1, 5), e => e.getField("event_type")),
+          ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .filter(col("n_sessions") >= 3)
+    }),
+
     // ---- daily new vs returning users + cumulative reach: first-seen
     //      day per user (one user-keyed exchange over the bulk), then
     //      all remaining work — the day-level join and the running
@@ -2440,6 +2481,20 @@ object SparkEntry {
         col("item_1"), col("item_2"))
         .select(col("node").as("item"), col("n_triangles"),
           col("degree"))),
+
+    // ---- Markov removal-effect attribution: channel credit = how
+    //      much P(conversion) drops when the channel stops passing
+    //      mass — the data-driven model that pays assist channels.
+    //      Bulk work is one user-keyed transition count; the solve is
+    //      a 60-step integer-exact truncated absorption fixpoint over
+    //      the collected k x k matrix (pageRankInt discipline), so
+    //      the oracle replays it verbatim (OracleMarkov) ----
+    "q_markov_attribution" -> ((s, d) =>
+      graft.ops.Attribution.markovAttribution(
+        t("events")(s, d), col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), touchTypes = OracleMarkov.Touches,
+        conversionType = OracleMarkov.Conversion,
+        iters = OracleMarkov.Iters)),
 
     // ---- purchase attribution: credit each purchase to the user's
     //      first and last preceding touch (click/view/signup) — one
@@ -3406,6 +3461,53 @@ object SparkEntry {
            max(value) AS high, min(value) AS low,
            count(*) AS n_events
          FROM r GROUP BY 1, 2""",
+
+    // chr(31)/chr(1) are the engine's separator and null-sentinel
+    // bytes; 15 hex chars = 60 bits fit BIGINT, the modular
+    // sum runs in HUGEINT — both sides exact end to end
+    "q_table_checksum" ->
+      """WITH r AS (
+           SELECT CAST(('0x' || substr(md5(
+             concat_ws(chr(31),
+               coalesce(CAST(l_orderkey AS VARCHAR), chr(1)),
+               coalesce(CAST(l_linenumber AS VARCHAR), chr(1)),
+               coalesce(l_returnflag, chr(1)),
+               coalesce(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                 AS VARCHAR), chr(1)))), 1, 15)) AS BIGINT) AS u
+           FROM lineitem)
+         SELECT count(*) AS n_rows,
+           CAST(sum(u::HUGEINT) % 9007199254740991::HUGEINT AS BIGINT)
+             AS checksum
+         FROM r""",
+
+    // same gaps-and-islands session rule as q_events_sessions; the
+    // path is the (ts, event_id)-ordered type prefix, so string_agg
+    // with that ORDER BY replays the engine's sort/slice fold
+    "q_top_paths" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         m AS (
+           SELECT *, CASE WHEN lag(us) OVER w IS NULL
+               OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+               AS ns
+           FROM e WINDOW w AS (
+             PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (
+           SELECT *, sum(ns) OVER (PARTITION BY user_id
+             ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM m),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id, sid
+             ORDER BY us, event_id) AS rn
+           FROM s),
+         p AS (
+           SELECT string_agg(event_type, '>' ORDER BY us, event_id)
+             AS path
+           FROM rk WHERE rn <= 5 GROUP BY user_id, sid)
+         SELECT path, count(*) AS n_sessions
+         FROM p GROUP BY 1 HAVING count(*) >= 3""",
 
     "q_new_users" ->
       """WITH ev AS (
@@ -5227,6 +5329,10 @@ object SparkEntry {
            GROUP BY 1)
          SELECT pv.node AS item, pv.n_triangles, deg.d AS degree
          FROM pv JOIN deg ON deg.x = pv.node""",
+
+    // generated unrolled-CTE replay of the 60-step integer-exact
+    // absorption solve — see OracleMarkov's scaladoc
+    "q_markov_attribution" -> OracleMarkov.sql,
 
     // (ts, event_id) is a total order per user, so the IGNORE NULLS
     // window lookups replay exactly; value sums in exact DECIMAL

@@ -191,4 +191,33 @@ object DataQuality {
         countDistinct(col(s"`$sensitiveCol`")).as("n_sensitive"))
       .filter(col("n_sensitive") < l)
   }
+
+  /** Order-free table fingerprint for cross-engine / cross-snapshot
+    * validation — "did the migration copy every row, exactly once":
+    * each row keys to the first 60 bits of md5 over a canonical
+    * textual encoding of `cols` (unit-separator-joined, NULL as the
+    * SOH sentinel so `(NULL, "x")` ≠ `("", "x")` ≠ `("x",)`),
+    * and the table's checksum is the exact SUM of those keys mod
+    * 2⁵³−1 — commutative, so any engine, any partitioning, any row
+    * order produces the identical pair `(n_rows, checksum)`. A
+    * single dropped, duplicated, or altered row moves it (up to the
+    * 2⁻⁶⁰-per-row md5 collision class — the module's standard hash
+    * tolerance).
+    *
+    * Caller contract: provide columns whose STRING rendering is
+    * engine-canonical (strings, integers, dates; scale doubles to
+    * integer cents first — float formatting is where engines
+    * disagree). 100 TB shape: map-side partial sums, one single-row
+    * result; nothing shuffles but the partials.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val canon = concat_ws("\u001f",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0001"))): _*)
+    val u60 = conv(substring(md5(canon), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    df.agg(count(lit(1)).as("n_rows"),
+      coalesce(pmod(sum(u60), lit(BigDecimal((1L << 53) - 1)))
+        .cast("long"), lit(0L)).as("checksum"))
+  }
 }
