@@ -447,4 +447,38 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles(plan) == 1,
       s"EWMA expected exactly 1 exchange, got ${shuffles(plan)}:\n$plan")
   }
+
+  test("q_table_checksum: map-side partials, one single-row exchange") {
+    // the checksum is a plain two-phase aggregate: partial sums
+    // map-side, then ONE SinglePartition exchange carrying
+    // <= parallelism partial rows — any hash/range exchange would
+    // mean the per-row hashes left the scan stage unaggregated
+    val plan = finalPlan(q("q_table_checksum"))
+    assert(shuffles(plan) == 0,
+      s"checksum expected no wide exchange, got ${shuffles(plan)}:\n$plan")
+    assert(plan.contains("Exchange SinglePartition"),
+      s"checksum missing the single final gather:\n$plan")
+    assert(plan.contains("partial_"),
+      s"checksum aggregate not map-side partial:\n$plan")
+    assert(!plan.contains("Sort "), s"checksum plan sorts:\n$plan")
+  }
+
+  test("markovTransitions: one user-keyed exchange feeds the " +
+    "k^2 aggregate") {
+    // journey windows must share the user partitioning (the journey
+    // boundary reads lag(j), never re-partitions by (user, journey));
+    // the only other exchange is the k^2-row (src, dst) count
+    val tr = graft.ops.Attribution.markovTransitions(
+      graft.Tables.events(spark, sfDir),
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("ts"),
+      org.apache.spark.sql.functions.col("event_id"),
+      org.apache.spark.sql.functions.col("event_type"),
+      Seq("click", "view", "signup"), "purchase")
+    val plan = finalPlan(tr)
+    assert(shuffles(plan) <= 2,
+      s"transitions expected <= 2 exchanges, got ${shuffles(plan)}:\n$plan")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"transitions degenerated:\n$plan")
+  }
 }
