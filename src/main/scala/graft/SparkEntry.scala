@@ -2626,8 +2626,72 @@ object SparkEntry {
         col("avg_qty"), col("min_qty"), col("max_qty"),
         lit(fired.exists(_.contains("graft_mv_")) &&
           !fired.exists(_.contains("lineitem.parquet"))).as("rewritten"))
-    })
+    }),
+
+    // ---- exact weighted quantiles of line price (cents) per return
+    //      flag, quantity-weighted: the cumulative window runs over
+    //      the DISTINCT (flag, cents) value domain (pre-aggregated),
+    //      never fact rows, and the threshold test is a pure-long
+    //      cross-multiplication — no division anywhere ----
+    "q_weighted_quantiles" -> ((s, d) =>
+      graft.ops.Stats.weightedQuantiles(
+          t("lineitem")(s, d),
+          col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long"),
+          round(col("l_quantity")).cast("long"),
+          Seq(25, 50, 75, 90))
+        .select(col("g").as("l_returnflag"), col("pct"),
+          col("value").as("value_cents"))),
+
+    // ---- Gini concentration of customer spend within each market
+    //      segment: ranks via the two-pass range-partitioned row
+    //      number (no per-group single-task sort), Σi·x in
+    //      DECIMAL(38,0) ----
+    "q_gini" -> ((s, d) => {
+      val spend = t("orders")(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+        .join(t("customer")(s, d),
+          col("o_custkey") === col("c_custkey"))
+      graft.ops.Stats.gini(
+          spend, col("c_mktsegment"), col("c_custkey"), col("cents"))
+        .withColumnRenamed("g", "c_mktsegment")
+    }),
+
+    // ---- Benford first-digit audit of order totals (cents): one
+    //      map-side 9-bucket histogram against the pinned
+    //      log10(1+1/d) expectation ----
+    "q_benford" -> ((s, d) =>
+      graft.ops.Stats.benford(
+        t("orders")(s, d),
+        round(col("o_totalprice") * 100).cast("long"))),
+
+    // ---- autocorrelation of the daily revenue series at lags 1..7:
+    //      the fact table reduces to ≤ #days rows FIRST; Pearson from
+    //      exact DECIMAL(38,0) moments (the q_corr_exact discipline) --
+    "q_acf" -> ((s, d) =>
+      graft.ops.Stats.acf(
+          dailyOrderCents(s, d), col("day"), col("cents"), maxLag = 7)
+        .select(col("lag").as("lag_k"), col("n_pairs"), col("acf"))),
+
+    // ---- CUSUM changepoint of the same daily series: argmax of
+    //      |n·S_t − t·T| in exact integer arithmetic, earliest-bucket
+    //      tie-break ----
+    "q_cusum" -> ((s, d) =>
+      graft.ops.Stats.cusumChangepoint(
+        dailyOrderCents(s, d), col("day"), col("cents")))
   )
+
+  /** Shared reduced series for q_acf / q_cusum: total order revenue
+    * (integer cents) per calendar day — the distributed aggregate that
+    * bounds the later sequential pass by the calendar.
+    */
+  private def dailyOrderCents(s: SparkSession, d: String): DataFrame =
+    t("orders")(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("cents"))
 
   /** The bigram-LM scoring oracle (shared verbatim by q_lm_score
     * and the q_lm_buckets curriculum histogram built on it).
@@ -5845,6 +5909,129 @@ object SparkEntry {
          min(l_quantity) AS min_qty,
          max(l_quantity) AS max_qty,
          TRUE AS rewritten
-         FROM lineitem GROUP BY 1"""
+         FROM lineitem GROUP BY 1""",
+
+    // inclusive weighted quantile replayed value-domain-wise; the
+    // threshold is the same cross-multiplication as the engine
+    // (cumw*100 >= pct*totw — integer-exact in both engines)
+    "q_weighted_quantiles" ->
+      """WITH byv AS (
+           SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             SUM(CAST(round(l_quantity) AS BIGINT)) AS wsum
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (
+           SELECT l_returnflag, v,
+             CAST(SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumw,
+             CAST(SUM(wsum) OVER (PARTITION BY l_returnflag)
+               AS BIGINT) AS totw
+           FROM byv)
+         SELECT l_returnflag, pct, MIN(v) AS value_cents
+         FROM cum CROSS JOIN (VALUES (25), (50), (75), (90)) p(pct)
+         WHERE cumw * 100 >= CAST(pct AS BIGINT) * totw
+         GROUP BY 1, 2""",
+
+    // rank·value moments exact in HUGEINT (mirror of the engine's
+    // DECIMAL(38,0)); ONE double division under round(,6) — ties in
+    // spend permute equal x among adjacent ranks, leaving Σi·x fixed
+    "q_gini" ->
+      """WITH spend AS (
+           SELECT c.c_mktsegment AS g, c.c_custkey AS k,
+             SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT g, x,
+             row_number() OVER (PARTITION BY g ORDER BY x, k) AS i
+           FROM spend)
+         SELECT g AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(2 * SUM(CAST(i AS HUGEINT) * x)
+               - (count(*) + 1) * SUM(x) AS DOUBLE) /
+             CAST(count(*) * SUM(x) AS DOUBLE), 6) AS gini
+         FROM ranked GROUP BY g""",
+
+    // the 9 expected shares are the engine's pinned literals, not a
+    // live log10 (last-ulp cross-library divergence)
+    "q_benford" ->
+      """WITH d AS (
+           SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+             AS digit
+           FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                 FROM orders)
+           WHERE v > 0),
+         h AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM h)
+         SELECT digit, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * 100.0, 6)
+             AS obs_pct,
+           round(CASE digit
+             WHEN 1 THEN 30.103 WHEN 2 THEN 17.609126
+             WHEN 3 THEN 12.493874 WHEN 4 THEN 9.691001
+             WHEN 5 THEN 7.918125 WHEN 6 THEN 6.694679
+             WHEN 7 THEN 5.799195 WHEN 8 THEN 5.115252
+             ELSE 4.575749 END, 6) AS exp_pct
+         FROM h CROSS JOIN t""",
+
+    // lagged pairs via an index self-join (engine: array-of-lags +
+    // explode over one window); Pearson from HUGEINT-exact moments,
+    // casts to DOUBLE in the engine's exact positions
+    "q_acf" ->
+      """WITH s AS (
+           SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+           FROM orders GROUP BY 1),
+         idx AS (
+           SELECT CAST(x AS BIGINT) AS x,
+             row_number() OVER (ORDER BY day) AS t
+           FROM s),
+         p AS (
+           SELECT k.lag_k, a.x AS x, b.x AS y
+           FROM idx a
+           CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7))
+             k(lag_k)
+           JOIN idx b ON b.t = a.t - k.lag_k)
+         SELECT lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(count(*) * SUM(CAST(x AS HUGEINT) * y)
+               - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT))
+               AS DOUBLE) /
+             (sqrt(CAST(count(*) * SUM(CAST(x AS HUGEINT) * x)
+               - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT))
+               AS DOUBLE)) *
+              sqrt(CAST(count(*) * SUM(CAST(y AS HUGEINT) * y)
+               - SUM(CAST(y AS HUGEINT)) * SUM(CAST(y AS HUGEINT))
+               AS DOUBLE))), 6) AS acf
+         FROM p GROUP BY 1""",
+
+    // argmax of |n·S_t − t·T| exact in HUGEINT (engine: DECIMAL(38,0)),
+    // the same earliest-bucket tie-break, means as one long/long
+    // double division each under round(,6)
+    "q_cusum" ->
+      """WITH s AS (
+           SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         c AS (
+           SELECT day, x,
+             row_number() OVER (ORDER BY day) AS t,
+             CAST(SUM(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS HUGEINT) AS sp,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(x) OVER () AS HUGEINT) AS tt
+           FROM s)
+         SELECT day AS cp_bucket, n AS n_buckets,
+           round(CAST(abs(n * sp - t * tt) AS DOUBLE), 6) AS stat,
+           round(CAST(sp AS DOUBLE) / CAST(t AS DOUBLE), 6)
+             AS mean_before,
+           CASE WHEN t < n THEN
+             round(CAST(tt - sp AS DOUBLE) / CAST(n - t AS DOUBLE), 6)
+           END AS mean_after
+         FROM c
+         ORDER BY abs(n * sp - t * tt) DESC, day ASC
+         LIMIT 1"""
   )
 }

@@ -1,0 +1,304 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distribution statistics over fact-scale columns: weighted
+  * quantiles, Gini concentration, Benford digit audit, series
+  * autocorrelation, CUSUM changepoint. Everything follows the engine's
+  * exact-arithmetic contract (the q_corr_exact discipline): money as
+  * integer cents, accumulation in DECIMAL(38,0) so the statistic is
+  * order-independent under any cluster layout, ONE cast to double at
+  * the very end under a round(..., <=6).
+  *
+  * Scale shapes, per operator:
+  *  - weighted quantiles pre-aggregate to the (group, value) domain
+  *    before any window — the cumulative pass runs over distinct
+  *    values, not rows;
+  *  - Gini ranks with the two-pass range-partition row number (the
+  *    assignSaleIds discipline, streaming/Ingest.scala:151) — no
+  *    single-task per-group sort, ever;
+  *  - Benford is one map-side digit histogram (<= 9 output rows);
+  *  - ACF / CUSUM reduce the fact table to a calendar-bounded daily
+  *    series FIRST (the ops/Anomaly precedent), then run the
+  *    sequential pass on <= #days rows where a single-partition
+  *    window is the honest plan, not a bottleneck.
+  */
+object Stats {
+
+  private val Dec = "decimal(38,0)"
+
+  /** Exact weighted quantiles per group: the smallest value whose
+    * cumulative weight reaches ceil(pct * totalWeight / 100), the
+    * classic inclusive weighted-quantile definition — integer
+    * arithmetic end to end, so any engine that sorts the same value
+    * domain picks the identical row.
+    *
+    * The input is first collapsed to (group, value) with summed
+    * weights — the cumulative window then runs over the DISTINCT
+    * value domain per group (bounded by the value range, e.g. ~1e7
+    * cent-distinct prices), not over fact rows. Weight sums
+    * accumulate in DECIMAL(38,0) and finish as long (a 100 TB
+    * quantity total is ~1e14, far inside long).
+    *
+    * @param df        fact rows
+    * @param groupCol  grouping key
+    * @param valueCol  integral value (e.g. price cents, long)
+    * @param weightCol integral weight (long)
+    * @param percents  percentiles as integers 1..100
+    * @return (group, pct, value) — one row per group x percentile
+    */
+  def weightedQuantiles(
+      df: DataFrame, groupCol: Column, valueCol: Column,
+      weightCol: Column, percents: Seq[Int]): DataFrame = {
+    val byValue = df
+      .select(groupCol.as("g"), valueCol.as("v"), weightCol.as("w"))
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("w").cast(Dec)).as("wsum"))
+    val wg = Window.partitionBy(col("g"))
+    val cum = byValue
+      .withColumn("cumw",
+        sum(col("wsum")).over(wg.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .withColumn("totw", sum(col("wsum")).over(wg).cast("long"))
+    cum
+      .withColumn("pct", explode(typedlit(percents)))
+      // inclusive weighted quantile: cumw >= ceil(pct*totw/100)
+      // ⇔ 100*cumw >= pct*totw — pure-long cross-multiplication, no
+      // division anywhere: a double quotient would lose integer
+      // precision once pct*totw passes 2^53 (totw ~1e14 at 100 TB,
+      // so the product is ~1e16); both products stay far inside long
+      .filter(col("cumw") * lit(100L) >= col("pct") * col("totw"))
+      .groupBy(col("g"), col("pct"))
+      .agg(min(col("v")).as("value"))
+  }
+
+  /** Two-pass distributed row number over a total order — NO
+    * single-task global (or per-group) sort, and exactly ONE
+    * full-data exchange: range-repartition on the order key, a
+    * per-partition record counter, add per-partition offsets (one
+    * #partitions-sized driver array; the streaming/Ingest.scala:151
+    * discipline, generalized). The order key must be unique per row
+    * or ranks are nondeterministic across runs; a single range
+    * partition must stay under 2^33 rows (the counter's bit budget —
+    * ~8.6e9 rows/partition, far above any sane partition sizing).
+    *
+    * The intermediate frame is persisted (the count pass and the
+    * output pass must see the same sampled range boundaries); the
+    * returned release handle must be called once the ranks have been
+    * consumed.
+    */
+  def globalRowNumber(
+      df: DataFrame, orderBy: Seq[Column],
+      outCol: String): (DataFrame, () => Unit) = {
+    val parts = math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    // ONE wide exchange: range-partition on the order key, sort
+    // WITHIN partitions (narrow), then read the within-partition
+    // record number out of monotonically_increasing_id's documented
+    // layout (upper 31 bits = partition id, lower 33 = record counter
+    // in iteration order — which above the sort IS rank order; mid is
+    // non-deterministic so Catalyst never reorders it below the
+    // Sort). The obvious Window.partitionBy(spark_partition_id())
+    // alternative forces a SECOND full-data hash exchange on _pid —
+    // Catalyst cannot know the rows already sit in their own
+    // partition — doubling the shuffled bytes of every ranking.
+    val withRn = df.repartitionByRange(parts, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_rn", monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = withRn.groupBy(col("_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L) {
+      case (acc, pid) => acc + counts.getOrElse(pid, 0L)
+    }
+    val offsetExpr = element_at(
+      typedlit(offsets.take(parts).toSeq), col("_pid") + 1)
+    val out = withRn
+      .withColumn(outCol, offsetExpr + col("_rn"))
+      .drop("_pid", "_rn")
+    (out, () => { withRn.unpersist(); () })
+  }
+
+  /** Gini concentration coefficient of an integral value per group:
+    * G = (2 * SUM(i * x_i) - (n + 1) * SUM(x)) / (n * SUM(x)) with
+    * x ascending and i the 1-based rank — identically
+    * row_number() OVER (PARTITION BY group ORDER BY value, key).
+    *
+    * Ranking uses [[globalRowNumber]] over (group, value, key) — the
+    * global index minus the group's start index IS the within-group
+    * rank, recovered from one tiny per-group MIN, so a 1e10-customer
+    * segment never funnels through one task. SUM(i*x) accumulates in
+    * DECIMAL(38,0): at 100 TB (rank ~1e10, cents ~1e8) the per-row
+    * product is ~1e18 and the sum ~1e28 — inside decimal(38),
+    * catastrophically outside long.
+    *
+    * The per-group result (<= #groups rows) is materialized eagerly
+    * so the two-pass rank's cache can be released before returning —
+    * the ops/Funnel cache-release lesson (ADVICE r9).
+    *
+    * @param df  one row per ranked entity: (group, key, value), key
+    *            unique within group, value integral (cents)
+    * @return (group, n, gini) — gini double rounded to 6 dp
+    */
+  def gini(
+      df: DataFrame, groupCol: Column, keyCol: Column,
+      valueCol: Column): DataFrame = {
+    val base = df.select(
+      groupCol.as("g"), keyCol.as("k"), valueCol.as("x"))
+    val (ranked, release) = globalRowNumber(
+      base, Seq(col("g"), col("x"), col("k")), "gidx")
+    try {
+      val agg = ranked.groupBy(col("g"))
+        .agg(
+          count(lit(1)).cast(Dec).as("n"),
+          min(col("gidx")).as("g0"),
+          sum(col("x").cast(Dec)).as("sx"),
+          sum(col("gidx").cast(Dec) * col("x")).as("sgx"))
+        // within-group rank i = gidx - g0 + 1, so
+        // SUM(i*x) = SUM(gidx*x) - (g0 - 1) * SUM(x)
+        .withColumn("six",
+          col("sgx") - (col("g0") - lit(1)).cast(Dec) * col("sx"))
+        .select(col("g"), col("n").cast("long").as("n"),
+          round(((lit(2).cast(Dec) * col("six") -
+              (col("n") + lit(1)) * col("sx")).cast("double")) /
+            ((col("n") * col("sx")).cast("double")), 6).as("gini"))
+      val rows = agg.collect().toSeq // <= #groups rows, by construction
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally release()
+  }
+
+  /** Benford first-significant-digit expected shares, percent,
+    * rounded to 6 dp — log10(1 + 1/d) * 100 pinned as literals so the
+    * engine and any oracle replay agree to the digit (a live log10()
+    * could differ in the last ulp across math libraries).
+    */
+  val BenfordExpectedPct: Map[Int, Double] = Map(
+    1 -> 30.103, 2 -> 17.609126, 3 -> 12.493874, 4 -> 9.691001,
+    5 -> 7.918125, 6 -> 6.694679, 7 -> 5.799195, 8 -> 5.115252,
+    9 -> 4.575749)
+
+  /** First-significant-digit distribution of a positive integral
+    * column vs the Benford expectation — the classic fabricated-data
+    * audit. One map-side histogram (9 output rows, SinglePartition
+    * gather); observed share is an exact long/long division done once
+    * in double (correctly rounded, cross-engine identical) under a
+    * round(, 6).
+    *
+    * @param valueCol positive integral values (e.g. price cents)
+    * @return (digit, n, obs_pct, exp_pct) for digits that occur
+    */
+  def benford(df: DataFrame, valueCol: Column): DataFrame = {
+    val digits = df
+      .select(valueCol.as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("tot"))
+    val expected = element_at(
+      typedlit((1 to 9).map(BenfordExpectedPct)), col("digit"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double")
+          * 100.0, 6).as("obs_pct"),
+        round(expected, 6).as("exp_pct"))
+  }
+
+  /** Sample autocorrelation of an integral series at lags 1..maxLag:
+    * Pearson correlation between (x_t, x_{t-k}) over the overlapping
+    * pairs, from exact DECIMAL(38,0) moments (the q_corr_exact
+    * discipline) — deterministic on any layout.
+    *
+    * The input must already be a reduced series (one row per bucket,
+    * e.g. a daily total from a fact-table aggregate) — bounded by the
+    * calendar, so the single-partition ordering window is the honest
+    * plan (the ops/Anomaly contract), not a scale leak: the
+    * distributed work happened in the reduction that produced it.
+    *
+    * @param series    (bucket, value) — one row per bucket
+    * @param bucketCol ordering column (e.g. day)
+    * @param valueCol  integral value (long)
+    * @return (lag, n_pairs, acf) — acf double rounded to 6 dp
+    */
+  def acf(
+      series: DataFrame, bucketCol: Column, valueCol: Column,
+      maxLag: Int): DataFrame = {
+    val w = Window.orderBy(bucketCol)
+    val lagged = series.select(
+      valueCol.as("x"),
+      array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), lag(valueCol, k).over(w).as("y"))): _*)
+        .as("lags"))
+    val pairs = lagged
+      .select(col("x"), explode(col("lags")).as("ly"))
+      .select(col("x"), col("ly.lag").as("lag"), col("ly.y").as("y"))
+      .filter(col("y").isNotNull)
+    pairs.groupBy(col("lag"))
+      .agg(
+        count(lit(1)).cast(Dec).as("n"),
+        sum(col("x").cast(Dec)).as("sx"),
+        sum(col("y").cast(Dec)).as("sy"),
+        sum(col("x").cast(Dec) * col("y")).as("sxy"),
+        sum(col("x").cast(Dec) * col("x")).as("sxx"),
+        sum(col("y").cast(Dec) * col("y")).as("syy"))
+      .select(col("lag"), col("n").cast("long").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double"))), 6).as("acf"))
+  }
+
+  /** CUSUM changepoint over an integral series: the bucket t
+    * maximizing |n * S_t - t * T| (S_t = prefix sum, T = total, n =
+    * #buckets) — the exact-integer form of max |S_t - t * mean|,
+    * scaled by n so no division ever happens before the final means.
+    * Ties break to the earliest bucket. Same reduced-series contract
+    * as [[acf]].
+    *
+    * @return one row: (cp_bucket, n_buckets, stat, mean_before,
+    *         mean_after) — stat = |n*S_t - t*T|, accumulated in
+    *         DECIMAL(38,0) (n*S_t reaches ~4e19 on a decade of 100 TB
+    *         days, past long) and finished as a rounded double; means
+    *         are exact long/long divisions rounded to 6 dp, mean_after
+    *         null when the changepoint is the last bucket
+    */
+  def cusumChangepoint(
+      series: DataFrame, bucketCol: Column,
+      valueCol: Column): DataFrame = {
+    // the window orders by the RENAMED bucket — bucketCol may be an
+    // expression over `series` that no longer resolves post-select
+    val w = Window.orderBy(col("b"))
+    val cum = series
+      .select(bucketCol.as("b"), valueCol.as("x"))
+      .withColumn("t", row_number().over(w))
+      .withColumn("s", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = cum.agg(
+      max(col("t")).as("n"), sum(col("x")).as("tt"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("d",
+        abs(col("n").cast(Dec) * col("s") -
+          col("t").cast(Dec) * col("tt")))
+      .orderBy(col("d").desc, col("b").asc)
+      .limit(1)
+      .select(col("b").as("cp_bucket"),
+        col("n").cast("long").as("n_buckets"),
+        round(col("d").cast("double"), 6).as("stat"),
+        round(col("s").cast("double") / col("t").cast("double"), 6)
+          .as("mean_before"),
+        when(col("t") < col("n"),
+          round((col("tt") - col("s")).cast("double") /
+            (col("n") - col("t")).cast("double"), 6))
+          .as("mean_after"))
+  }
+}

@@ -148,10 +148,17 @@ object Ingest {
     val orderCols = orderBy.map(col)
     val parts = math.max(1,
       batch.sparkSession.sessionState.conf.numShufflePartitions)
+    // ONE wide exchange (the ops/Stats.globalRowNumber discipline):
+    // sort WITHIN the range partitions and read the record counter
+    // out of monotonically_increasing_id's lower 33 bits — the
+    // previous Window.partitionBy(spark_partition_id()) form forced a
+    // second full-data hash exchange on _pid (Catalyst cannot know
+    // the rows already sit in their own partition)
     val withRn = batch.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
       .withColumn("_pid", spark_partition_id())
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("_pid")).orderBy(orderCols: _*)))
+      .withColumn("_rn", monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition counts: #partitions rows — a scalar-sized collect
     val counts = withRn.groupBy(col("_pid")).count()

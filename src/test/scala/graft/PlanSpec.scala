@@ -481,4 +481,89 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
       s"transitions degenerated:\n$plan")
   }
+
+  /** Wide exchanges counted as DISTINCT physical operators: the plan
+    * string repeats an exchange's text inside ReusedExchange lines and
+    * a cached child's appended Initial Plan section, so a raw regex
+    * count overstates — dedup on plan_id.
+    */
+  private def distinctWideExchanges(plan: String): Set[String] =
+    "Exchange (?:hash|range)partitioning[^\\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+
+  test("globalRowNumber ranks through ONE full-data exchange") {
+    // the ranking contract (Stats.scala): one range exchange, sort
+    // WITHIN partitions, record counter from mid()'s lower 33 bits —
+    // a Window.partitionBy(spark_partition_id()) regression would
+    // reintroduce a second full-data hash exchange on _pid
+    import org.apache.spark.sql.functions.{col, round}
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val (ranked, release) = graft.ops.Stats.globalRowNumber(
+      li, Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+      "rn")
+    try {
+      ranked.collect()
+      val plan = ranked.queryExecution.executedPlan.toString
+      // the cached child plan prints the same exchange under several
+      // plan_ids (final + appended initial sections), so assert the
+      // KIND set instead of a count: the range partition exists and
+      // NO hash exchange of any sort does — in particular not the
+      // _pid re-shuffle the Window form used to plan
+      assert(plan.contains("Exchange rangepartitioning"),
+        s"ranking exchange is not the range partition:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"ranking plans a second full-data hash exchange:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"ranking collapsed to a single partition:\n$plan")
+    } finally release()
+  }
+
+  test("q_weighted_quantiles windows over the VALUE DOMAIN, per group") {
+    // the cumulative pass must (a) run on the pre-aggregated
+    // (group, value) domain — partial_sum before the first exchange —
+    // and (b) stay PARTITIONED by group: a global single-partition
+    // window over fact rows would serialize the quantile at any scale
+    val plan = finalPlan(q("q_weighted_quantiles"))
+    assert(shuffles(plan) == 2,
+      s"quantiles expected 2 exchanges ((g,v) agg + g window), " +
+        s"got ${shuffles(plan)}:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"quantile window collapsed to a single partition:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"weight pre-aggregation not map-side partial:\n$plan")
+  }
+
+  test("q_benford moves only digit partials, never fact rows") {
+    // one hash exchange keyed on the 9-value digit histogram; the
+    // total attaches by broadcast — the order scan itself never
+    // shuffles, and there is nothing to sort
+    val plan = finalPlan(q("q_benford"))
+    assert(distinctWideExchanges(plan).size == 1
+        && plan.contains("hashpartitioning(digit"),
+      s"benford expected one digit-keyed exchange:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"digit histogram not map-side partial:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"total not attached by broadcast:\n$plan")
+    assert(!plan.contains("Sort "), s"benford plan sorts:\n$plan")
+  }
+
+  test("q_acf and q_cusum reduce to the calendar BEFORE the " +
+    "sequential pass") {
+    // the reduced-series contract (ops/Stats): the fact table
+    // aggregates map-side through ONE day-keyed hash exchange; the
+    // single-partition window only ever sees the ≤ #days series
+    Seq("q_acf", "q_cusum").foreach { name =>
+      val plan = finalPlan(q(name))
+      assert(shuffles(plan) == 1,
+        s"$name expected exactly 1 day-keyed exchange, " +
+          s"got ${shuffles(plan)}:\n$plan")
+      assert(plan.contains("partial_sum"),
+        s"$name daily reduction not map-side partial:\n$plan")
+      assert(plan.contains("Exchange SinglePartition"),
+        s"$name missing the reduced-series gather:\n$plan")
+    }
+  }
 }

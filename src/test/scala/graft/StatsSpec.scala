@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Stats
+
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("weightedQuantiles: inclusive cumulative-weight definition") {
+    // group a: (v,w) = (1,1)(2,2)(3,3)(4,4), tot=10
+    //   p25 → thresh 2.5 → v=2 (cum 3); p50 → 5 → v=3 (cum 6);
+    //   p90 → 9 → v=4 (cum 10); p100 → 10 → v=4
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L),
+      // group b: duplicated value rows must merge before the cum pass
+      ("b", 5L, 1L), ("b", 5L, 1L), ("b", 7L, 2L))
+      .toDF("g", "v", "w")
+    val got = Stats.weightedQuantiles(
+      df, col("g"), col("v"), col("w"), Seq(25, 50, 90, 100))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 25, 2L), ("a", 50, 3L), ("a", 90, 4L), ("a", 100, 4L),
+      ("b", 25, 5L), ("b", 50, 5L), ("b", 90, 7L), ("b", 100, 7L)))
+  }
+
+  test("weightedQuantiles: layout-independent") {
+    val df = (1 to 500)
+      .map(i => (s"g${i % 3}", (i * 37 % 101).toLong, (i % 7 + 1).toLong))
+      .toDF("g", "v", "w")
+    val q = Seq(10, 50, 95)
+    val a = Stats.weightedQuantiles(df, col("g"), col("v"), col("w"), q)
+      .as[(String, Int, Long)].collect().toSet
+    val b = Stats.weightedQuantiles(
+      df.repartition(11), col("g"), col("v"), col("w"), q)
+      .as[(String, Int, Long)].collect().toSet
+    assert(a == b && a.size == 9)
+  }
+
+  test("globalRowNumber: a dense permutation matching the total order") {
+    val df = (1 to 300).map(i => ((i * 7919) % 1000, i)).toDF("k", "id")
+    val (ranked, release) =
+      Stats.globalRowNumber(df, Seq(col("k"), col("id")), "rn")
+    try {
+      val rows = ranked.select("k", "id", "rn")
+        .as[(Int, Int, Long)].collect().sortBy(_._3)
+      assert(rows.map(_._3).toSeq == (1L to 300L))
+      // rank order IS the (k, id) sort order
+      assert(rows.map(r => (r._1, r._2)).toSeq ==
+        rows.map(r => (r._1, r._2)).sortBy(identity).toSeq)
+    } finally release()
+  }
+
+  test("gini: 0 for perfect equality, (n-1)/n for one-holder") {
+    val eq = Seq(("s", 1L, 5L), ("s", 2L, 5L), ("s", 3L, 5L),
+      ("s", 4L, 5L)).toDF("g", "k", "x")
+    val g0 = Stats.gini(eq, col("g"), col("k"), col("x"))
+      .as[(String, Long, Double)].head()
+    assert(g0 == (("s", 4L, 0.0)))
+    val one = Seq(("s", 1L, 0L), ("s", 2L, 0L), ("s", 3L, 0L),
+      ("s", 4L, 10L)).toDF("g", "k", "x")
+    val g1 = Stats.gini(one, col("g"), col("k"), col("x"))
+      .as[(String, Long, Double)].head()
+    assert(g1 == (("s", 4L, 0.75)))
+  }
+
+  test("gini: layout-independent across partitionings") {
+    val df = (1 to 400)
+      .map(i => (s"g${i % 2}", i.toLong, ((i * 131) % 997).toLong))
+      .toDF("g", "k", "x")
+    val a = Stats.gini(df, col("g"), col("k"), col("x"))
+      .as[(String, Long, Double)].collect().toSet
+    val b = Stats.gini(df.repartition(17), col("g"), col("k"), col("x"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(a == b && a.size == 2)
+  }
+
+  test("benford: digit histogram + pinned expected shares") {
+    val df = Seq(10L, 12L, 19L, 2L, 25L, 3L, 35L, 9L, 91L, 100L,
+      0L, -7L) // zero/negative excluded
+      .toDF("v")
+    val got = Stats.benford(df, col("v"))
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1) == ((4L, 40.0, 30.103)))
+    assert(got(2) == ((2L, 20.0, 17.609126)))
+    assert(got(3) == ((2L, 20.0, 12.493874)))
+    assert(got(9) == ((2L, 20.0, 4.575749)))
+    assert(got.size == 4)
+  }
+
+  test("acf: alternating series has lag-1 autocorrelation -1") {
+    val s = Seq(("d1", 1L), ("d2", 2L), ("d3", 1L), ("d4", 2L),
+      ("d5", 1L), ("d6", 2L)).toDF("b", "x")
+    val got = Stats.acf(s, col("b"), col("x"), maxLag = 2)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1) == ((1, 5L, -1.0)))
+    assert(got(2) == ((2, 4L, 1.0)))
+  }
+
+  test("cusum: level shift found at the step, exact means") {
+    val s = Seq(("d1", 10L), ("d2", 10L), ("d3", 10L),
+      ("d4", 20L), ("d5", 20L), ("d6", 20L)).toDF("b", "x")
+    val got = Stats.cusumChangepoint(s, col("b"), col("x"))
+      .as[(String, Long, Double, Double, Option[Double])].head()
+    // d_t = |6*S_t - t*90| peaks at t=3 (|180-270| = 90)
+    assert(got == (("d3", 6L, 90.0, 10.0, Some(20.0))))
+  }
+
+  test("cusum: ties break earliest; single bucket leaves mean_after null") {
+    val s = Seq(("d1", 5L), ("d2", 5L)).toDF("b", "x")
+    val got = Stats.cusumChangepoint(s, col("b"), col("x"))
+      .as[(String, Long, Double, Double, Option[Double])].head()
+    // constant series: every d_t = 0, tie breaks to the EARLIEST
+    assert(got == (("d1", 2L, 0.0, 5.0, Some(5.0))))
+    val one = Seq(("d1", 7L)).toDF("b", "x")
+    val g1 = Stats.cusumChangepoint(one, col("b"), col("x"))
+      .as[(String, Long, Double, Double, Option[Double])].head()
+    // t = n at the only bucket: no after-segment to average
+    assert(g1 == (("d1", 1L, 0.0, 7.0, None)))
+  }
+}
