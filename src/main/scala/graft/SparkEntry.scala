@@ -2680,7 +2680,63 @@ object SparkEntry {
     //      tie-break ----
     "q_cusum" -> ((s, d) =>
       graft.ops.Stats.cusumChangepoint(
-        dailyOrderCents(s, d), col("day"), col("cents")))
+        dailyOrderCents(s, d), col("day"), col("cents"))),
+
+    // ---- leave-one-out target encoding of market segment against
+    //      order value: leakage-free mean feature, exact DECIMAL
+    //      sums, per-segment state broadcast back — the fact table
+    //      never shuffles ----
+    "q_target_encode" -> ((s, d) => {
+      val o = t("orders")(s, d)
+        .join(t("customer")(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.ops.Encoding.looTargetEncode(
+          o, col("c_mktsegment"), col("cents"), "loo_cents")
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          col("loo_cents"))
+    }),
+
+    // ---- equi-depth price quartile per return flag: exact order-
+    //      statistic thresholds (value-domain cumulative pass)
+    //      broadcast onto the fact scan; bin = integer comparison
+    //      ladder in codegen ----
+    "q_quantile_bin" -> ((s, d) =>
+      graft.ops.Encoding.quantileBins(
+        t("lineitem")(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long")
+              .as("price_cents")),
+        col("l_returnflag"), col("price_cents"), 4, "bin")),
+
+    // ---- Kaplan-Meier time-to-conversion: days from first signup
+    //      to first subsequent purchase, right-censored at the
+    //      corpus horizon; survival via the 9-dp lattice-log product
+    //      (the lm_score discipline) ----
+    "q_kaplan_meier" -> ((s, d) => {
+      val ev = t("events")(s, d).filter(col("user_id").isNotNull)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("su"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu_user"), col("ts").as("pts"))
+      val firstPurchase = su
+        .join(pu, col("user_id") === col("pu_user")
+          && col("pts") >= col("su"), "left")
+        .groupBy(col("user_id"), col("su"))
+        .agg(min(col("pts")).as("pu"))
+      val subj = firstPurchase
+        .crossJoin(broadcast(ev.agg(max(col("ts")).as("mx"))))
+        .select(
+          when(col("pu").isNotNull,
+            datediff(to_date(col("pu")), to_date(col("su"))))
+            .otherwise(
+              datediff(to_date(col("mx")), to_date(col("su"))))
+            .cast("long").as("t"),
+          col("pu").isNotNull.as("obs"))
+      graft.ops.Survival.kaplanMeier(subj, col("t"), col("obs"))
+    })
   )
 
   /** Shared reduced series for q_acf / q_cusum: total order revenue
@@ -6032,6 +6088,115 @@ object SparkEntry {
            END AS mean_after
          FROM c
          ORDER BY abs(n * sp - t * tt) DESC, day ASC
-         LIMIT 1"""
+         LIMIT 1""",
+
+    // leave-one-out encoding replayed exactly: HUGEINT group sums
+    // mirror the engine's DECIMAL(38,0); one double division per row
+    // under round(,6); size-1 groups null on both sides
+    "q_target_encode" ->
+      """WITH o AS (
+           SELECT o_orderkey, c_mktsegment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         a AS (
+           SELECT c_mktsegment AS g,
+             SUM(CAST(cents AS HUGEINT)) AS s, count(*) AS n
+           FROM o GROUP BY 1)
+         SELECT o_orderkey, o.c_mktsegment,
+           CASE WHEN n > 1 THEN
+             round(CAST(s - cents AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+           END AS loo_cents
+         FROM o JOIN a ON o.c_mktsegment = a.g""",
+
+    // the same inclusive weighted-quantile CTE as
+    // q_weighted_quantiles at unit weight, pivoted to thresholds;
+    // the bin ladder is pure-integer on both sides
+    "q_quantile_bin" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               AS price_cents
+           FROM lineitem),
+         byv AS (
+           SELECT l_returnflag AS g, price_cents AS v, count(*) AS w
+           FROM li GROUP BY 1, 2),
+         cum AS (
+           SELECT g, v,
+             CAST(SUM(w) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumw,
+             CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS totw
+           FROM byv),
+         q AS (
+           SELECT g, pct, MIN(v) AS thr
+           FROM cum CROSS JOIN (VALUES (25), (50), (75)) p(pct)
+           WHERE cumw * 100 >= CAST(pct AS BIGINT) * totw
+           GROUP BY 1, 2),
+         thr AS (
+           SELECT g,
+             MAX(CASE WHEN pct = 25 THEN thr END) AS q25,
+             MAX(CASE WHEN pct = 50 THEN thr END) AS q50,
+             MAX(CASE WHEN pct = 75 THEN thr END) AS q75
+           FROM q GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l_returnflag, price_cents,
+           1 + (CASE WHEN price_cents > q25 THEN 1 ELSE 0 END)
+             + (CASE WHEN price_cents > q50 THEN 1 ELSE 0 END)
+             + (CASE WHEN price_cents > q75 THEN 1 ELSE 0 END) AS bin
+         FROM li JOIN thr ON li.l_returnflag = thr.g""",
+
+    // the product-limit curve replayed exactly: risk sets are a
+    // reverse cumulative sum on the reduced per-duration series;
+    // each factor is the SAME 9-dp lattice value round(ln(1-d/n), 9)
+    // summed exactly in DECIMAL, one exp under round(,6); a
+    // risk-set-emptying step short-circuits to 0 on both sides
+    "q_kaplan_meier" ->
+      """WITH e AS (
+           SELECT user_id, event_type, ts FROM events
+           WHERE user_id IS NOT NULL),
+         su AS (
+           SELECT user_id, MIN(ts) AS su FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         fp AS (
+           SELECT s.user_id, s.su, MIN(p.ts) AS pu
+           FROM su s LEFT JOIN e p ON p.user_id = s.user_id
+             AND p.event_type = 'purchase' AND p.ts >= s.su
+           GROUP BY 1, 2),
+         mx AS (SELECT MAX(ts) AS mx FROM e),
+         subj AS (
+           SELECT
+             CAST(CASE WHEN pu IS NOT NULL
+               THEN date_diff('day', CAST(su AS DATE), CAST(pu AS DATE))
+               ELSE date_diff('day', CAST(su AS DATE), CAST(mx AS DATE))
+             END AS BIGINT) AS t,
+             pu IS NOT NULL AS obs
+           FROM fp CROSS JOIN mx),
+         counts AS (
+           SELECT t, SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
+             count(*) AS c
+           FROM subj GROUP BY 1),
+         risk AS (
+           SELECT t, d, c,
+             CAST(SUM(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+           FROM counts),
+         lat AS (
+           SELECT t, d, n_risk,
+             CASE WHEN d > 0 AND d < n_risk THEN
+               CAST(round(ln(1 - CAST(d AS DOUBLE) /
+                 CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(28,9))
+             ELSE CAST(0 AS DECIMAL(28,9)) END AS lp,
+             CASE WHEN d > 0 AND d = n_risk THEN 1 ELSE 0 END AS zf
+           FROM risk),
+         cumm AS (
+           SELECT t, d, n_risk,
+             SUM(lp) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS ls,
+             SUM(zf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS zc
+           FROM lat)
+         SELECT t, n_risk, CAST(d AS BIGINT) AS d_events,
+           CASE WHEN zc > 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival
+         FROM cumm WHERE d > 0"""
   )
 }

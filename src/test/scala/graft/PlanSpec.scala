@@ -550,6 +550,51 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Sort "), s"benford plan sorts:\n$plan")
   }
 
+  test("q_target_encode: group state broadcast, fact rows never " +
+    "wide-exchange") {
+    // the LOO encoding's only wide exchange is the #segments-row
+    // aggregate's partials; the fact side takes both the dimension
+    // and the encoded state by broadcast
+    val plan = finalPlan(q("q_target_encode"))
+    assert(distinctWideExchanges(plan).size <= 1,
+      s"target-encode fact rows shuffled:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"target-encode state not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"target-encode degenerated to a sort-merge join:\n$plan")
+  }
+
+  test("q_quantile_bin: thresholds from the value domain, attached " +
+    "by broadcast") {
+    // two exchanges belong to the quantile pass ((g,v) partial-agg +
+    // g-partitioned window over the DISTINCT value domain); the bin
+    // assignment itself is a broadcast join + codegen ladder over the
+    // fact scan
+    val plan = finalPlan(q("q_quantile_bin"))
+    assert(distinctWideExchanges(plan).size <= 3,
+      s"quantile-bin exchanges exceed the threshold pass:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quantile-bin thresholds not broadcast:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"quantile-bin collapsed to a single partition:\n$plan")
+  }
+
+  test("q_kaplan_meier reduces subjects to durations BEFORE the " +
+    "sequential pass") {
+    // subjects collapse to per-duration counts (map-side partials);
+    // the single-partition window only ever sees ≤ #distinct-times
+    // rows; the horizon attaches as a 1-row broadcast
+    val plan = finalPlan(q("q_kaplan_meier"))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"KM duration reduction not map-side partial:\n$plan")
+    assert(plan.contains("Exchange SinglePartition"),
+      s"KM missing the reduced-series gather:\n$plan")
+    assert(distinctWideExchanges(plan).size <= 4,
+      s"KM exchanges exceed the subject-reduction budget:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"KM degenerated to a cartesian:\n$plan")
+  }
+
   test("q_acf and q_cusum reduce to the calendar BEFORE the " +
     "sequential pass") {
     // the reduced-series contract (ops/Stats): the fact table
