@@ -36,41 +36,106 @@ object Stats {
     * arithmetic end to end, so any engine that sorts the same value
     * domain picks the identical row.
     *
-    * The input is first collapsed to (group, value) with summed
-    * weights — the cumulative window then runs over the DISTINCT
-    * value domain per group (bounded by the value range, e.g. ~1e7
-    * cent-distinct prices), not over fact rows. Weight sums
-    * accumulate in DECIMAL(38,0) and finish as long (a 100 TB
-    * quantity total is ~1e14, far inside long).
+    * BANDED TWO-PASS execution (the Skyline / tokenBudgetSample
+    * discipline) — no per-group cumulative window ever sees the full
+    * value domain, so a low-cardinality group column (3 return flags)
+    * cannot funnel millions of distinct values through single tasks:
+    *
+    *  1. collapse fact rows to the distinct (group, value) domain
+    *     with summed weights — the ONLY fact-scale exchange;
+    *  2. band each group's value range into `bands` fixed-width
+    *     integer intervals (per-group min/max broadcast back; band id
+    *     by exact integer `div`, execution partitioning only — band
+    *     edges never touch the result);
+    *  3. per-(group, band) weight subtotals: a hash agg over the
+    *     value domain down to ≤ #groups·bands rows — the BOUNDED band
+    *     table; its per-group cumulative window partitions are ≤
+    *     `bands` rows by construction;
+    *  4. locate each percentile's BOUNDARY band (first band whose
+    *     inclusive cumulative weight reaches the threshold) on that
+    *     bounded table — ≤ #groups·#percents rows out;
+    *  5. broadcast the boundary rows back onto the value domain and
+    *     run the cumulative window ONLY inside each boundary band —
+    *     every window partition holds ≤ bandWidth = ceil(range/bands)
+    *     distinct integral values (e.g. a 1e7-cent price domain at
+    *     bands=4096 → ≤ 2 443 rows/partition), seeded with the band's
+    *     exclusive cumulative offset.
+    *
+    * Weight sums accumulate in DECIMAL(38,0) and finish as long (a
+    * 100 TB quantity total is ~1e14, far inside long). The threshold
+    * test is a pure-long cross-multiplication `100·cum >= pct·tot` —
+    * no division anywhere: a double quotient would lose integer
+    * precision once pct·tot passes 2^53 (~1e16 at 100 TB).
     *
     * @param df        fact rows
     * @param groupCol  grouping key
     * @param valueCol  integral value (e.g. price cents, long)
     * @param weightCol integral weight (long)
     * @param percents  percentiles as integers 1..100
+    * @param bands     band count (window-partition bound is
+    *                  ceil(valueRange/bands) distinct values)
     * @return (group, pct, value) — one row per group x percentile
     */
   def weightedQuantiles(
       df: DataFrame, groupCol: Column, valueCol: Column,
-      weightCol: Column, percents: Seq[Int]): DataFrame = {
+      weightCol: Column, percents: Seq[Int],
+      bands: Int = 4096): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     val byValue = df
       .select(groupCol.as("g"), valueCol.as("v"), weightCol.as("w"))
       .groupBy(col("g"), col("v"))
       .agg(sum(col("w").cast(Dec)).as("wsum"))
+    // per-group value bounds: ≤ #groups rows, broadcast back; the
+    // band id is exact integer arithmetic ((v−lo) div width, width =
+    // ceil(range/bands) ≥ 1) — no double division that could misband
+    // past 2^53
+    val bounds = byValue.groupBy(col("g").as("_qg"))
+      .agg(min(col("v")).as("_lo"), max(col("v")).as("_hi"))
+    val banded = byValue
+      .join(broadcast(bounds), col("g") === col("_qg"))
+      .withColumn("_width",
+        greatest(lit(1L),
+          expr(s"(_hi - _lo + ${bands}L) div ${bands}L")))
+      .withColumn("band", expr("(v - _lo) div _width"))
+      .select(col("g"), col("v"), col("wsum"), col("band"))
+    // bounded band table: ≤ #groups·bands rows; its cumulative window
+    // partitions are ≤ bands rows each — never the value domain
     val wg = Window.partitionBy(col("g"))
-    val cum = byValue
-      .withColumn("cumw",
-        sum(col("wsum")).over(wg.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
-      .withColumn("totw", sum(col("wsum")).over(wg).cast("long"))
-    cum
+    val bandCum = banded
+      .groupBy(col("g"), col("band"))
+      .agg(sum(col("wsum")).as("bw"))
+      .withColumn("cum_before",
+        coalesce(
+          sum(col("bw")).over(wg.orderBy(col("band"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast(Dec)).cast("long"))
+      .withColumn("totw", sum(col("bw")).over(wg).cast("long"))
+    // boundary band per percentile: first band whose INCLUSIVE
+    // cumulative reaches the threshold; min-struct picks that band's
+    // exclusive offset along with it ((g, band) is unique here)
+    val boundary = bandCum
       .withColumn("pct", explode(typedlit(percents)))
-      // inclusive weighted quantile: cumw >= ceil(pct*totw/100)
-      // ⇔ 100*cumw >= pct*totw — pure-long cross-multiplication, no
-      // division anywhere: a double quotient would lose integer
-      // precision once pct*totw passes 2^53 (totw ~1e14 at 100 TB,
-      // so the product is ~1e16); both products stay far inside long
-      .filter(col("cumw") * lit(100L) >= col("pct") * col("totw"))
+      .filter((col("cum_before") + col("bw").cast("long")) * lit(100L)
+        >= col("pct") * col("totw"))
+      .groupBy(col("g"), col("pct"))
+      .agg(min(struct(col("band"), col("cum_before"), col("totw")))
+        .as("_b"))
+      .select(col("g").as("_bg"), col("pct"),
+        col("_b.band").as("_bband"), col("_b.cum_before").as("_boff"),
+        col("_b.totw").as("_btot"))
+    // the within-band cumulative pass: the boundary table
+    // (≤ #groups·#percents rows) broadcasts onto the value domain, so
+    // only boundary-band values survive into the window — each
+    // (g, pct) partition is ≤ bandWidth distinct values
+    val wPct = Window.partitionBy(col("g"), col("pct"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    banded
+      .join(broadcast(boundary),
+        col("g") === col("_bg") && col("band") === col("_bband"))
+      .withColumn("cumw",
+        col("_boff") + sum(col("wsum")).over(wPct).cast("long"))
+      .filter(col("cumw") * lit(100L) >= col("pct") * col("_btot"))
       .groupBy(col("g"), col("pct"))
       .agg(min(col("v")).as("value"))
   }

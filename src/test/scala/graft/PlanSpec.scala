@@ -520,19 +520,36 @@ class PlanSpec extends SparkTestBase {
     } finally release()
   }
 
-  test("q_weighted_quantiles windows over the VALUE DOMAIN, per group") {
-    // the cumulative pass must (a) run on the pre-aggregated
-    // (group, value) domain — partial_sum before the first exchange —
-    // and (b) stay PARTITIONED by group: a global single-partition
-    // window over fact rows would serialize the quantile at any scale
+  test("q_weighted_quantiles: no window partition exceeds the band") {
+    // the banded two-pass contract (VERDICT r10 #1): the cumulative
+    // window over VALUES must partition by (group, pct) and sit above
+    // the boundary-band broadcast join — each partition is one
+    // percentile's boundary band, ≤ ceil(range/bands) distinct values
+    // no matter how few groups there are. Partitioned-by-group alone
+    // IS single-task when #groups is small (the r10 pin's mistake).
     val plan = finalPlan(q("q_weighted_quantiles"))
-    assert(shuffles(plan) == 2,
-      s"quantiles expected 2 exchanges ((g,v) agg + g window), " +
-        s"got ${shuffles(plan)}:\n$plan")
+    assert("windowspecdefinition\\(g#\\d+, pct#\\d+, v#\\d+L ASC".r
+        .findFirstIn(plan).isDefined,
+      s"value window not partitioned by (group, pct):\n$plan")
+    assert("windowspecdefinition\\(g#\\d+, v#\\d+L ASC".r
+        .findFirstIn(plan).isEmpty,
+      s"a per-group window still sees the full value domain:\n$plan")
+    assert("BroadcastHashJoin \\[g#\\d+, band#\\d+L\\]".r
+        .findFirstIn(plan).isDefined,
+      s"boundary-band broadcast join missing below the window:\n$plan")
+    // the band table's own cumulative pass: per group over BAND ids —
+    // bounded at `bands` rows per partition by construction
+    assert("windowspecdefinition\\(g#\\d+, band#\\d+L ASC".r
+        .findFirstIn(plan).isDefined,
+      s"band-offset window not over the bounded band table:\n$plan")
     assert(!plan.contains("Exchange SinglePartition"),
       s"quantile window collapsed to a single partition:\n$plan")
     assert(plan.contains("partial_sum"),
       s"weight pre-aggregation not map-side partial:\n$plan")
+    // the value-domain agg is the ONLY fact-scale exchange; every
+    // other consumer of it must reuse, not recompute
+    assert(plan.contains("ReusedExchange"),
+      s"(g,v) domain exchange recomputed instead of reused:\n$plan")
   }
 
   test("q_benford moves only digit partials, never fact rows") {

@@ -37,6 +37,43 @@ class StatsSpec extends SparkTestBase {
     assert(a == b && a.size == 9)
   }
 
+  test("weightedQuantiles: band count never changes the result") {
+    // banding is execution partitioning only — bands=1 (one band =
+    // the un-banded algorithm), a band width that lands percentile
+    // thresholds exactly on band edges, and the default must all pick
+    // identical rows; values are clustered so some bands are empty
+    val df = (1 to 800)
+      .map { i =>
+        val v = if (i % 3 == 0) (i % 13).toLong      // dense cluster
+                else 1000000L + (i * 997 % 4001)      // far cluster
+        (s"g${i % 2}", v, (i % 5 + 1).toLong)
+      }
+      .toDF("g", "v", "w")
+    val q = Seq(1, 25, 50, 75, 99, 100)
+    val expect = Stats
+      .weightedQuantiles(df, col("g"), col("v"), col("w"), q, bands = 1)
+      .as[(String, Int, Long)].collect().toSet
+    for (b <- Seq(2, 7, 4096)) {
+      val got = Stats
+        .weightedQuantiles(df, col("g"), col("v"), col("w"), q, bands = b)
+        .as[(String, Int, Long)].collect().toSet
+      assert(got == expect, s"bands=$b diverged")
+    }
+    assert(expect.size == 12)
+  }
+
+  test("weightedQuantiles: single-value group and zero total weight") {
+    // degenerate bands: range 0 → one band; all-zero weights → every
+    // threshold is 0 and the inclusive rule returns the minimum value
+    val df = Seq(("a", 7L, 3L), ("a", 7L, 2L),
+      ("z", 1L, 0L), ("z", 9L, 0L)).toDF("g", "v", "w")
+    val got = Stats
+      .weightedQuantiles(df, col("g"), col("v"), col("w"), Seq(50, 100))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("a", 50, 7L), ("a", 100, 7L),
+      ("z", 50, 1L), ("z", 100, 1L)))
+  }
+
   test("globalRowNumber: a dense permutation matching the total order") {
     val df = (1 to 300).map(i => ((i * 7919) % 1000, i)).toDF("k", "id")
     val (ranked, release) =
