@@ -234,10 +234,18 @@ object Graph {
     * a hub of degree 10⁶ has out-degree ≤ √m regardless, because its
     * edges orient INTO it from the (necessarily lower-degree) other
     * endpoints. Three hash joins + two aggregations, all on the edge
-    * key space; no driver materialization, no windows. The `distinct`
-    * exchange is reused across the degree and orientation subtrees
-    * (ReusedExchange) rather than persisted — triangle counting is a
-    * one-shot analytic, and cache retention is the caller's call.
+    * key space; no driver materialization, no windows.
+    *
+    * The canonical edge list, the degree table and the oriented DAG
+    * are eagerly localCheckpoint-ed: the oriented table feeds THREE
+    * join sides and the degree table two, and relying on exchange
+    * reuse re-executes the caller's whole edge-DERIVATION subplan
+    * once per non-reused reference — benched at ~6x a multi-second
+    * co-purchase pair generation for a 3.5k-edge result (the r10
+    * "q_triangle_count dominates the suite" line was exactly this,
+    * not triangle arithmetic). The checkpoint materializes only the
+    * operator's own working set — m edge rows + n degree rows, which
+    * any triangle algorithm must touch repeatedly anyway.
     *
     * Self-loops drop (a loop closes no triangle); parallel edges
     * collapse via the canonical `least/greatest` distinct.
@@ -250,9 +258,11 @@ object Graph {
       .select(least(srcCol, dstCol).as("u"), greatest(srcCol, dstCol).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint() // m rows; pair/edge derivation runs ONCE
     val deg = e.select(col("u").as("x"))
       .unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .localCheckpoint() // n rows; feeds orientation + final join
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val o = e
@@ -261,6 +271,7 @@ object Graph {
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("a"),
         when(fwd, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint() // m rows; feeds all three wedge-join sides
     val wedges = o.as("e1")
       .join(o.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
