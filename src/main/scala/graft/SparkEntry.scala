@@ -1524,6 +1524,18 @@ object SparkEntry {
         .select("asset_id", "mime", "n_bytes", "content_hash")
     }),
 
+    // ---- REAL audio decode: synthesize genuine RIFF/WAVE payloads
+    //      (javax.sound writes them), parse them back with the same
+    //      library — header → format, streamed PCM frames → integer
+    //      amplitude stats. 1→1 partition-parallel both ways, no
+    //      shuffle; the deterministic integer waveform is what lets
+    //      the oracle replay the DECODED stats to hash equality ----
+    "q_audio_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractAudioFeatures(s,
+        graft.multimodal.Multimodal.synthWavAssets(
+          s, t("documents")(s, d)))
+        .toDF()),
+
     // ---- argmax-row aggregation (keep-best-per-key): ONE hash
     //      aggregation via lexicographic max(struct) — no window, no
     //      per-key sort; ties on price resolve to the larger orderkey,
@@ -4849,6 +4861,25 @@ object SparkEntry {
          octet_length(CAST(text AS BLOB)) AS n_bytes,
          md5(text) AS content_hash
          FROM documents""",
+
+    // replays the synthetic waveform (n = 8000 + id % 8000 samples,
+    // s_i = ((id·40503 + i·2654435761) mod 65536) − 32768) and the
+    // integer amplitude stats the REAL javax.sound decode produces —
+    // a Spark-side container/codec bug (frame miscount, byte-order,
+    // sign extension) breaks the hash
+    "q_audio_features" ->
+      """WITH base AS (
+           SELECT doc_id, 8000 + doc_id % 8000 AS n FROM documents),
+         idx AS (SELECT doc_id, n,
+                   unnest(generate_series(0, n - 1)) AS i FROM base),
+         s AS (SELECT doc_id, n,
+                 ((doc_id*40503 + i*2654435761) % 65536) - 32768 AS v
+               FROM idx)
+         SELECT doc_id AS asset_id, 8000 AS sample_rate,
+           1 AS channels, 16 AS bits, n AS n_frames,
+           n*1000 // 8000 AS duration_ms, max(abs(v)) AS peak,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+         FROM s GROUP BY doc_id, n""",
 
     // window-free in Spark (one max(struct) hash-agg); the oracle
     // reproduces the same winner with the standard row_number form —

@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   * pluggable behind [[ImageCodec]]: [[ImageIoCodec]] does real
   * PNG/JPEG decode with the JDK's own `javax.imageio` (no extra
   * dependency), while [[StubCodec]] remains the deterministic-fake
-  * default for synthetic payloads (and stands in for the video/audio
+  * default for synthetic payloads (and stands in for the VIDEO
   * container ops, whose libraries are not in this environment).
-  * Swapping codecs changes no plan shape — `mapPartitions` amortizes
-  * per-partition codec init (the expensive part at 100 TB) exactly
-  * the same way.
+  * AUDIO is real: [[WavCodec]] parses genuine RIFF/WAVE containers
+  * with the JDK's own `javax.sound.sampled` — header decode, PCM
+  * frame extraction, integer amplitude statistics — and
+  * [[synthWavAssets]] writes real WAV payloads through the same
+  * library, so the decode path is exercised against true container
+  * bytes, not fakes. Swapping codecs changes no plan shape —
+  * `mapPartitions` amortizes per-partition codec init (the expensive
+  * part at 100 TB) exactly the same way.
   */
 object Multimodal {
 
@@ -129,6 +134,135 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(out, "png", bos)
       bos.toByteArray
+    }
+  }
+
+  /** Decoded audio-clip metadata + integer amplitude statistics. */
+  case class AudioMeta(
+      sampleRate: Int,
+      channels: Int,
+      bits: Int,
+      nFrames: Long,
+      peak: Long,
+      sumAbs: Long)
+
+  /** Per-clip audio features, the query-surface row shape: all
+    * integral (peak and Σ|s| over 16-bit samples — a 100 TB corpus of
+    * hour-long clips sums to ~1e17 per clip worst-case, inside long),
+    * so the result is layout-exact and oracle-replayable.
+    */
+  case class AudioClipFeatures(
+      asset_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      peak: Long,
+      sum_abs: Long)
+
+  /** Audio codec surface: payload bytes → format metadata + amplitude
+    * stats. Implementations ride into `mapPartitions` closures.
+    */
+  trait AudioCodec extends Serializable {
+    def decodeAudio(payload: Array[Byte]): AudioMeta
+  }
+
+  /** REAL audio decode on the JDK's `javax.sound.sampled` — parses
+    * the RIFF/WAVE container (header → AudioFormat, then streamed PCM
+    * frame extraction), no dependency beyond the JRE. Restricted to
+    * 16-bit signed little-endian PCM — the overwhelmingly dominant
+    * WAV layout — and fails loudly otherwise (at scale, route through
+    * a mime/format filter or a caller-side quarantine, never fabricate
+    * stats). Amplitude statistics are integral: peak = max |s|,
+    * sum_abs = Σ|s| over all samples across channels.
+    */
+  object WavCodec extends AudioCodec {
+    def decodeAudio(payload: Array[Byte]): AudioMeta = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        require(
+          f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && !f.isBigEndian,
+          s"WavCodec: only 16-bit signed LE PCM supported, got $f")
+        val bytes = ais.readAllBytes()
+        val nSamples = bytes.length / 2
+        var peak = 0L
+        var sumAbs = 0L
+        var i = 0
+        while (i < nSamples) {
+          val v = (((bytes(2 * i + 1).toInt << 8) |
+            (bytes(2 * i) & 0xFF)).toShort).toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumAbs += a
+          i += 1
+        }
+        AudioMeta(f.getSampleRate.toInt, f.getChannels, 16,
+          ais.getFrameLength, peak, sumAbs)
+      } finally ais.close()
+    }
+  }
+
+  /** Synthesize REAL mono 16-bit PCM WAV payloads, one per document
+    * id — written through `javax.sound.sampled.AudioSystem.write`, so
+    * [[WavCodec]] round-trips against true container bytes. The
+    * waveform is a deterministic integer recurrence of (id, i) alone
+    * (no floats, no RNG), which is what lets the DuckDB oracle replay
+    * the decoded amplitude statistics exactly: clip i has
+    * n = 8000 + id % 8000 samples (1–2 s at `rate`), sample
+    * s_i = ((id·40503 + i·2654435761) mod 65536) − 32768.
+    * Partition-parallel 1→1 synthesis; no shuffle.
+    */
+  def synthWavAssets(
+      spark: SparkSession,
+      docs: DataFrame,
+      rate: Int = 8000): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (8000L + id % 8000L).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v =
+            (((id * 40503L + i.toLong * 2654435761L) % 65536L) -
+              32768L).toInt
+          pcm(2 * i) = (v & 0xFF).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Asset(id, "audio/wav", bos.toByteArray)
+      }
+    }
+  }
+
+  /** Partition-parallel audio feature extraction over real WAV
+    * containers — the audio analogue of [[extractFeatures]]. 1→1, no
+    * shuffle; duration_ms = frames·1000 div rate (exact floor — never
+    * a float quotient).
+    */
+  def extractAudioFeatures(
+      spark: SparkSession,
+      assets: Dataset[Asset],
+      codec: AudioCodec = WavCodec): Dataset[AudioClipFeatures] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val m = codec.decodeAudio(a.payload)
+        AudioClipFeatures(a.asset_id, m.sampleRate, m.channels, m.bits,
+          m.nFrames, m.nFrames * 1000L / m.sampleRate, m.peak, m.sumAbs)
+      }
     }
   }
 

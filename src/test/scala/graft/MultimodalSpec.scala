@@ -30,6 +30,52 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.StubCodec.decodeImage(p.clone()))
   }
 
+  test("WavCodec round-trips real RIFF/WAVE containers bit-exactly") {
+    // hand-built 4-sample mono 16-bit clip through the SAME pipeline:
+    // synth writes a true WAV container, decode parses header + PCM
+    val samples = Array[Short](100, -32768, 0, 32767)
+    val pcm = new Array[Byte](8)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    // a real container: RIFF magic, not bare PCM
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val m = Multimodal.WavCodec.decodeAudio(wav)
+    assert(m == Multimodal.AudioMeta(8000, 1, 16, 4L,
+      peak = 32768L, sumAbs = 100L + 32768L + 0L + 32767L))
+    // non-audio bytes fail loudly (no fabricated stats)
+    intercept[Exception] {
+      Multimodal.WavCodec.decodeAudio("not a wav".getBytes("UTF-8"))
+    }
+  }
+
+  test("synthWavAssets → extractAudioFeatures replays the waveform") {
+    val docs = Seq((0L, "x"), (7L, "y"), (499L, "z")).toDF("doc_id", "text")
+    val feats = Multimodal.extractAudioFeatures(
+      spark, Multimodal.synthWavAssets(spark, docs)).collect()
+      .map(f => f.asset_id -> f).toMap
+    // independent Scala replay of the documented integer recurrence
+    for (id <- Seq(0L, 7L, 499L)) {
+      val n = (8000L + id % 8000L).toInt
+      val vs = (0 until n).map(i =>
+        ((id * 40503L + i.toLong * 2654435761L) % 65536L) - 32768L)
+      val f = feats(id)
+      assert(f.n_frames == n.toLong && f.sample_rate == 8000 &&
+        f.channels == 1 && f.bits == 16)
+      assert(f.duration_ms == n.toLong * 1000L / 8000L)
+      assert(f.peak == vs.map(math.abs).max)
+      assert(f.sum_abs == vs.map(math.abs).sum)
+    }
+  }
+
   private def fixturePng(): Array[Byte] = {
     val in = getClass.getResourceAsStream("/multimodal/fixture_4x3.png")
     assert(in != null, "missing committed PNG fixture")
