@@ -20,9 +20,37 @@ import org.apache.spark.sql.SparkSession
   * FAILS the run (non-zero exit) — round 1 recorded broken queries as
   * fast successes.
   *
-  * Optional args: query names to run (subset, for local iteration).
+  * Optional args: query names to run (subset, for local iteration),
+  * or `--headline` for the fixed ~40-query tier below — the
+  * per-commit loop's budget-bounded run (the full 182-query suite is
+  * ~6 min of wall-clock and grows linearly with the surface; the
+  * driver's per-round artifact stays the full run).
   */
 object Bench {
+
+  /** The headline tier: every query that has ever exceeded ~1 s at
+    * sf0.1 (the only ones whose regressions are distinguishable from
+    * box noise), plus one cheap anchor per family whose plan shape is
+    * pinned against a scale claim (flagship agg, streaming replay,
+    * shuffle-free sampling, exchange-free ANN). Ordered here by r10
+    * cost, descending — KEEP sorted when adding.
+    */
+  val Headline: Seq[String] = Seq(
+    "q_triangle_count", "q_weighted_quantiles", "q_kcore",
+    "q_rm3_search", "q_quality_model", "q_mmr_rerank", "q_pagerank",
+    "q_copurchase", "q_also_bought", "q_asof_forward", "q_corr_exact",
+    "q_rank_eval", "q_dsir_weights", "q_hybrid_search",
+    "q_quantile_bin", "q_table_checksum", "q_dsir_select",
+    "q_boilerplate_strip", "q_knn_ivfpq", "q_lm_score",
+    "q_skyline_lineitem", "q_bm25_search", "q_ngram_jaccard_pairs",
+    "q_semdedup", "q_lm_buckets", "q_ngram_jaccard_prefix",
+    "q_weighted_sample", "q_corpus_drift", "q_doc_bm25",
+    "q_minhash_lsh", "q_dedup_corpus", "q_daily_load",
+    "q5_local_supplier_volume", "q_funnel_latency", "q_kmeans_assign",
+    "q_doc_neardup_clusters", "q_gap_fill", "q_ingest_replay",
+    "q_snapshot_diff", "q_top_paths",
+    // cheap plan-shape anchors
+    "q1_lineitem_agg", "q_events_hourly", "q_knn_sq8")
 
   /** Accumulates shuffle bytes across task-end events; reset per
     * query, snapshot after draining the listener bus.
@@ -75,7 +103,12 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names =
-      if (args.nonEmpty) args.toSeq
+      if (args.sameElements(Array("--headline"))) {
+        val missing = Headline.filterNot(SparkEntry.queries.contains)
+        require(missing.isEmpty, s"headline names gone: $missing")
+        Headline
+      }
+      else if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     // untimed warmup: session/codegen/shuffle-machinery startup AND the
     // cold first read of every sf-dir table (OS page cache + parquet
