@@ -902,6 +902,48 @@ object SparkEntry {
         digitCount(col("text")).as("n_digits"))
     }),
 
+    // ---- tokenizer-coverage diagnostic: per-doc OOV rate against
+    //      the corpus's own top-20 vocabulary (the synthetic corpus
+    //      has 31 distinct tokens; 20 leaves a real OOV tail) ----
+    //      bounded top-k vocab
+    //      broadcast onto the token stream, doc-level partials
+    //      map-side; token rows never shuffle ----
+    "q_oov_rate" -> ((s, d) =>
+      graft.text.TextOps.oovRate(
+          t("documents")(s, d), col("doc_id"), col("text"),
+          vocabSize = 20)
+        .withColumnRenamed("id", "doc_id")),
+
+    // ---- corpus-slice similarity: pairwise vocabulary Jaccard
+    //      between sources — distinct (source, token) self-join,
+    //      per-token fan-out bounded by #sources², zero-overlap pairs
+    //      kept via the margins grid; integer basis points ----
+    "q_source_overlap" -> ((s, d) =>
+      graft.text.TextOps.sourceVocabOverlap(
+        t("documents")(s, d), col("source"), col("text"))),
+
+    // ---- chi-square independence: market segment × order priority —
+    //      exact 6-dp integer lattice over the full margins grid, so
+    //      the statistic has no float summation order to disagree on;
+    //      one fact-scale hash agg, everything after is ≤ k·m cells --
+    "q_chi_square" -> ((s, d) =>
+      graft.ops.Experiment.chiSquare(
+        t("orders")(s, d)
+          .join(t("customer")(s, d),
+            col("o_custkey") === col("c_custkey")),
+        col("c_mktsegment"), col("o_orderpriority"))),
+
+    // ---- mutual information (nats, 9-dp lattice) on the same
+    //      contingency — the effect-size companion to the χ² verdict;
+    //      observed cells only, Σ o·round(ln,9) as integer nano-units,
+    //      HALF_UP long division at the end ----
+    "q_mutual_info" -> ((s, d) =>
+      graft.ops.Experiment.mutualInformation(
+        t("orders")(s, d)
+          .join(t("customer")(s, d),
+            col("o_custkey") === col("c_custkey")),
+        col("c_mktsegment"), col("o_orderpriority"))),
+
     // ---- text quality gate (integer-threshold heuristic) ----
     "q_doc_quality" -> ((s, d) => {
       import graft.text.TextOps._
@@ -2678,6 +2720,33 @@ object SparkEntry {
       graft.ops.Stats.benford(
         t("orders")(s, d),
         round(col("o_totalprice") * 100).cast("long"))),
+
+    // ---- robust outlier profile of line price per return flag:
+    //      median / MAD / |v−m| > 3·MAD counts — ONE fact exchange
+    //      (the checkpointed value domain), both medians through the
+    //      banded quantile machinery, all-integer ----
+    "q_mad_outliers" -> ((s, d) =>
+      graft.ops.Stats.madOutliers(
+          t("lineitem")(s, d), col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long"), k = 3)
+        .select(col("g").as("l_returnflag"), col("median"),
+          col("mad"), col("n_rows"), col("n_outliers"))),
+
+    // ---- 80/20 concentration: the smallest top-spender prefix
+    //      holding 80% of each segment's revenue — descending-prefix
+    //      boundary via the banded quantile over −v, then one
+    //      domain-sized aggregate; never a per-group sort ----
+    "q_pareto_share" -> ((s, d) => {
+      val spend = t("orders")(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+        .join(t("customer")(s, d),
+          col("o_custkey") === col("c_custkey"))
+      graft.ops.Stats.paretoTopShare(
+          spend, col("c_mktsegment"), col("cents"), pct = 80)
+        .withColumnRenamed("g", "c_mktsegment")
+    }),
 
     // ---- autocorrelation of the daily revenue series at lags 1..7:
     //      the fact table reduces to ≤ #days rows FIRST; Pearson from
@@ -4861,6 +4930,167 @@ object SparkEntry {
          octet_length(CAST(text AS BLOB)) AS n_bytes,
          md5(text) AS content_hash
          FROM documents""",
+
+    // both medians replay the engine's inclusive order-statistic rule
+    // (min v with 2·cum >= n over the distinct-value domain) — the
+    // same arithmetic the banded execution computes piecewise
+    "q_mad_outliers" ->
+      """WITH dom AS (SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+             count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n
+                 FROM dom GROUP BY 1),
+         cum AS (SELECT g, v, cnt, CAST(sum(cnt) OVER
+             (PARTITION BY g ORDER BY v) AS BIGINT) AS cw FROM dom),
+         med AS (SELECT cum.g, min(v) AS m
+                 FROM cum JOIN tot ON tot.g = cum.g
+                 WHERE 2*cw >= n GROUP BY 1),
+         dev AS (SELECT dom.g AS g, abs(v - m) AS dv,
+                   CAST(sum(cnt) AS BIGINT) AS cnt
+                 FROM dom JOIN med ON med.g = dom.g GROUP BY 1, 2),
+         cum2 AS (SELECT g, dv, cnt, CAST(sum(cnt) OVER
+             (PARTITION BY g ORDER BY dv) AS BIGINT) AS cw FROM dev),
+         mad AS (SELECT cum2.g, min(dv) AS md
+                 FROM cum2 JOIN tot ON tot.g = cum2.g
+                 WHERE 2*cw >= n GROUP BY 1)
+         SELECT dom.g AS l_returnflag, med.m AS median, mad.md AS mad,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN abs(v - m) > 3*md THEN cnt ELSE 0 END)
+             AS BIGINT) AS n_outliers
+         FROM dom JOIN med ON med.g = dom.g
+           JOIN mad ON mad.g = dom.g
+         GROUP BY 1, 2, 3""",
+
+    // descending-prefix boundary: vstar = largest spend value whose
+    // top-down cumulative mass reaches ceil(80·T/100); k boundary
+    // entities cover the remainder (ceil division), all-integer
+    "q_pareto_share" ->
+      """WITH spend AS (SELECT c_mktsegment AS g, o_custkey,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+               AS BIGINT) AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         dom AS (SELECT g, v, count(*) AS cnt FROM spend GROUP BY 1, 2),
+         tot AS (SELECT g, CAST(sum(v*cnt) AS BIGINT) AS t,
+                   CAST(sum(cnt) AS BIGINT) AS n FROM dom GROUP BY 1),
+         th AS (SELECT g, t, n, (t*80 + 99) // 100 AS th FROM tot),
+         cum AS (SELECT g, v, cnt, CAST(sum(v*cnt) OVER
+             (PARTITION BY g ORDER BY v DESC) AS BIGINT) AS cw
+           FROM dom),
+         vs AS (SELECT cum.g, max(v) AS vstar
+                FROM cum JOIN th ON th.g = cum.g
+                WHERE cw >= th.th GROUP BY 1),
+         ab AS (SELECT dom.g AS g, vs.vstar,
+                  CAST(sum(CASE WHEN v > vstar THEN v*cnt ELSE 0 END)
+                    AS BIGINT) AS above,
+                  CAST(sum(CASE WHEN v > vstar THEN cnt ELSE 0 END)
+                    AS BIGINT) AS cabove
+                FROM dom JOIN vs ON vs.g = dom.g GROUP BY 1, 2),
+         ntop AS (SELECT ab.g, th.n, vstar,
+                    CASE WHEN th.th <= above THEN cabove
+                      ELSE cabove + (th.th - above + vstar - 1) // vstar
+                    END AS n_top
+                  FROM ab JOIN th ON th.g = ab.g)
+         SELECT g AS c_mktsegment, n AS n_entities, n_top,
+           n_top * 10000 // n AS top_share_bp, vstar AS threshold
+         FROM ntop""",
+
+    // identical distinct-(source, token) self-join and margins grid;
+    // integer basis points — no float anywhere on either side
+    "q_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source AS src,
+             unnest(regexp_extract_all(text, '\S+')) AS token
+           FROM documents),
+         sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS nv
+                   FROM st GROUP BY 1),
+         inter AS (SELECT a.src AS s1, b.src AS s2,
+                     CAST(count(*) AS BIGINT) AS i
+                   FROM st a JOIN st b ON a.token = b.token
+                     AND a.src < b.src
+                   GROUP BY 1, 2)
+         SELECT x.src AS s1, y.src AS s2,
+           coalesce(i, 0) AS inter, x.nv + y.nv - coalesce(i, 0)
+             AS union_nv,
+           coalesce(i, 0) * 10000 // (x.nv + y.nv - coalesce(i, 0))
+             AS jaccard_bp
+         FROM sizes x JOIN sizes y ON x.src < y.src
+         LEFT JOIN inter ON inter.s1 = x.src AND inter.s2 = y.src""",
+
+    // the same 6-dp lattice arithmetic cell by cell: E = ⌊r·c·10⁶/n⌋
+    // (clamped to ≥1), d = o·10⁶ − E, contrib = ⌊d²/E⌋, over the FULL
+    // margins grid (absent cells enter with o = 0)
+    "q_chi_square" ->
+      """WITH f AS (SELECT c_mktsegment AS r, o_orderpriority AS c
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         ct AS (SELECT r, c, CAST(count(*) AS BIGINT) AS o
+                FROM f GROUP BY 1, 2),
+         rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rn
+                FROM ct GROUP BY 1),
+         cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS cn
+                FROM ct GROUP BY 1),
+         nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                  CAST(count(DISTINCT r) AS BIGINT) AS k,
+                  CAST(count(DISTINCT c) AS BIGINT) AS m FROM ct),
+         grid AS (SELECT rm.r, cm.c, rn, cn, coalesce(ct.o, 0) AS o
+                  FROM rm CROSS JOIN cm
+                  LEFT JOIN ct ON ct.r = rm.r AND ct.c = cm.c),
+         cell AS (SELECT o, greatest(1,
+             CAST(CAST(rn AS HUGEINT) * cn * 1000000 // n AS BIGINT))
+             AS emicro FROM grid, nn),
+         dm AS (SELECT CAST(o * 1000000 - emicro AS BIGINT) AS dmicro,
+                  emicro FROM cell)
+         SELECT CAST(sum(CAST(CAST(dmicro AS HUGEINT) * dmicro
+             // emicro AS BIGINT)) AS BIGINT) AS chi2_micro,
+           (k - 1) * (m - 1) AS dof, n
+         FROM dm, nn GROUP BY 2, 3""",
+
+    // same 9-dp lattice replay: round(ln,9) per observed cell with
+    // the identical double op sequence, Σ o·l9 in exact integers,
+    // HALF_UP integer division — the lm_score discipline on a
+    // bounded contingency table
+    "q_mutual_info" ->
+      """WITH f AS (SELECT c_mktsegment AS r, o_orderpriority AS c
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         ct AS (SELECT r, c, CAST(count(*) AS BIGINT) AS o
+                FROM f GROUP BY 1, 2),
+         rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rn
+                FROM ct GROUP BY 1),
+         cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS cn
+                FROM ct GROUP BY 1),
+         nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM ct),
+         cell AS (SELECT o, n,
+             CAST(CAST(round(ln((CAST(o AS DOUBLE) * n) /
+                 (CAST(rn AS DOUBLE) * cn)), 9) AS DECIMAL(20,9))
+               * 1000000000 AS BIGINT) AS l9
+           FROM ct JOIN rm ON rm.r = ct.r JOIN cm ON cm.c = ct.c,
+             nn),
+         s AS (SELECT n, CAST(sum(CAST(o AS HUGEINT) * l9) AS HUGEINT)
+                 AS s9 FROM cell GROUP BY 1)
+         SELECT CAST((CASE WHEN s9 < 0 THEN -1 ELSE 1 END) *
+             ((2 * abs(s9) + n) // (2 * n)) AS BIGINT) AS mi_nano, n
+         FROM s""",
+
+    // same top-20 vocabulary under the identical (count desc, token
+    // asc) total order; the whitespace tokenizer is the engine's
+    // Java-regex ∩ RE2 common subset
+    "q_oov_rate" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(regexp_extract_all(text, '\S+')) AS token
+           FROM documents),
+         tc AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         vocab AS (SELECT token FROM tc
+                   ORDER BY c DESC, token ASC LIMIT 20),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN vocab.token IS NULL THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_oov
+                FROM tok LEFT JOIN vocab ON tok.token = vocab.token
+                GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(n_oov, 0) AS n_oov,
+           CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+             ELSE n_oov * 10000 // n_tokens END AS oov_bp
+         FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""",
 
     // replays the synthetic waveform (n = 8000 + id % 8000 samples,
     // s_i = ((id·40503 + i·2654435761) mod 65536) − 32768) and the

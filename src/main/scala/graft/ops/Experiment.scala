@@ -84,4 +84,100 @@ object Experiment {
       .toDF("variant_a", "variant_b", "n_a", "conv_a", "n_b", "conv_b",
         "p_a", "p_b", "z", "significant")
   }
+
+  /** Pearson chi-square test of independence over a two-way
+    * contingency table — "does the row attribute's distribution
+    * differ across the column attribute" (segment × priority,
+    * variant × outcome-class, source × language). Emits ONE row:
+    * `(chi2_micro, dof, n)`.
+    *
+    * Exact integer 6-dp lattice (the lm_score discipline), so the
+    * statistic is layout- and engine-exact with no float summation
+    * order to disagree on: per cell, E_micro = ⌊r·c·10⁶ / n⌋,
+    * d_micro = o·10⁶ − E_micro, contrib = ⌊d_micro² / E_micro⌋
+    * (χ²·10⁶ up to the lattice floor). The full k×m grid is
+    * generated from the margins — cells with O = 0 contribute their
+    * expected mass like the textbook statistic; an expected count
+    * flooring to zero clamps to 1 micro-unit (degenerate-cell guard,
+    * documented rather than silent). Budget: d_micro² accumulates in
+    * DECIMAL(38,0) — o·10⁶ is ~1e18 at 1e12 observations, its square
+    * ~1e36, inside decimal(38), catastrophically outside long.
+    *
+    * Scale: one hash agg over fact rows → ≤ k·m cells; margins,
+    * grid and the final sum are all bounded-table work.
+    */
+  def chiSquare(
+      df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val Dec = "decimal(38,0)"
+    val ct = df.select(rowCol.as("r"), colCol.as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
+      .localCheckpoint() // ≤ k·m cells; margins + grid both read it
+    val rm = ct.groupBy(col("r")).agg(sum(col("o")).as("rn"))
+    val cm = ct.groupBy(col("c")).agg(sum(col("o")).as("cn"))
+    val nn = ct.agg(sum(col("o")).as("n"),
+      count_distinct(col("r")).as("k"),
+      count_distinct(col("c")).as("m"))
+    broadcast(rm).crossJoin(broadcast(cm))
+      .join(ct, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(nn))
+      .withColumn("emicro",
+        greatest(lit(1L),
+          expr(s"CAST(rn AS $Dec) * cn * 1000000 div n")))
+      .withColumn("dmicro", col("o") * lit(1000000L) - col("emicro"))
+      .withColumn("contrib",
+        expr(s"CAST(dmicro AS $Dec) * dmicro div emicro"))
+      .groupBy(col("n"), col("k"), col("m"))
+      .agg(sum(col("contrib")).as("chi2_micro"))
+      .select(col("chi2_micro"),
+        ((col("k") - 1) * (col("m") - 1)).as("dof"), col("n"))
+  }
+
+  /** Mutual information between two categorical columns, in nats —
+    * the effect-size companion to [[chiSquare]] (χ² says "dependent",
+    * MI says "by how many bits"): I = Σ_ij (o/n)·ln(o·n / (r·c)),
+    * observed cells only (0·ln 0 = 0, the standard convention).
+    *
+    * Determinism is the lm_score 9-dp lattice discipline
+    * (text/LangModel.scala): each cell's log is `round(ln(x), 9)`
+    * with x produced by a FIXED sequence of correctly-rounded IEEE
+    * ops ((o·n as double) / (r·c as double) — longs cast BEFORE
+    * multiplying; o·n overflows a long at 1e12 rows), each term
+    * o·L is then EXACT on the 9-dp lattice, the sum accumulates in
+    * DECIMAL(38,9), and mi_nano = HALF_UP(|S9|/n) in pure long
+    * arithmetic — no decimal→double cast, no float round. Emits ONE
+    * row `(mi_nano, n)`; callers divide by 1e9.
+    *
+    * Scale: identical to chiSquare — one fact-scale hash agg, then
+    * ≤ k·m bounded-cell arithmetic.
+    */
+  def mutualInformation(
+      df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val ct = df.select(rowCol.as("r"), colCol.as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
+      .localCheckpoint() // ≤ k·m cells; margins read it twice
+    val rm = ct.groupBy(col("r")).agg(sum(col("o")).as("rn"))
+    val cm = ct.groupBy(col("c")).agg(sum(col("o")).as("cn"))
+    val nn = ct.agg(sum(col("o")).as("n"))
+    ct.join(broadcast(rm), Seq("r"))
+      .join(broadcast(cm), Seq("c"))
+      .crossJoin(broadcast(nn))
+      // per-cell 9-dp log, carried as INTEGER nano-units (|ln| ≤
+      // ln(n) ≈ 28 at 1e12 rows → |l9| ≤ 2.8e10, exact in long);
+      // the (20,9)·1e9 product is integral by construction, so the
+      // long cast truncates nothing
+      .withColumn("l9",
+        (round(log((col("o").cast("double") * col("n").cast("double")) /
+            (col("rn").cast("double") * col("cn").cast("double"))), 9)
+          .cast("decimal(20,9)") * lit(1000000000L)).cast("long"))
+      // Σ o·l9 in narrow exact decimals — (18,0)·(12,0) → (31,0),
+      // never the >38-precision product Spark would silently re-scale
+      .groupBy(col("n"))
+      .agg(sum(col("o").cast("decimal(18,0)") *
+        col("l9").cast("decimal(12,0)")).as("s9"))
+      .select(
+        (when(col("s9") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(2 * abs(s9) + n) div (2 * n)")).as("mi_nano"),
+        col("n"))
+  }
 }

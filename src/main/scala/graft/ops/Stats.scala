@@ -140,6 +140,125 @@ object Stats {
       .agg(min(col("v")).as("value"))
   }
 
+  /** Robust outlier profile per group via MAD (median absolute
+    * deviation): median m (the inclusive order statistic of
+    * [[weightedQuantiles]] at pct 50), MAD = median(|v − m|), and the
+    * count of rows with |v − m| > k·MAD — the classic
+    * contamination-resistant alternative to mean±kσ (one far outlier
+    * moves a mean arbitrarily; it moves a median not at all).
+    *
+    * Exactly ONE fact-scale exchange: the (group, value) domain agg,
+    * localCheckpoint-ed (four consumers — median pass, deviation
+    * pass, final profile — would otherwise re-scan the fact table
+    * each). Both median passes run on the BANDED quantile machinery
+    * over domain-sized input; medians/MADs attach back by broadcast
+    * (≤ #groups rows). All-integer, so layout-exact and
+    * oracle-replayable.
+    *
+    * MAD = 0 (over half the group's mass on one value) makes every
+    * other value an outlier under the strict `>` test — the standard
+    * MAD-rule behavior; callers wanting leniency filter mad > 0.
+    *
+    * @param df       fact rows
+    * @param groupCol grouping key
+    * @param valueCol integral value (e.g. cents)
+    * @param k        MAD multiplier for the outlier fence
+    * @return (g, median, mad, n_rows, n_outliers) per group
+    */
+  def madOutliers(
+      df: DataFrame, groupCol: Column, valueCol: Column,
+      k: Int = 3, bands: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dom = df
+      .select(groupCol.as("g"), valueCol.as("v"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // domain-sized; the fact table scans ONCE
+    val med = weightedQuantiles(
+        dom, col("g"), col("v"), col("cnt"), Seq(50), bands)
+      .select(col("g").as("_mg"), col("value").as("median"))
+    val dev = dom
+      .join(broadcast(med), col("g") === col("_mg"))
+      .select(col("g"), abs(col("v") - col("median")).as("dv"),
+        col("cnt"))
+    val mad = weightedQuantiles(
+        dev, col("g"), col("dv"), col("cnt"), Seq(50), bands)
+      .select(col("g").as("_ag"), col("value").as("mad"))
+    dom
+      .join(broadcast(med), col("g") === col("_mg"))
+      .join(broadcast(mad), col("g") === col("_ag"))
+      .groupBy(col("g"), col("median"), col("mad"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(when(abs(col("v") - col("median")) >
+          lit(k.toLong) * col("mad"), col("cnt")).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Pareto concentration ("what share of entities hold `pct`% of the
+    * total"): per group, the size of the smallest top-prefix of
+    * entities — ordered by value descending — whose summed value
+    * reaches ceil(pct·total/100), plus the entity count and the
+    * boundary value. The 80/20 report, exact.
+    *
+    * Input rows are ENTITIES (e.g. one row per customer with summed
+    * spend). Runs on the value domain with the banded quantile
+    * machinery — [[weightedQuantiles]] over v' = −v (descending
+    * order) weighted by the value mass v·cnt finds the boundary value
+    * v* (the smallest value inside the top prefix); one domain-sized
+    * aggregate then counts the strictly-above mass and the
+    * within-boundary remainder k = ceil(needed / v*). No per-group
+    * single-task sort anywhere; all-integer.
+    *
+    * Values must be non-negative (negative spend would make the
+    * descending prefix non-monotone); zero-value entities can never
+    * enter the prefix.
+    *
+    * @return (g, n_entities, n_top, top_share_bp, threshold) — share
+    *         in basis points, floor division
+    */
+  def paretoTopShare(
+      df: DataFrame, groupCol: Column, valueCol: Column,
+      pct: Int = 80, bands: Int = 4096): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be 1..100, got $pct")
+    val dom = df
+      .select(groupCol.as("g"), valueCol.as("v"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // value domain; the entity table scans ONCE
+    // boundary from the top: ascending-inclusive quantile over −v
+    // weighted by the value mass ⇔ descending-inclusive over v
+    val bound = weightedQuantiles(
+        dom.select(col("g"), (-col("v")).as("nv"),
+          (col("v") * col("cnt")).as("mass")),
+        col("g"), col("nv"), col("mass"), Seq(pct), bands)
+      .select(col("g").as("_bg"), (-col("value")).as("vstar"))
+    dom
+      .join(broadcast(bound), col("g") === col("_bg"))
+      .groupBy(col("g"), col("vstar"))
+      .agg(
+        sum(col("cnt")).as("n_entities"),
+        // masses accumulate in DECIMAL(38,0), finish as long (total
+        // value ~1e16 at 100 TB — inside long; the ACCUMULATION is
+        // what must not overflow mid-shuffle)
+        sum(col("v").cast(Dec) * col("cnt")).cast("long").as("tot"),
+        sum(when(col("v") > col("vstar"),
+          col("v").cast(Dec) * col("cnt")).otherwise(lit(0).cast(Dec)))
+          .cast("long").as("above"),
+        sum(when(col("v") > col("vstar"), col("cnt")).otherwise(0L))
+          .as("cabove"))
+      // threshold mass ceil(pct·T/100); k boundary-value entities
+      // cover what the strictly-above mass misses (ceil division) —
+      // pure-long `div` floor arithmetic, never a rounding cast
+      .withColumn("th", expr(s"(tot * $pct + 99) div 100"))
+      .withColumn("n_top",
+        when(col("th") <= col("above"), col("cabove"))
+          .otherwise(col("cabove") +
+            expr("(th - above + vstar - 1) div vstar")))
+      .select(col("g"), col("n_entities"), col("n_top"),
+        expr("n_top * 10000 div n_entities").as("top_share_bp"),
+        col("vstar").as("threshold"))
+  }
+
   /** Two-pass distributed row number over a total order — NO
     * single-task global (or per-group) sort, and exactly ONE
     * full-data exchange: range-repartition on the order key, a

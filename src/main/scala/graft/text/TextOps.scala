@@ -336,6 +336,95 @@ object TextOps {
     size(regexp_extract_all(
       text, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"), lit(0)))
 
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-`vocabSize` token vocabulary — the standard tokenizer-
+    * coverage / domain-shift diagnostic for training corpora (a
+    * rising OOV rate against a reference vocab means the tokenizer
+    * or the filter cascade no longer fits the incoming data).
+    *
+    * Scale shape: ONE tokenize+explode pass. The vocabulary is a
+    * bounded top-k by (count desc, token asc) — deterministic
+    * tie-break, TakeOrderedAndProject, never a global sort — and
+    * attaches to the token stream by BROADCAST left join; the per-doc
+    * aggregation's partial combine runs map-side (explode preserves
+    * row locality, so one doc's tokens never cross partitions before
+    * the partial), meaning the only exchanges carry vocab-sized and
+    * doc-level partials — token rows themselves never shuffle.
+    * Documents with no tokens keep a (0, 0) row via the left join
+    * from the base table.
+    *
+    * @return (id, n_tokens, n_oov, oov_bp) — rate in basis points,
+    *         floor division, 0 for empty documents
+    */
+  def oovRate(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: Column, textCol: Column,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val tok = docs.select(idCol.as("id"),
+      explode(tokens(textCol)).as("token"))
+    val vocab = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token").as("vtok"), lit(1).as("inv"))
+    val perDoc = tok
+      .join(broadcast(vocab), col("token") === col("vtok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(idCol.as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_bp",
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(expr("n_oov * 10000 div n_tokens")))
+  }
+
+  /** Pairwise vocabulary Jaccard between corpus slices (sources,
+    * snapshots, domains) — the cheap corpus-similarity diagnostic
+    * that flags a source whose language no longer resembles the rest
+    * of the mix, and a precursor check before merging crawls.
+    *
+    * Scale shape: ONE tokenize+explode pass collapsed to the distinct
+    * (slice, token) vocabulary (localCheckpoint-ed — the self-join
+    * reads it twice and the size table once; the triangleCounts
+    * lesson). The self-join key is the token, and because rows are
+    * DISTINCT per slice, per-token fan-out is bounded by #slices² —
+    * corpus growth adds vocabulary rows, never join blow-up. All
+    * #slices² pairs appear in the output (zero-overlap pairs
+    * included, via the bounded margins grid). Jaccard in integer
+    * basis points — no float anywhere.
+    *
+    * @return (s1, s2, inter, union_nv, jaccard_bp) for s1 < s2
+    */
+  def sourceVocabOverlap(
+      docs: org.apache.spark.sql.DataFrame,
+      sliceCol: Column, textCol: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val st = docs
+      .select(sliceCol.as("src"), explode(tokens(textCol)).as("token"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = st.groupBy(col("src")).agg(count(lit(1)).as("nv"))
+    val inter = st.as("a")
+      .join(st.as("b"), col("a.token") === col("b.token") &&
+        col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("s1"), col("b.src").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    broadcast(sizes.select(col("src").as("s1"), col("nv").as("n1")))
+      .crossJoin(broadcast(
+        sizes.select(col("src").as("s2"), col("nv").as("n2"))))
+      .filter(col("s1") < col("s2"))
+      .join(inter, Seq("s1", "s2"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("union_nv", col("n1") + col("n2") - col("inter"))
+      .select(col("s1"), col("s2"), col("inter"), col("union_nv"),
+        expr("inter * 10000 div union_nv").as("jaccard_bp"))
+  }
+
   /** Count of hits from a word list (quality scoring / language ID). */
   def wordHits(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(

@@ -53,4 +53,55 @@ class ExperimentSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("exactly 2 variants"))
   }
+
+  test("chiSquare: hand-checked 2x2 lattice, independence gives 0") {
+    import org.apache.spark.sql.functions.col
+    // [[10,20],[20,10]]: margins 30/30, E=15 per cell, d=5 →
+    // contrib = floor(25e12/15e6) = 1_666_666 per cell, 4 cells
+    val dep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("r", "c")
+    val got = Experiment.chiSquare(dep, col("r"), col("c"))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((4L * 1666666L, 1L, 60L)))
+    // exact independence: every E equals O → chi2 = 0
+    val ind = (Seq.fill(6)(("a", "x")) ++ Seq.fill(12)(("a", "y")) ++
+      Seq.fill(3)(("b", "x")) ++ Seq.fill(6)(("b", "y")))
+      .toDF("r", "c")
+    val g2 = Experiment.chiSquare(ind, col("r"), col("c"))
+      .as[(Long, Long, Long)].head()
+    assert(g2 == ((0L, 1L, 27L)))
+  }
+
+  test("mutualInformation: ln2 nano-lattice for perfect dependence") {
+    import org.apache.spark.sql.functions.col
+    // two symbols, perfectly coupled → I = ln 2 = 0.693147181 (9dp)
+    val dep = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")))
+      .toDF("r", "c")
+    val got = Experiment.mutualInformation(dep, col("r"), col("c"))
+      .as[(Long, Long)].head()
+    assert(got == ((693147181L, 10L)))
+    // exact independence → every cell's log ratio is ln 1 = 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("r", "c")
+    val g2 = Experiment.mutualInformation(ind, col("r"), col("c"))
+      .as[(Long, Long)].head()
+    assert(g2 == ((0L, 4L)))
+  }
+
+  test("chiSquare: absent cells enter the grid with o = 0") {
+    import org.apache.spark.sql.functions.col
+    // (b, y) never observed: grid must still charge its expected mass
+    // margins: rn(a)=3 (2x+1y), rn(b)=1 (1x); cn(x)=3, cn(y)=1; n=4
+    // E_micro: (a,x)=2_250_000 (b,x)=750_000 (a,y)=750_000 (b,y)=250_000
+    // d: (a,x) 2e6-2.25e6=-0.25e6 → 62500000000/2250000=27777
+    //    (b,x) 1e6-0.75e6=0.25e6  → floor(62.5e9/750000)=83333
+    //    (a,y) 1e6-0.75e6         → 83333
+    //    (b,y) 0-250000           → floor(62.5e9/250000)=250000
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))
+      .toDF("r", "c")
+    val got = Experiment.chiSquare(df, col("r"), col("c"))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((27777L + 83333L + 83333L + 250000L, 1L, 4L)))
+  }
 }

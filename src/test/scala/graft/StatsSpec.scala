@@ -74,6 +74,52 @@ class StatsSpec extends SparkTestBase {
       ("z", 50, 1L), ("z", 100, 1L)))
   }
 
+  test("madOutliers: hand-checked medians, MAD and fence counts") {
+    // group a values: 1,2,3,4,100 → median 3 (2·cum>=5 first at 3),
+    // deviations 2,1,0,1,97 → MAD 1, fence 3·1=3 → outlier: 100 only
+    val a = Seq(1L, 2L, 3L, 4L, 100L).map(("a", _))
+    // group z: 5,5,5,9 → median 5, dev 0,0,0,4 → MAD 0 → any v≠5 out
+    val z = Seq(5L, 5L, 5L, 9L).map(("z", _))
+    val got = Stats.madOutliers(
+        (a ++ z).toDF("g", "v"), col("g"), col("v"), k = 3)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 3L, 1L, 5L, 1L), ("z", 5L, 0L, 4L, 1L)))
+  }
+
+  test("madOutliers: layout-independent") {
+    val df = (1 to 500)
+      .map(i => (s"g${i % 3}", ((i * 131) % 997).toLong))
+      .toDF("g", "v")
+    val x = Stats.madOutliers(df, col("g"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val y = Stats.madOutliers(df.repartition(13), col("g"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(x == y && x.size == 3)
+  }
+
+  test("paretoTopShare: hand-checked 80/20 prefix") {
+    // group s entity values desc: 50,30,10,10 → T=100, th=80:
+    // 50+30=80 reaches at vstar=30 → n_top=2 of 4 → 5000 bp
+    val s = Seq(50L, 30L, 10L, 10L).map(("s", _))
+    // group u: 7,1,1,1 → T=10, th=8: above(v>1)=7 < 8, vstar=1,
+    // k=ceil((8-7)/1)=1 → n_top=2 of 4 → 5000 bp
+    val u = Seq(7L, 1L, 1L, 1L).map(("u", _))
+    val got = Stats.paretoTopShare(
+        (s ++ u).toDF("g", "v"), col("g"), col("v"), pct = 80)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("s", 4L, 2L, 5000L, 30L), ("u", 4L, 2L, 5000L, 1L)))
+  }
+
+  test("paretoTopShare: boundary-tie entities count by ceil division") {
+    // values 10,10,10,10,10 → T=50, th=40 → vstar=10, above=0,
+    // k=ceil(40/10)=4 → n_top=4 of 5 → 8000 bp
+    val df = Seq.fill(5)(("t", 10L)).toDF("g", "v")
+    val got = Stats.paretoTopShare(df, col("g"), col("v"), pct = 80)
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(got == (("t", 5L, 4L, 8000L, 10L)))
+  }
+
   test("globalRowNumber: a dense permutation matching the total order") {
     val df = (1 to 300).map(i => ((i * 7919) % 1000, i)).toDF("k", "id")
     val (ranked, release) =

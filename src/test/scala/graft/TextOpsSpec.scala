@@ -6,6 +6,34 @@ import graft.text.TextOps
 class TextOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("oovRate: top-k vocab, deterministic ties, empty docs keep 0s") {
+    // corpus counts: "a"x4, "b"x3, "c"x2, "d"x2, "e"x1 → vocab(3) =
+    // {a, b, c} (c beats d on the token-asc tie-break)
+    val df = Seq(
+      (1L, "a a b c d"),     // oov: d          → 1/5
+      (2L, "a b c d e"),     // oov: d, e       → 2/5
+      (3L, "a b a"),         // oov: none       → 0/3
+      (4L, ""))              // no tokens       → 0/0
+      .toDF("doc_id", "text")
+    val got = TextOps.oovRate(df, col("doc_id"), col("text"), 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 5L, 1L, 2000L), (2L, 5L, 2L, 4000L),
+      (3L, 3L, 0L, 0L), (4L, 0L, 0L, 0L)))
+  }
+
+  test("sourceVocabOverlap: hand-checked Jaccard, zero pairs kept") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s2", "b c d"), ("s3", "x"))
+      .toDF("source", "text")
+    val got = TextOps.sourceVocabOverlap(docs, col("source"), col("text"))
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("s1", "s2", 2L, 4L, 5000L),
+      ("s1", "s3", 0L, 4L, 0L),
+      ("s2", "s3", 0L, 4L, 0L)))
+  }
+
   test("token/char/punct counts on edge cases") {
     val df = Seq(
       (1L, "one two  three"),   // double space
