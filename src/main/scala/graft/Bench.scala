@@ -100,7 +100,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // shuffle partitions track the core count by default; the scaling
+    // sweeps override this upward (a cluster sizes partitions to the
+    // DATA — pinning 32 at 100× the volume measures spill crossover,
+    // not the operator; PLANS_r11 §4a)
+    val shuffleParts = sys.env
+      .getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toInt
+    val spark =
+      GraftSession.builder(s"local[$cpus]", shuffleParts).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names =
       if (args.sameElements(Array("--headline"))) {
