@@ -2721,6 +2721,31 @@ object SparkEntry {
         t("orders")(s, d),
         round(col("o_totalprice") * 100).cast("long"))),
 
+    // ---- Theil T inequality of customer spend per segment — the
+    //      decomposable, top-sensitive companion to q_gini on the
+    //      same fixture; fact-scale 9-dp lattice logs on the
+    //      checkpointed value domain, integer nano-nat output ----
+    "q_theil" -> ((s, d) => {
+      val spend = t("orders")(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+        .join(t("customer")(s, d),
+          col("o_custkey") === col("c_custkey"))
+      graft.ops.Stats.theil(spend, col("c_mktsegment"), col("cents"))
+        .withColumnRenamed("g", "c_mktsegment")
+    }),
+
+    // ---- winsorized mean of line price per return flag: values
+    //      clamped to the exact [p5, p95] order statistics (banded
+    //      quantile thresholds broadcast back), mean on the 6-dp
+    //      integer lattice — the robust mean beside q_mad_outliers --
+    "q_winsorized_mean" -> ((s, d) =>
+      graft.ops.Stats.winsorizedMean(
+          t("lineitem")(s, d), col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long"))
+        .withColumnRenamed("g", "l_returnflag")),
+
     // ---- robust outlier profile of line price per return flag:
     //      median / MAD / |v−m| > 3·MAD counts — ONE fact exchange
     //      (the checkpointed value domain), both medians through the
@@ -4930,6 +4955,68 @@ object SparkEntry {
          octet_length(CAST(text AS BLOB)) AS n_bytes,
          md5(text) AS content_hash
          FROM documents""",
+
+    // same per-distinct-value 9-dp lattice log (identical double op
+    // sequence), Σ c·v·l9 in exact integers, HALF_UP by the spend
+    // total — the lm_score discipline at fact scale
+    "q_theil" ->
+      """WITH spend AS (SELECT c_mktsegment AS g, o_custkey,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+               AS BIGINT) AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         dom AS (SELECT g, v, count(*) AS cnt FROM spend GROUP BY 1, 2),
+         tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(sum(v*cnt) AS BIGINT) AS s FROM dom GROUP BY 1),
+         cell AS (SELECT dom.g AS g, cnt, v, n, s,
+             CASE WHEN v > 0 AND s > 0 THEN
+               CAST(CAST(round(ln((CAST(v AS DOUBLE) * n) /
+                   CAST(s AS DOUBLE)), 9) AS DECIMAL(20,9))
+                 * 1000000000 AS BIGINT)
+             ELSE 0 END AS l9
+           FROM dom JOIN tot ON tot.g = dom.g),
+         agg AS (SELECT g, max(n) AS n, max(s) AS s,
+                   CAST(sum(CAST(cnt AS HUGEINT) * v * l9) AS HUGEINT)
+                     AS num
+                 FROM cell GROUP BY 1)
+         SELECT g AS c_mktsegment, n AS n_rows,
+           CAST(CASE WHEN s > 0 THEN
+               (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+               ((2*abs(num) + s) // (2*s))
+             ELSE 0 END AS BIGINT) AS theil_nano
+         FROM agg""",
+
+    // thresholds replay the inclusive order-statistic rule at p5/p95;
+    // the clamped mean is the HALF_UP 6-dp integer quotient
+    "q_winsorized_mean" ->
+      """WITH dom AS (SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+             count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n
+                 FROM dom GROUP BY 1),
+         cum AS (SELECT g, v, cnt, CAST(sum(cnt) OVER
+             (PARTITION BY g ORDER BY v) AS BIGINT) AS cw FROM dom),
+         lo AS (SELECT cum.g, min(v) AS lo
+                FROM cum JOIN tot ON tot.g = cum.g
+                WHERE 100*cw >= 5*n GROUP BY 1),
+         hi AS (SELECT cum.g, min(v) AS hi
+                FROM cum JOIN tot ON tot.g = cum.g
+                WHERE 100*cw >= 95*n GROUP BY 1),
+         cl AS (SELECT dom.g AS g, cnt,
+                  greatest(lo.lo, least(hi.hi, v)) AS cv, lo.lo, hi.hi
+                FROM dom JOIN lo ON lo.g = dom.g
+                  JOIN hi ON hi.g = dom.g),
+         agg AS (SELECT g, max(lo) AS lo, max(hi) AS hi,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(cv AS HUGEINT) * cnt) AS HUGEINT)
+                     AS csum
+                 FROM cl GROUP BY 1)
+         SELECT g AS l_returnflag, lo, hi, n_rows,
+           CAST((CASE WHEN csum < 0 THEN -1 ELSE 1 END) *
+             ((2*abs(csum)*1000000 + n_rows) // (2*n_rows))
+             AS BIGINT) AS wmean_micro
+         FROM agg""",
 
     // both medians replay the engine's inclusive order-statistic rule
     // (min v with 2·cum >= n over the distinct-value domain) — the

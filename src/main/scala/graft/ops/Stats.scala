@@ -259,6 +259,98 @@ object Stats {
         col("vstar").as("threshold"))
   }
 
+  /** Theil T inequality index per group — the entropy-based
+    * companion to [[gini]] (Gini weighs the middle of the
+    * distribution; Theil is decomposable and sensitive to the top):
+    * T = Σ (x_i/S)·ln(x_i·n/S), S = Σx, zero values contributing 0
+    * (the 0·ln 0 convention). Values must be non-negative.
+    *
+    * Determinism is the lm_score 9-dp lattice (text/LangModel.scala),
+    * here applied at FACT scale: each distinct value's log is
+    * round(ln((v·n as double)/(S as double)), 9) carried as integer
+    * nano-units (|ln| ≤ ln(n·max v) ≈ 60 → |l9| ≤ 6e10, exact in
+    * long), the numerator Σ c_v·v·l9 accumulates in exact narrow
+    * decimals, and theil_nano = HALF_UP(|N|/S) in integer arithmetic.
+    * Budget: v ≤ 1e12 cents and l9 ≤ 6e10 keep the per-term product
+    * inside decimal(18+12+11), the sum inside decimal(38,0).
+    *
+    * Scale shape: ONE fact-scale exchange (the checkpointed (g, v)
+    * domain — [[madOutliers]]' discipline); logs are computed on the
+    * bounded domain, map-side; per-group totals broadcast back.
+    *
+    * @return (g, n_rows, theil_nano) — T in nano-nats
+    */
+  def theil(
+      df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val dom = df
+      .select(groupCol.as("g"), valueCol.as("v"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // domain-sized; totals + terms both read it
+    val tot = dom.groupBy(col("g").as("_tg"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("v").cast(Dec) * col("cnt")).cast("long").as("s"))
+    dom
+      .join(broadcast(tot), col("g") === col("_tg"))
+      .withColumn("l9",
+        when(col("v") > 0 && col("s") > 0,
+          (round(log((col("v").cast("double") * col("n").cast("double"))
+              / col("s").cast("double")), 9)
+            .cast("decimal(20,9)") * lit(1000000000L)).cast("long"))
+          .otherwise(lit(0L)))
+      .groupBy(col("g"), col("n"), col("s"))
+      .agg(sum(col("cnt").cast("decimal(18,0)") *
+          col("v").cast("decimal(13,0)") * col("l9").cast("decimal(12,0)"))
+        .as("num"))
+      .select(col("g"), col("n").as("n_rows"),
+        when(col("s") > 0,
+          (when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(2 * abs(num) + s) div (2 * s)")))
+          .otherwise(lit(0L)).as("theil_nano"))
+  }
+
+  /** Winsorized mean per group: values clamped to the [pLo, pHi]
+    * order-statistic thresholds (the inclusive [[weightedQuantiles]]
+    * definition at unit weight), then averaged exactly — the robust
+    * mean that keeps magnitude information the median throws away
+    * while staying bounded against tail contamination.
+    *
+    * One fact-scale exchange (the checkpointed domain); thresholds
+    * broadcast back; the clamped sum accumulates in DECIMAL(38,0) and
+    * the mean lands on a 6-dp integer lattice via HALF_UP division —
+    * no float summation anywhere.
+    *
+    * @return (g, lo, hi, n_rows, wmean_micro) — mean in micro-units
+    */
+  def winsorizedMean(
+      df: DataFrame, groupCol: Column, valueCol: Column,
+      pLo: Int = 5, pHi: Int = 95, bands: Int = 4096): DataFrame = {
+    require(pLo >= 1 && pHi <= 100 && pLo < pHi,
+      s"need 1 <= pLo < pHi <= 100, got ($pLo, $pHi)")
+    val dom = df
+      .select(groupCol.as("g"), valueCol.as("v"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val th = weightedQuantiles(
+        dom, col("g"), col("v"), col("cnt"), Seq(pLo, pHi), bands)
+      .groupBy(col("g").as("_tg"))
+      .agg(max(when(col("pct") === pLo, col("value"))).as("lo"),
+        max(when(col("pct") === pHi, col("value"))).as("hi"))
+    dom
+      .join(broadcast(th), col("g") === col("_tg"))
+      .withColumn("cv", greatest(col("lo"), least(col("hi"), col("v"))))
+      .groupBy(col("g"), col("lo"), col("hi"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(col("cv").cast(Dec) * col("cnt")).as("csum"))
+      .select(col("g"), col("lo"), col("hi"), col("n_rows"),
+        // HALF_UP micro mean in pure integer arithmetic — csum is
+        // non-negative only if values are; keep the sign explicit
+        (when(col("csum") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(2 * abs(csum) * 1000000 + n_rows) div (2 * n_rows)"))
+          .as("wmean_micro"))
+  }
+
   /** Two-pass distributed row number over a total order — NO
     * single-task global (or per-group) sort, and exactly ONE
     * full-data exchange: range-repartition on the order key, a

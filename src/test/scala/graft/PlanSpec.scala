@@ -552,6 +552,63 @@ class PlanSpec extends SparkTestBase {
       s"(g,v) domain exchange recomputed instead of reused:\n$plan")
   }
 
+  test("q_mad_outliers / q_pareto_share scan the fact table ONCE") {
+    // both operators checkpoint the (group, value) domain at
+    // construction, so the executed plan must run entirely over the
+    // materialized RDD — a parquet scan reappearing here means the
+    // one-fact-exchange claim silently became N scans
+    for (name <- Seq("q_mad_outliers", "q_pareto_share")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("FileScan parquet"),
+        s"$name re-scans parquet after the domain checkpoint:\n$plan")
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$name does not run over the checkpointed domain:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name collapsed to a single partition:\n$plan")
+    }
+  }
+
+  test("q_oov_rate: bounded vocab broadcasts; token rows never shuffle") {
+    val plan = finalPlan(q("q_oov_rate"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-k planned as a global sort:\n$plan")
+    assert("BroadcastHashJoin \\[token".r.findFirstIn(plan).isDefined,
+      s"vocab not attached to the token stream by broadcast:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-doc aggregation not map-side partial:\n$plan")
+    // the only hash exchanges carry vocab partials and doc-level
+    // partials — nothing token-keyed except the bounded vocab count
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"oov plan collapsed to a single partition:\n$plan")
+  }
+
+  test("q_source_overlap: self-join over the checkpointed vocabulary") {
+    val plan = finalPlan(q("q_source_overlap"))
+    assert(!plan.contains("FileScan parquet"),
+      s"overlap re-tokenizes parquet after the checkpoint:\n$plan")
+    // the pairwise intersection must be an equi-join on token (per-
+    // token fan-out bounded by #slices²), never a nested-loop pass
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[token".r
+        .findFirstIn(plan).isDefined,
+      s"token intersection is not an equi-join:\n$plan")
+  }
+
+  test("q_chi_square / q_mutual_info: bounded-cell work after one agg") {
+    for (name <- Seq("q_chi_square", "q_mutual_info")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("FileScan parquet"),
+        s"$name re-scans parquet after the cell checkpoint:\n$plan")
+      assert(plan.contains("BroadcastExchange"),
+        s"$name margins not attached by broadcast:\n$plan")
+    }
+  }
+
+  test("q_audio_features: zero exchanges — synth and decode are 1→1") {
+    val plan = finalPlan(q("q_audio_features"))
+    assert(shuffles(plan) == 0,
+      s"audio pipeline shuffles, got ${shuffles(plan)}:\n$plan")
+  }
+
   test("q_benford moves only digit partials, never fact rows") {
     // one hash exchange keyed on the 9-value digit histogram; the
     // total attaches by broadcast — the order scan itself never
@@ -583,13 +640,18 @@ class PlanSpec extends SparkTestBase {
 
   test("q_quantile_bin: thresholds from the value domain, attached " +
     "by broadcast") {
-    // two exchanges belong to the quantile pass ((g,v) partial-agg +
-    // g-partitioned window over the DISTINCT value domain); the bin
-    // assignment itself is a broadcast join + codegen ladder over the
-    // fact scan
+    // the threshold pass is the BANDED quantile machinery (see the
+    // q_weighted_quantiles pin): the only fact-scale exchange is the
+    // (g,v) domain agg — reused by every other consumer — and no
+    // window ordered by value may see a whole group's domain; the
+    // bin assignment itself is a broadcast join + codegen ladder
+    // over the fact scan
     val plan = finalPlan(q("q_quantile_bin"))
-    assert(distinctWideExchanges(plan).size <= 3,
-      s"quantile-bin exchanges exceed the threshold pass:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"(g,v) domain exchange recomputed instead of reused:\n$plan")
+    assert("windowspecdefinition\\(g#\\d+, v#\\d+L ASC".r
+        .findFirstIn(plan).isEmpty,
+      s"a per-group window still sees the full value domain:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"quantile-bin thresholds not broadcast:\n$plan")
     assert(!plan.contains("Exchange SinglePartition"),

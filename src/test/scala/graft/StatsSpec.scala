@@ -120,6 +120,43 @@ class StatsSpec extends SparkTestBase {
     assert(got == (("t", 5L, 4L, 8000L, 10L)))
   }
 
+  test("theil: 0 for perfect equality; ln(n) for one-holder; 0·ln0=0") {
+    // equal values → every ln(v·n/S) = ln(1) = 0
+    val eq = Seq.fill(4)(("e", 5L)).toDF("g", "v")
+    val t0 = Stats.theil(eq, col("g"), col("v"))
+      .as[(String, Long, Long)].head()
+    assert(t0 == (("e", 4L, 0L)))
+    // one holder of everything: T = ln(n) = ln(4) = 1.386294361 (9dp);
+    // the three zero rows contribute 0 by the convention
+    val one = (Seq(("o", 12L)) ++ Seq.fill(3)(("o", 0L))).toDF("g", "v")
+    val t1 = Stats.theil(one, col("g"), col("v"))
+      .as[(String, Long, Long)].head()
+    assert(t1 == (("o", 4L, 1386294361L)))
+  }
+
+  test("theil: layout-independent") {
+    val df = (1 to 400)
+      .map(i => (s"g${i % 2}", ((i * 131) % 997).toLong))
+      .toDF("g", "v")
+    val a = Stats.theil(df, col("g"), col("v"))
+      .as[(String, Long, Long)].collect().toSet
+    val b = Stats.theil(df.repartition(11), col("g"), col("v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(a == b && a.size == 2)
+  }
+
+  test("winsorizedMean: clamps exactly to the inclusive thresholds") {
+    // 1..10 with one huge outlier replacing 10: p25/p75 of
+    // 1,2,...,9,1000 → lo: first 100·cw >= 25·10 → cw>=2.5 → v=3;
+    // hi: 100·cw >= 75·10 → cw>=7.5 → v=8
+    // clamped: 3,3,3,4,5,6,7,8,8,8 → sum 55, mean 5.5 → 5_500_000
+    val df = ((1L to 9L) :+ 1000L).map(("w", _)).toDF("g", "v")
+    val got = Stats.winsorizedMean(
+        df, col("g"), col("v"), pLo = 25, pHi = 75)
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(got == (("w", 3L, 8L, 10L, 5500000L)))
+  }
+
   test("globalRowNumber: a dense permutation matching the total order") {
     val df = (1 to 300).map(i => ((i * 7919) % 1000, i)).toDF("k", "id")
     val (ranked, release) =
