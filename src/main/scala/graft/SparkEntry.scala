@@ -987,6 +987,20 @@ object SparkEntry {
     "q_doc_tfidf" -> ((s, d) =>
       graft.text.TextOps.tfidf(t("documents")(s, d), "doc_id", "text")),
 
+    // ---- keyword extraction: top-3 TF-IDF terms per document via
+    //      the bounded-heap top-k (≤ k-row state per doc through the
+    //      exchange — never a per-doc window sort); deterministic
+    //      (score desc, term asc) tie-break through a negated-score
+    //      struct; both engines rank the identical 6-dp scores ----
+    "q_doc_keywords" -> ((s, d) =>
+      graft.ops.TopK.topKPerGroup(
+          graft.text.TextOps.tfidf(t("documents")(s, d), "doc_id", "text")
+            .select(col("doc_id"),
+              struct((-col("tfidf")).as("_neg"), col("term"),
+                col("tfidf")).as("o")),
+          keys = Seq("doc_id"), ord = col("o"), k = 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))),
+
     // ---- BM25 document-term scores (Lucene idf form) ----
     "q_doc_bm25" -> ((s, d) =>
       graft.text.TextOps.bm25(t("documents")(s, d), "doc_id", "text")),
@@ -2720,6 +2734,30 @@ object SparkEntry {
       graft.ops.Stats.benford(
         t("orders")(s, d),
         round(col("o_totalprice") * 100).cast("long"))),
+
+    // ---- seasonal-naive forecast evaluation: predict each day's
+    //      revenue by the same weekday last week, report integer MAE
+    //      and WAPE (basis points) — the baseline every forecasting
+    //      pipeline must beat, on calendar-bounded rows after one
+    //      day-keyed aggregate ----
+    "q_seasonal_naive" -> ((s, d) => {
+      // calendar-bounded after one day-keyed agg; checkpointed so the
+      // prediction side reuses it instead of re-scanning the fact
+      val daily = dailyOrderCents(s, d)
+        .select(to_date(col("day")).as("dt"), col("cents"))
+        .localCheckpoint()
+      val pred = daily.select(date_add(col("dt"), 7).as("dt"),
+        col("cents").as("pred"))
+      daily.join(pred, Seq("dt"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("cents") - col("pred"))
+            .cast("decimal(38,0)")).as("sae"),
+          sum(col("cents").cast("decimal(38,0)")).as("sa"))
+        // HALF_UP integer quotients — sae/sa are non-negative
+        .select(col("n_days"),
+          expr("(2 * sae + n_days) div (2 * n_days)").as("mae_cents"),
+          expr("(2 * sae * 10000 + sa) div (2 * sa)").as("wape_bp"))
+    }),
 
     // ---- Theil T inequality of customer spend per segment — the
     //      decomposable, top-sensitive companion to q_gini on the
@@ -4955,6 +4993,45 @@ object SparkEntry {
          octet_length(CAST(text AS BLOB)) AS n_bytes,
          md5(text) AS content_hash
          FROM documents""",
+
+    // same rounded 6-dp scores (tfidf oracle is hash-green), ranked
+    // under the identical (score desc, term asc) total order
+    "q_doc_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM toks GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+               AS tfidf
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, tfidf, row_number() OVER
+             (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+             AS rank FROM sc)
+         SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+         FROM r WHERE rank <= 3""",
+
+    // identical integer arithmetic: the d−7 self-join on the daily
+    // series, HALF_UP quotients for MAE and WAPE
+    "q_seasonal_naive" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         j AS (SELECT a.cents, b.cents AS pred
+               FROM daily a JOIN daily b
+                 ON a.dt = b.dt + INTERVAL 7 DAY),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(abs(cents - pred)) AS HUGEINT) AS sae,
+                 CAST(sum(cents) AS HUGEINT) AS sa FROM j)
+         SELECT n_days,
+           CAST((2*sae + n_days) // (2*n_days) AS BIGINT) AS mae_cents,
+           CAST((2*sae*10000 + sa) // (2*sa) AS BIGINT) AS wape_bp
+         FROM s""",
 
     // same per-distinct-value 9-dp lattice log (identical double op
     // sequence), Σ c·v·l9 in exact integers, HALF_UP by the spend

@@ -609,6 +609,29 @@ class PlanSpec extends SparkTestBase {
       s"audio pipeline shuffles, got ${shuffles(plan)}:\n$plan")
   }
 
+  test("q_doc_keywords ranks through the bounded heap, never a window") {
+    // top-3 terms per doc must plan as the collectTopK aggregate
+    // (≤ k-row state per doc through the exchange) — a row_number
+    // window here would sort every doc's full term list
+    val plan = finalPlan(q("q_doc_keywords"))
+    assert(!plan.contains("Window"),
+      s"keyword ranking planned as a window sort:\n$plan")
+    assert(plan.toLowerCase.contains("collect_top_k"),
+      s"bounded-heap aggregate missing:\n$plan")
+  }
+
+  test("q_seasonal_naive reduces to the calendar before the self-join") {
+    // the daily series is checkpointed at construction, so the d−7
+    // join and the error aggregate run entirely over day-cardinality
+    // RDD rows — a parquet scan here means the fact table is being
+    // read twice for a calendar-bounded evaluation
+    val plan = finalPlan(q("q_seasonal_naive"))
+    assert(!plan.contains("FileScan parquet"),
+      s"seasonal-naive re-scans the fact table:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"seasonal-naive not over the checkpointed series:\n$plan")
+  }
+
   test("q_benford moves only digit partials, never fact rows") {
     // one hash exchange keyed on the 9-value digit histogram; the
     // total attaches by broadcast — the order scan itself never
