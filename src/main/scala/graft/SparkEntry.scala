@@ -2735,6 +2735,52 @@ object SparkEntry {
         t("orders")(s, d),
         round(col("o_totalprice") * 100).cast("long"))),
 
+    // ---- z-score feature standardization per group: μ/σ from ONE
+    //      exact-DECIMAL moment aggregate (the q_corr_exact
+    //      discipline) broadcast back; z = (n·x − S)/√(n·Sxx − S²) —
+    //      the numerator exact integer, ONE sqrt and ONE division per
+    //      row in fixed order, rounded to 6 dp. The fact table never
+    //      shuffles ----
+    "q_feature_scale" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val base = t("lineitem")(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("x"))
+      val m = base.groupBy(col("l_returnflag").as("_fg"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"))
+      base.join(broadcast(m), col("l_returnflag") === col("_fg"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0,
+            round((col("n") * col("x") - col("sx")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")), 6))
+            .otherwise(lit(0.0)).as("z"))
+    }),
+
+    // ---- temporal train/holdout split at the EXACT inclusive 80th
+    //      percentile of event time — the banded quantile machinery
+    //      on micros (no calendar assumption), cutoff broadcast back;
+    //      the leakage-free split for time-series models ----
+    "q_temporal_split" -> ((s, d) => {
+      val ev = t("events")(s, d)
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"), lit(1L).as("one"),
+          unix_micros(col("ts")).as("us"))
+      val cut = graft.ops.Stats.weightedQuantiles(
+          ev, lit("all"), col("us"), col("one"), Seq(80))
+        .select(col("value").as("cut_us"))
+      ev.crossJoin(broadcast(cut))
+        .groupBy(when(col("us") <= col("cut_us"), "train")
+          .otherwise("holdout").as("split"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          max(col("cut_us")).as("cut_us"))
+    }),
+
     // ---- seasonal-naive forecast evaluation: predict each day's
     //      revenue by the same weekday last week, report integer MAE
     //      and WAPE (basis points) — the baseline every forecasting
@@ -5014,6 +5060,41 @@ object SparkEntry {
              AS rank FROM sc)
          SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
          FROM r WHERE rank <= 3""",
+
+    // the q_corr_exact moment discipline row-wise: exact integer
+    // numerator, one sqrt + one division in fixed order, round(,6)
+    "q_feature_scale" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS x
+           FROM lineitem),
+         m AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(x AS HUGEINT)*x) AS HUGEINT) AS sxx
+               FROM base GROUP BY 1)
+         SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag,
+           CASE WHEN (n*sxx - sx*sx) > 0 THEN
+             round(CAST(n*x - sx AS DOUBLE) /
+               sqrt(CAST(n*sxx - sx*sx AS DOUBLE)), 6)
+           ELSE 0.0 END AS z
+         FROM base b JOIN m USING (l_returnflag)""",
+
+    // the inclusive order-statistic cutoff on event micros, then one
+    // grouped count per side — identical rule both engines
+    "q_temporal_split" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us
+           FROM events WHERE ts IS NOT NULL),
+         dom AS (SELECT us, count(*) AS cnt FROM ev GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dom),
+         cum AS (SELECT us, CAST(sum(cnt) OVER (ORDER BY us)
+             AS BIGINT) AS cw FROM dom),
+         cut AS (SELECT min(us) AS cut_us FROM cum, tot
+                 WHERE 100*cw >= 80*n)
+         SELECT CASE WHEN us <= cut_us THEN 'train' ELSE 'holdout' END
+             AS split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           max(cut_us) AS cut_us
+         FROM ev, cut GROUP BY 1""",
 
     // identical integer arithmetic: the d−7 self-join on the daily
     // series, HALF_UP quotients for MAE and WAPE
