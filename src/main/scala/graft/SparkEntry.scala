@@ -2735,6 +2735,18 @@ object SparkEntry {
         t("orders")(s, d),
         round(col("o_totalprice") * 100).cast("long"))),
 
+    // ---- classifier evaluation: the quality heuristic scored as a
+    //      predictor of the length label — confusion matrix plus
+    //      precision/recall/F1 in integer basis points; one
+    //      conditional aggregate, four longs through the exchange ----
+    "q_confusion" -> ((s, d) => {
+      import graft.text.TextOps._
+      graft.ops.RankEval.confusion(
+        t("documents")(s, d),
+        truthCol = tokenCount(col("text")) >= 30,
+        predCol = qualityOk(col("text")))
+    }),
+
     // ---- z-score feature standardization per group: μ/σ from ONE
     //      exact-DECIMAL moment aggregate (the q_corr_exact
     //      discipline) broadcast back; z = (n·x − S)/√(n·Sxx − S²) —
@@ -5060,6 +5072,35 @@ object SparkEntry {
              AS rank FROM sc)
          SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
          FROM r WHERE rank <= 3""",
+
+    // identical predicates (the q_doc_quality tokenizer/punct rules),
+    // F1 from the direct integer formula — floor division both sides
+    "q_confusion" ->
+      """WITH l AS (SELECT
+             len(regexp_extract_all(text, '\S+')) >= 30 AS t,
+             (len(regexp_extract_all(text, '\S+')) >= 10 AND
+              len(regexp_extract_all(text, '[.,!?;:]')) * 2
+                <= len(regexp_extract_all(text, '\S+'))) AS p
+           FROM documents),
+         c AS (SELECT
+             CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp,
+             CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn
+           FROM l)
+         SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN tp * 10000 // (tp + fp)
+             ELSE 0 END AS precision_bp,
+           CASE WHEN tp + fn > 0 THEN tp * 10000 // (tp + fn)
+             ELSE 0 END AS recall_bp,
+           CASE WHEN 2*tp + fp + fn > 0
+             THEN 2 * tp * 10000 // (2*tp + fp + fn)
+             ELSE 0 END AS f1_bp
+         FROM c""",
 
     // the q_corr_exact moment discipline row-wise: exact integer
     // numerator, one sqrt + one division in fixed order, round(,6)

@@ -84,4 +84,39 @@ object RankEval {
     dcgUnits(k).zipWithIndex
       .map { case (u, i) => s"(${i + 1}, ${u}::BIGINT)" }
       .mkString(", ")
+
+  /** Binary-classification evaluation: the confusion matrix plus
+    * precision / recall / F1 in integer basis points — the
+    * classifier-side companion to [[rankingMetrics]] (a quality
+    * filter or dedup gate is a CLASSIFIER over the corpus, and its
+    * eval must be as exact as the queries it gates).
+    *
+    * All-integer: counts are one conditional aggregate (map-side
+    * partials, four longs through the exchange); F1 comes from the
+    * direct formula f1 = 2·tp / (2·tp + fp + fn) — one floor
+    * division of exact integers, never the compounding p·r/(p+r)
+    * float form. Degenerate denominators (no positive predictions /
+    * no positive truths) yield 0, surfaced rather than dropped.
+    */
+  def confusion(
+      df: DataFrame, truthCol: Column, predCol: Column): DataFrame =
+    df
+      .select(truthCol.as("t"), predCol.as("p"))
+      .agg(
+        sum(when(col("t") && col("p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("t") && col("p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("t") && !col("p"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("t") && !col("p"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        // integral `div`, not float division — tp·10⁴ passes 2^53
+        // (exact-double territory) near 1e12 rows
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 10000 div (tp + fp)"))
+          .otherwise(lit(0L)).as("precision_bp"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 10000 div (tp + fn)"))
+          .otherwise(lit(0L)).as("recall_bp"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr("2 * tp * 10000 div (2 * tp + fp + fn)"))
+          .otherwise(lit(0L)).as("f1_bp"))
 }

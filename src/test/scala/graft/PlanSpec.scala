@@ -632,6 +632,30 @@ class PlanSpec extends SparkTestBase {
       s"seasonal-naive not over the checkpointed series:\n$plan")
   }
 
+  test("q_feature_scale: moments broadcast; the fact never shuffles") {
+    // one wide exchange (the per-group moment partials); z itself is
+    // a map-side expression over the scan behind a broadcast join
+    val plan = finalPlan(q("q_feature_scale"))
+    assert(distinctWideExchanges(plan).size == 1,
+      s"feature-scale shuffles more than the moment partials:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"moments not attached by broadcast:\n$plan")
+  }
+
+  test("q_temporal_split: banded cutoff, split counted in one agg") {
+    val plan = finalPlan(q("q_temporal_split"))
+    // the event-micros domain exchange is reused by the quantile's
+    // consumers; the cutoff attaches by broadcast
+    assert(plan.contains("ReusedExchange"),
+      s"event-time domain exchange recomputed:\n$plan")
+    assert("windowspecdefinition\\(g#\\d+, v#\\d+L ASC".r
+        .findFirstIn(plan).isEmpty,
+      s"a per-group window sees the full time domain:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"cutoff not attached by broadcast:\n$plan")
+  }
+
   test("q_benford moves only digit partials, never fact rows") {
     // one hash exchange keyed on the 9-value digit histogram; the
     // total attaches by broadcast — the order scan itself never

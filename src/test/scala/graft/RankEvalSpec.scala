@@ -40,4 +40,22 @@ class RankEvalSpec extends SparkTestBase {
     assert(u(3) == Math.round(1e12 / math.log(5.0) * math.log(2.0)))
     assert(u == RankEval.dcgUnits(4), "must be deterministic")
   }
+
+  test("confusion: hand-checked counts and integer-bp metrics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // tp=3 fp=1 fn=2 tn=4: precision 3/4=7500, recall 3/5=6000,
+    // f1 = 6/(6+1+2) = 6666 (floor)
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(1)((false, true)) ++
+      Seq.fill(2)((true, false)) ++ Seq.fill(4)((false, false))
+    val got = graft.ops.RankEval.confusion(
+        rows.toDF("t", "p"), col("t"), col("p"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((3L, 1L, 2L, 4L, 7500L, 6000L, 6666L)))
+    // degenerate: classifier never fires -> precision 0, not null
+    val none = Seq((true, false), (false, false)).toDF("t", "p")
+    val g2 = graft.ops.RankEval.confusion(none, col("t"), col("p"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(g2 == ((0L, 0L, 1L, 1L, 0L, 0L, 0L)))
+  }
 }
