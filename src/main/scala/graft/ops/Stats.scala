@@ -81,8 +81,12 @@ object Stats {
       weightCol: Column, percents: Seq[Int],
       bands: Int = 4096): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
+    // null values are EXCLUDED, like every SQL ordered-set aggregate —
+    // kept in, a null band would sort NULLS FIRST into every
+    // cumulative offset and silently shift each percentile
     val byValue = df
       .select(groupCol.as("g"), valueCol.as("v"), weightCol.as("w"))
+      .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v"))
       .agg(sum(col("w").cast(Dec)).as("wsum"))
     // per-group value bounds: ≤ #groups rows, broadcast back; the
@@ -171,6 +175,7 @@ object Stats {
     require(k >= 1, s"k must be >= 1, got $k")
     val dom = df
       .select(groupCol.as("g"), valueCol.as("v"))
+      .filter(col("v").isNotNull) // null values excluded, SQL-style
       .groupBy(col("g"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // domain-sized; the fact table scans ONCE
@@ -222,6 +227,7 @@ object Stats {
     require(pct >= 1 && pct <= 100, s"pct must be 1..100, got $pct")
     val dom = df
       .select(groupCol.as("g"), valueCol.as("v"))
+      .filter(col("v").isNotNull) // null values excluded, SQL-style
       .groupBy(col("g"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // value domain; the entity table scans ONCE
@@ -284,6 +290,7 @@ object Stats {
       df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
     val dom = df
       .select(groupCol.as("g"), valueCol.as("v"))
+      .filter(col("v").isNotNull) // null values excluded, SQL-style
       .groupBy(col("g"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // domain-sized; totals + terms both read it
@@ -329,6 +336,7 @@ object Stats {
       s"need 1 <= pLo < pHi <= 100, got ($pLo, $pHi)")
     val dom = df
       .select(groupCol.as("g"), valueCol.as("v"))
+      .filter(col("v").isNotNull) // null values excluded, SQL-style
       .groupBy(col("g"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()

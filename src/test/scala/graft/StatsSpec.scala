@@ -62,6 +62,22 @@ class StatsSpec extends SparkTestBase {
     assert(expect.size == 12)
   }
 
+  test("weightedQuantiles: null values are excluded, SQL-style") {
+    // a null value must not create a NULLS-FIRST band that shifts
+    // every cumulative offset — quantiles over (1,2,3) with a null
+    // row mixed in are identical to quantiles without it
+    val df = Seq(("a", Some(1L), 1L), ("a", None, 7L),
+      ("a", Some(2L), 1L), ("a", Some(3L), 1L)).toDF("g", "v", "w")
+    val got = Stats
+      .weightedQuantiles(df, col("g"), col("v"), col("w"), Seq(50, 100))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("a", 50, 2L), ("a", 100, 3L)))
+    // same exclusion in the domain-checkpointing consumers
+    val mad = Stats.madOutliers(df, col("g"), col("v"))
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(mad == (("a", 2L, 1L, 3L, 0L)))
+  }
+
   test("weightedQuantiles: single-value group and zero total weight") {
     // degenerate bands: range 0 → one band; all-zero weights → every
     // threshold is 0 and the inclusive rule returns the minimum value
