@@ -49,6 +49,10 @@ object Bench {
     "q5_local_supplier_volume", "q_funnel_latency", "q_kmeans_assign",
     "q_doc_neardup_clusters", "q_gap_fill", "q_ingest_replay",
     "q_snapshot_diff", "q_top_paths",
+    // round-11 additions over the ~1 s line
+    "q_mad_outliers", "q_winsorized_mean", "q_feature_scale",
+    "q_audio_features", "q_pareto_share", "q_temporal_split",
+    "q_doc_keywords", "q_chi_square",
     // cheap plan-shape anchors
     "q1_lineitem_agg", "q_events_hourly", "q_knn_sq8")
 

@@ -2735,6 +2735,26 @@ object SparkEntry {
         t("orders")(s, d),
         round(col("o_totalprice") * 100).cast("long"))),
 
+    // ---- popularity-weighted negative sampling (contrastive /
+    //      recsys training prep): 3 deterministic md5 draws per
+    //      positive from the item catalog ∝ purchase count, inverse-
+    //      CDF over the driver-bounded catalog, collisions filtered
+    //      by one (user, item)-keyed anti-join ----
+    "q_negative_samples" -> ((s, d) => {
+      val pos = t("orders")(s, d)
+        .join(t("lineitem")(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey")).distinct()
+      val w = t("lineitem")(s, d)
+        .groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.Sampling.popularityNegatives(
+          pos, col("o_custkey"), col("l_partkey"),
+          w, col("item"), col("w"), k = 3)
+        .select(col("u").as("o_custkey"), col("pos_item"), col("j"),
+          col("neg_item"))
+    }),
+
     // ---- classifier evaluation: the quality heuristic scored as a
     //      predictor of the length label — confusion matrix plus
     //      precision/recall/F1 in integer basis points; one
@@ -5072,6 +5092,32 @@ object SparkEntry {
              AS rank FROM sc)
          SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
          FROM r WHERE rank <= 3""",
+
+    // identical md5 draw string, '0x'-cast hex → BIGINT mod W, and
+    // inverse-CDF via ASOF JOIN on the same cumulative starts — a
+    // Spark-side binary-search bug lands on a different item and
+    // breaks the hash
+    "q_negative_samples" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey AS u, l_partkey AS p
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         w AS (SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS w
+               FROM lineitem GROUP BY 1),
+         cum AS (SELECT item, CAST(coalesce(sum(w) OVER (ORDER BY item
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS start FROM w),
+         tot AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM w),
+         draws AS (SELECT u, p, CAST(r.j AS INT) AS j,
+             CAST(CAST(('0x' || substr(md5('neg:' ||
+               CAST(u AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':'
+               || CAST(r.j AS VARCHAR)), 1, 12)) AS UBIGINT)
+               AS BIGINT) % W AS h
+           FROM pos, range(3) r(j), tot),
+         pick AS (SELECT d.u, d.p, d.j, c.item AS neg_item
+           FROM draws d ASOF JOIN cum c ON d.h >= c.start)
+         SELECT u AS o_custkey, p AS pos_item, j, neg_item
+         FROM pick d
+         WHERE NOT EXISTS (SELECT 1 FROM pos
+           WHERE pos.u = d.u AND pos.p = d.neg_item)""",
 
     // identical predicates (the q_doc_quality tokenizer/punct rules),
     // F1 from the direct integer formula — floor division both sides

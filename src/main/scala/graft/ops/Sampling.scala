@@ -633,4 +633,83 @@ object Sampling {
     // threshold cannot express rate 256 (keep-all)
     df.filter(hashByte(key) < rate)
   }
+
+  /** Popularity-weighted negative sampling for contrastive /
+    * recommendation training: for every positive (user, item) pair,
+    * draw `k` deterministic negatives from the item catalog with
+    * probability ∝ weight (typically interaction count — popular
+    * items make hard negatives), then anti-join away any draw that is
+    * a true positive for that user (the standard "sample then filter
+    * collisions" contract — a dropped draw is visible in the output
+    * arity, never silently replaced).
+    *
+    * Determinism is the module's md5 rule: draw j for (user, item) is
+    * the first 12 hex chars of md5("<seed>:<user>:<item>:<j>") as an
+    * integer (48 bits, exact in long) mod the total weight W; the
+    * drawn item is the inverse-CDF lookup — the unique item whose
+    * cumulative-weight interval [start, start+w) contains the draw.
+    * Identical in any md5-agreeing engine (DuckDB replays via
+    * '0x'-cast + ASOF JOIN on start <= h).
+    *
+    * Scale shape: the CATALOG is driver-bounded (sorted item +
+    * cumulative-start arrays, broadcast; the DSIR/Markov
+    * bounded-collect precedent — item catalogs are ~1e6–1e7 entries,
+    * corpus-scale is the POSITIVES table, which only streams through
+    * a mapPartitions draw (binary search per draw — inexpressible as
+    * a codegen'd expression without an O(|catalog|) HOF scan, the
+    * documented mapPartitions-as-last-resort case) and one anti-join
+    * keyed (user, item). Weights must be positive.
+    *
+    * @param positives (user, item) long pairs — need not be distinct
+    * @param itemWeights (item, weight) — the catalog, driver-bounded
+    * @return (user, pos_item, j, neg_item) — ≤ k rows per positive
+    */
+  def popularityNegatives(
+      positives: DataFrame, userCol: Column, itemCol: Column,
+      itemWeights: DataFrame, wItemCol: Column, weightCol: Column,
+      k: Int, seed: String = "neg"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = positives.sparkSession
+    import spark.implicits._
+    val catalog = itemWeights
+      .select(wItemCol.cast("long").as("i"),
+        weightCol.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .orderBy(col("i"))
+      .as[(Long, Long)].collect()
+    require(catalog.nonEmpty, "empty item catalog")
+    val items = catalog.map(_._1)
+    val starts = catalog.map(_._2).scanLeft(0L)(_ + _)
+    val total = starts.last
+    val bItems = spark.sparkContext.broadcast(items)
+    val bStarts = spark.sparkContext.broadcast(starts)
+    val drawn = positives
+      .select(userCol.cast("long").as("u"), itemCol.cast("long").as("p"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val is = bItems.value
+        val st = bStarts.value // exclusive prefix sums, length n+1
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (u, p) =>
+          (0 until k).iterator.map { j =>
+            val hex = md.digest(s"$seed:$u:$p:$j".getBytes("UTF-8"))
+              .take(6).map("%02x".format(_)).mkString
+            val h = java.lang.Long.parseLong(hex, 16) % total
+            // greatest idx with st(idx) <= h — inverse CDF
+            var lo = 0; var hi = is.length - 1
+            while (lo < hi) {
+              val mid = (lo + hi + 1) >>> 1
+              if (st(mid) <= h) lo = mid else hi = mid - 1
+            }
+            (u, p, j, is(lo))
+          }
+        }
+      }
+      .toDF("u", "pos_item", "j", "neg_item")
+    drawn.join(
+      positives.select(userCol.cast("long").as("au"),
+        itemCol.cast("long").as("ai")),
+      col("u") === col("au") && col("neg_item") === col("ai"),
+      "left_anti")
+  }
 }

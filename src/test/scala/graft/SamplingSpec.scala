@@ -65,4 +65,40 @@ class SamplingSpec extends SparkTestBase {
       .count()
     assert(keptNull == 2L, "p=1 rows must survive regardless of key")
   }
+
+  test("popularityNegatives: inverse-CDF draws match a replay; " +
+    "collisions filtered; layout-independent") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val pos = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("u", "i")
+    val w = Seq((10L, 5L), (20L, 3L), (30L, 2L)).toDF("item", "w")
+    val got = Sampling.popularityNegatives(
+        pos, col("u"), col("i"), w, col("item"), col("w"), k = 4)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // independent Scala replay of the documented draw rule
+    val items = Array(10L, 20L, 30L)
+    val starts = Array(0L, 5L, 8L); val total = 10L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = (for {
+      (u, p) <- Seq((1L, 10L), (1L, 20L), (2L, 10L)); j <- 0 until 4
+    } yield {
+      val hex = md.digest(s"neg:$u:$p:$j".getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex, 16) % total
+      val idx = starts.lastIndexWhere(_ <= h)
+      (u, p, j, items(idx))
+    }).filterNot { case (u, _, _, n) =>
+      Seq((1L, 10L), (1L, 20L), (2L, 10L)).contains((u, n))
+    }.toSet
+    assert(got == expect && expect.nonEmpty)
+    // layout-independence: same result from a repartitioned input
+    val got2 = Sampling.popularityNegatives(
+        pos.repartition(7), col("u"), col("i"),
+        w, col("item"), col("w"), k = 4)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got2 == got)
+    // every surviving draw is a catalog item and never a positive
+    assert(got.forall { case (u, _, _, n) =>
+      items.contains(n) && !Seq((1L, 10L), (1L, 20L), (2L, 10L))
+        .contains((u, n)) })
+  }
 }
