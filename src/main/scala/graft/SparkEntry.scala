@@ -2536,6 +2536,17 @@ object SparkEntry {
         t("lineitem")(s, d), "l_orderkey", "l_partkey",
         k = 3, minSupport = 3L)),
 
+    // ---- association strength behind the support counts: PMI
+    //      ("lift", nano-nats on the 9-dp lattice) per co-purchase
+    //      pair — per-item basket counts via item-keyed joins, basket
+    //      total by broadcast ----
+    "q_basket_pmi" -> ((s, d) =>
+      graft.ops.Basket.pmiPairs(
+          t("lineitem")(s, d), "l_orderkey", "l_partkey",
+          minSupport = 3L)
+        .withColumnRenamed("item_1", "p1")
+        .withColumnRenamed("item_2", "p2")),
+
     // ---- co-purchase community density: per-item triangle counts
     //      over the support>=2 co-purchase graph — degree-ordered
     //      orientation bounds the wedge fan-out by O(sqrt(m)) on any
@@ -6009,6 +6020,27 @@ object SparkEntry {
          FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
            AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+
+    // same pair table, same 9-dp lattice log with the identical
+    // double op sequence ((s·n)/(c1·c2), longs cast before multiply)
+    "q_basket_pmi" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
+           FROM lineitem),
+         e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                 CAST(count(*) AS BIGINT) AS support
+               FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+         c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+               FROM lp GROUP BY 1),
+         nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+                FROM lp)
+         SELECT p1, p2, support,
+           CAST(CAST(round(ln((CAST(support AS DOUBLE) * n) /
+               (CAST(c1.c AS DOUBLE) * c2.c)), 9) AS DECIMAL(20,9))
+             * 1000000000 AS BIGINT) AS pmi_nano
+         FROM e JOIN c c1 ON c1.l_partkey = e.p1
+           JOIN c c2 ON c2.l_partkey = e.p2, nb""",
 
     // the degree-ordered orientation is a strict total order on
     // (degree, id), so the oriented DAG — and with it the one wedge

@@ -148,4 +148,51 @@ object Basket {
         k, largest = true)
       .select("item", "rank", "other", "support")
   }
+
+  /** Pointwise mutual information per co-purchase pair —
+    * PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) over baskets, i.e.
+    * ln( (n_baskets · support_ab) / (count_a · count_b) ): the
+    * association STRENGTH behind a support count (raw support ranks
+    * popular-with-everything items first; PMI surfaces pairs bought
+    * together far beyond their individual popularity — "lift" in
+    * retail terms, in nats).
+    *
+    * Pairs come from [[coPurchasePairs]] (both guards apply); the
+    * per-item basket counts attach by two item-keyed joins and the
+    * basket total by broadcast. Determinism is the 9-dp lattice
+    * (lm_score discipline): the log argument is a FIXED sequence of
+    * correctly-rounded IEEE ops ((s·n as double) / (c_a·c_b as
+    * double) — longs cast before multiplying), the result carried as
+    * integer nano-nats.
+    *
+    * @return (item_1, item_2, support, pmi_nano)
+    */
+  def pmiPairs(
+      items: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long = 1L,
+      maxBasketSize: Int = 1024): DataFrame = {
+    val pairs = coPurchasePairs(items, basketCol, itemCol,
+      minSupport, maxBasketSize)
+    val li = items
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perItem = li.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val nb = li.agg(count_distinct(col("__b")).as("__nb"))
+    val out = pairs
+      .join(perItem.select(col("__i").as("item_1"), col("__c").as("__c1")),
+        Seq("item_1"))
+      .join(perItem.select(col("__i").as("item_2"), col("__c").as("__c2")),
+        Seq("item_2"))
+      .crossJoin(broadcast(nb))
+      .select(col("item_1"), col("item_2"), col("support"),
+        (round(log((col("support").cast("double") *
+            col("__nb").cast("double")) /
+          (col("__c1").cast("double") * col("__c2").cast("double"))), 9)
+          .cast("decimal(20,9)") * lit(1000000000L)).cast("long")
+          .as("pmi_nano"))
+    out
+  }
 }

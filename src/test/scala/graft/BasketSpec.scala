@@ -86,4 +86,17 @@ class BasketSpec extends SparkTestBase {
     assert(a == b)
     assert(a == Set(Seq(1L, 2L, 1L), Seq(1L, 3L, 1L), Seq(2L, 3L, 2L)))
   }
+
+  test("pmiPairs: hand-checked nano-nat lattice values") {
+    import org.apache.spark.sql.functions.col
+    // baskets: {A,B} {A,B} {A,C} {B} -> counts A=3 B=3 C=1, nb=4
+    // PMI(A,B) = ln(4*2/9)  = -0.117783036 -> -117783036 nano
+    // PMI(A,C) = ln(4*1/3)  =  0.287682072 ->  287682072 nano
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B")).toDF("b", "i")
+    val got = Basket.pmiPairs(df, "b", "i", minSupport = 1L)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("A", "B", 2L, -117783036L),
+      ("A", "C", 1L, 287682072L)))
+  }
 }
