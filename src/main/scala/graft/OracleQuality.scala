@@ -226,4 +226,26 @@ object OracleQuality {
        |  ${sig(margin)} AS score
        |FROM feats CROSS JOIN fin CROSS JOIN sig""".stripMargin)
   }
+
+  /** q_calibration — the reliability report over the scored corpus:
+    * decile buckets of the replayed sigmoid scores against the
+    * training weak label (tokenCount >= 60), observed positive rate
+    * in integer basis points. Bucketing is floor(score·10) on the
+    * IDENTICAL doubles both engines produce (q_quality_scores is
+    * hash-green), clamped to 9.
+    */
+  def calibrationSql: String =
+    s"""WITH s AS MATERIALIZED (FROM ($qualityScoresSql) q),
+       |tok AS (SELECT doc_id,
+       |  len(regexp_extract_all(text, '\\S+')) >= 60 AS pos
+       |  FROM documents)
+       |SELECT CAST(least(9, floor(score * 10)) AS INT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pos,
+       |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 10000 // CAST(count(*) AS BIGINT) AS pos_rate_bp
+       |FROM s JOIN tok USING (doc_id)
+       |WHERE score IS NOT NULL
+       |GROUP BY 1""".stripMargin
 }

@@ -1988,6 +1988,27 @@ object SparkEntry {
             .scoreColumn(feats, qualityWeights(s, d)).as("score"))
     }),
 
+    // ---- calibration / reliability report for the quality model:
+    //      decile buckets of the learned sigmoid scores vs the
+    //      training weak label, observed positive rate in basis
+    //      points — the "is 0.8 actually 80%" check every deployed
+    //      filter needs; shares the memoized training run ----
+    "q_calibration" -> ((s, d) => {
+      import graft.text.TextOps._
+      val feats = graft.text.QualityModel.features(col("text"))
+      t("documents")(s, d)
+        .select(
+          graft.text.QualityModel
+            .scoreColumn(feats, qualityWeights(s, d)).as("score"),
+          (tokenCount(col("text")) >= 60).as("pos"))
+        .filter(col("score").isNotNull)
+        .groupBy(least(lit(9), floor(col("score") * 10)).cast("int")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("pos_rate_bp", expr("n_pos * 10000 div n_docs"))
+    }),
+
     // ---- deterministic corpus shuffle: the stable pseudo-random
     //      TRAINING ORDER (same sequence every rebuild, any layout,
     //      any md5-agreeing engine); sort+limit plans as distributed
@@ -3114,6 +3135,8 @@ object SparkEntry {
       // the learned weights AND the scoring pass, hash-checkable
       "q_quality_model" -> OracleQuality.qualityModelSql,
       "q_quality_scores" -> OracleQuality.qualityScoresSql,
+      // decile reliability over the same replayed scores
+      "q_calibration" -> OracleQuality.calibrationSql,
       // BPE merge induction unrolled round by round in DuckDB
       // (OracleBpe): pair-count agg → total-order argmax → greedy
       // merge-as-string-replace, 64 rounds — the LAST no-oracle
