@@ -52,7 +52,8 @@ object Bench {
     // round-11 additions over the ~1 s line
     "q_mad_outliers", "q_winsorized_mean", "q_feature_scale",
     "q_audio_features", "q_pareto_share", "q_temporal_split",
-    "q_doc_keywords", "q_chi_square",
+    "q_doc_keywords", "q_chi_square", "q_negative_samples",
+    "q_basket_pmi",
     // cheap plan-shape anchors
     "q1_lineitem_agg", "q_events_hourly", "q_knn_sq8")
 

@@ -1580,6 +1580,16 @@ object SparkEntry {
         .select("asset_id", "mime", "n_bytes", "content_hash")
     }),
 
+    // ---- audio windowing off the REAL decoded duration: each clip
+    //      expands to one row per 250 ms of frames·1000/rate (header
+    //      parse, never metadata trust) — the 1→N audio-preprocessing
+    //      shape, partition-parallel, no shuffle ----
+    "q_audio_windows" -> ((s, d) =>
+      graft.multimodal.Multimodal.sampleAudioWindows(s,
+        graft.multimodal.Multimodal.synthWavAssets(
+          s, t("documents")(s, d)))
+        .toDF()),
+
     // ---- REAL audio decode: synthesize genuine RIFF/WAVE payloads
     //      (javax.sound writes them), parse them back with the same
     //      library — header → format, streamed PCM frames → integer
@@ -5457,6 +5467,23 @@ object SparkEntry {
            CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
              ELSE n_oov * 10000 // n_tokens END AS oov_bp
          FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""",
+
+    // replays the cadence off the same decoded duration arithmetic:
+    // dur = n·1000 // 8000, windows = max(1, dur // 250), final
+    // window clipped to the clip end
+    "q_audio_windows" ->
+      """WITH base AS (
+           SELECT doc_id, 8000 + doc_id % 8000 AS n FROM documents),
+         d AS (SELECT doc_id, n*1000 // 8000 AS dur FROM base),
+         w AS (SELECT doc_id, greatest(1, dur // 250) AS nf, dur
+               FROM d),
+         f AS (SELECT doc_id AS asset_id,
+                 CAST(unnest(range(nf)) AS INT) AS window_idx, dur
+               FROM w)
+         SELECT asset_id, window_idx,
+           CAST(window_idx AS BIGINT) * 250 AS start_ms,
+           least(CAST(window_idx + 1 AS BIGINT) * 250, dur) AS end_ms
+         FROM f""",
 
     // replays the synthetic waveform (n = 8000 + id % 8000 samples,
     // s_i = ((id·40503 + i·2654435761) mod 65536) − 32768) and the

@@ -266,6 +266,40 @@ object Multimodal {
     }
   }
 
+  /** One analysis window of an audio clip. */
+  case class AudioWindow(
+      asset_id: Long,
+      window_idx: Int,
+      start_ms: Long,
+      end_ms: Long)
+
+  /** Audio window sampling: each clip expands to one row per
+    * `everyMs` of its REAL decoded duration (frames·1000/rate from
+    * the container header, never metadata trust) — the 1→N flatMap
+    * shape of audio preprocessing (VAD windows, diarization chunks,
+    * feature frames). Partition-parallel, no shuffle; the final
+    * window is clipped to the clip's true end.
+    */
+  def sampleAudioWindows(
+      spark: SparkSession,
+      assets: Dataset[Asset],
+      everyMs: Long = 250L,
+      codec: AudioCodec = WavCodec): Dataset[AudioWindow] = {
+    import spark.implicits._
+    require(everyMs >= 1L, s"everyMs must be >= 1, got $everyMs")
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        val m = codec.decodeAudio(a.payload)
+        val dur = m.nFrames * 1000L / m.sampleRate
+        val n = math.max(1L, dur / everyMs).toInt
+        (0 until n).iterator.map { i =>
+          AudioWindow(a.asset_id, i, i.toLong * everyMs,
+            math.min((i.toLong + 1L) * everyMs, dur))
+        }
+      }
+    }
+  }
+
   /** One sampled frame of a clip asset. */
   case class Frame(
       asset_id: Long,

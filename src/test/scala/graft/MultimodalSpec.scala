@@ -76,6 +76,22 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("sampleAudioWindows: cadence from the REAL decoded duration") {
+    // doc_id 0 -> 8000 samples @8kHz = 1000 ms -> 4 windows of 250;
+    // doc_id 4000 -> 12000 samples = 1500 ms -> 6 windows
+    val docs = Seq((0L, "x"), (4000L, "y")).toDF("doc_id", "text")
+    val got = Multimodal.sampleAudioWindows(spark,
+        Multimodal.synthWavAssets(spark, docs))
+      .collect().map(w => (w.asset_id, w.window_idx, w.start_ms, w.end_ms))
+      .toSet
+    assert(got == Set(
+      (0L, 0, 0L, 250L), (0L, 1, 250L, 500L),
+      (0L, 2, 500L, 750L), (0L, 3, 750L, 1000L),
+      (4000L, 0, 0L, 250L), (4000L, 1, 250L, 500L),
+      (4000L, 2, 500L, 750L), (4000L, 3, 750L, 1000L),
+      (4000L, 4, 1000L, 1250L), (4000L, 5, 1250L, 1500L)))
+  }
+
   private def fixturePng(): Array[Byte] = {
     val in = getClass.getResourceAsStream("/multimodal/fixture_4x3.png")
     assert(in != null, "missing committed PNG fixture")
