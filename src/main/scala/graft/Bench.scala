@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR (default sf0.1), local[32].
   *
-  * Writes the full result JSON (per-query seconds, per-query
+  * Writes the full result JSON (per-query median seconds, per-query
+  * `[min, median, max]` run spread — a contended line self-identifies
+  * as max/min ≥ ~2 right in the artifact — per-query
   * shuffle read/write bytes, and before/after machine-load context — wall-time saturated the baseline rounds
   * ago; shuffle volume is the signal that catches O(n²) candidate
   * growth in the LSH paths before wall-time does) to a file
@@ -200,19 +202,26 @@ object Bench {
       // Lower-middle for even run counts: noise on a shared box is
       // strictly additive, so between the two middles the faster one
       // is the better estimate (Runs=2 would otherwise record the MAX)
-      val (dt, sh) = samples.sortBy(_._1)(Ordering.Double.TotalOrdering)
-        .apply((Runs - 1) / 2)
-      (name, dt, sh)
+      val sorted = samples.sortBy(_._1)(Ordering.Double.TotalOrdering)
+      val (dt, sh) = sorted((Runs - 1) / 2)
+      // full [min, median, max] run spread rides in the artifact: a
+      // max/min ratio ≥ ~2 self-identifies a contended line from the
+      // JSON alone, instead of costing a judge/builder re-measure
+      // cycle (r10's 162 s and r11's 12.3 s triangle lines both did)
+      (name, dt, sh, sorted.head._1, sorted.last._1)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, (r, w)) =>
+    val sh = results.map { case (k, _, (r, w), _, _) =>
       "\"" + k + s"""\":{"read":$r,"write":$w}""" }
+      .mkString("{", ",", "}")
+    val spread = results.map { case (k, med, _, mn, mx) =>
+      "\"" + k + f"""\":[$mn%.3f,$med%.3f,$mx%.3f]""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val envAfter = envSnapshot()
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,"queries":$qs,"shuffle_bytes":$sh,"env_before":$envBefore,"env_after":$envAfter,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,"queries":$qs,"spread":$spread,"shuffle_bytes":$sh,"env_before":$envBefore,"env_after":$envAfter,"sf":"$sfDir"}"""
     println(full)
     Files.writeString(Paths.get(out), full + "\n")
     // the contract-format line goes LAST on both streams AND must fit
@@ -225,7 +234,7 @@ object Bench {
     // in full fidelity in BENCH_OUT.json (committed with the round).
     val TopN = 48
     val top = results.sortBy(-_._2).take(TopN)
-    val qsShort = top.map { case (k, v, _) => "\"" + k + f"\":$v%.2f" }
+    val qsShort = top.map { case (k, v, _, _, _) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     val sfLabel = Paths.get(sfDir).getFileName.toString
     val contract =

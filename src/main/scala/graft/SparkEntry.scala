@@ -2814,24 +2814,37 @@ object SparkEntry {
     //      discipline) broadcast back; z = (n·x − S)/√(n·Sxx − S²) —
     //      the numerator exact integer, ONE sqrt and ONE division per
     //      row in fixed order, rounded to 6 dp. The fact table never
-    //      shuffles ----
+    //      shuffles. Moment types stay NARROW (the playbook rule —
+    //      decimal products past precision 38 silently rescale or
+    //      null): x ≤ ~1e7 cents, so n(13)·Sxx(26) and S(20)² both
+    //      fit decimal(38) up to n = 1e11 rows PER GROUP; the
+    //      discriminant computes ONCE per group on the bounded moment
+    //      table, and past-budget overflow (null) RAISES instead of
+    //      silently z=0 for the whole group ----
     "q_feature_scale" -> ((s, d) => {
-      val dec = "decimal(38,0)"
       val base = t("lineitem")(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("x"))
       val m = base.groupBy(col("l_returnflag").as("_fg"))
-        .agg(count(lit(1)).cast(dec).as("n"),
-          sum(col("x").cast(dec)).as("sx"),
-          sum(col("x").cast(dec) * col("x")).as("sxx"))
+        .agg(count(lit(1)).cast("decimal(13,0)").as("n"),
+          sum(col("x").cast("decimal(10,0)")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(16,0)")).as("sxx"))
+        // d = n·Sxx − S² on the ≤-one-row-per-group moment table;
+        // n·sxx is decimal(13,0)·decimal(26,0) → 38 digits, exact to
+        // 1e38; a null here IS the overflow signal
+        .select(col("_fg"), col("n"), col("sx"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("d"))
       base.join(broadcast(m), col("l_returnflag") === col("_fg"))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"),
-          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0,
-            round((col("n") * col("x") - col("sx")).cast("double") /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-                .cast("double")), 6))
+          when(col("d").isNull,
+            raise_error(lit("q_feature_scale: moment discriminant " +
+              "overflowed decimal(38) — group past the documented " +
+              "n<=1e11 budget")).cast("double"))
+            .when(col("d") > 0,
+              round((col("n") * col("x") - col("sx")).cast("double") /
+                sqrt(col("d").cast("double")), 6))
             .otherwise(lit(0.0)).as("z"))
     }),
 

@@ -48,8 +48,10 @@ import org.apache.spark.storage.StorageLevel
   * Both guards read the deduplicated (basket, item) frame: presence,
   * not quantity, defines co-occurrence. That frame is persisted
   * (MEMORY_AND_DISK — it spills, never evicts) because the frequency
-  * pass and the basket-collect pass both scan it; caller/session
-  * owns clearCache (the tfidf/bm25 contract).
+  * pass and the basket-collect pass both scan it, and RELEASED by the
+  * operator itself after eagerly checkpointing the bounded pair
+  * table (the gini materialize-then-release house style) — a
+  * 200-query session accumulates no pinned blocks from this module.
   *
   * Total plan: distinct (1 exchange) + frequent-item aggregate over
   * the cache (1, bounded output) + basket collect (1, capped) +
@@ -61,20 +63,51 @@ import org.apache.spark.storage.StorageLevel
   */
 object Basket {
 
+  /** The deduplicated (basket, item) presence frame every operator
+    * here reads 2–3 times — distinct once, pinned MEMORY_AND_DISK.
+    * CALLER CONTRACT: the caller must `unpersist()` it after its last
+    * action over it (the gini materialize-then-release house style);
+    * [[coPurchasePairs]] and [[pmiPairs]] both do, so no pinned block
+    * outlives the operator call in a long-lived session.
+    */
+  private def pairDomain(
+      items: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    items
+      .select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
   def coPurchasePairs(
       items: DataFrame,
       basketCol: String,
       itemCol: String,
       minSupport: Long = 1L,
       maxBasketSize: Int = 1024): DataFrame = {
+    val li = pairDomain(items, basketCol, itemCol)
+    // eager checkpoint materializes the bounded pair table (this IS
+    // the operator output — ≤ one row per surviving unordered pair),
+    // which both lets the domain cache release immediately and hands
+    // multi-reference callers (alsoBought's two symmetrization
+    // branches, pmiPairs' joins) a recompute-proof frame
+    val out = pairsOverDomain(li, minSupport, maxBasketSize)
+      .localCheckpoint()
+    li.unpersist()
+    out
+  }
+
+  /** Pair generation over an already-pinned domain frame — both
+    * guards (a-priori bloom prune, bounded-heap basket cap) live
+    * here. LAZY: the caller owns materialization and the domain's
+    * release ordering.
+    */
+  private def pairsOverDomain(
+      li: DataFrame,
+      minSupport: Long,
+      maxBasketSize: Int): DataFrame = {
     require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
     require(maxBasketSize >= 2,
       s"maxBasketSize must be >= 2 (a pair needs two items), got " +
         maxBasketSize)
-    val li = items
-      .select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // guard 1 — exact a-priori prune, probed map-side via a bloom of
     // the frequent items (false positives add candidates, never drop
     // true pairs; the end filter keeps the result exact)
@@ -120,10 +153,11 @@ object Basket {
     * (O(n log k) per map task, ≤ k-row states on the wire), never a
     * window sort over every item's full partner list — a staple item
     * co-occurring with 10⁶ others costs its partition a heap, not a
-    * sort. The pair table persists across the two symmetrization
-    * branches (it is the whole upstream pipeline; recomputing it per
-    * branch doubles the operator). Emits `(item, rank, other,
-    * support)`.
+    * sort. The pair table arrives checkpointed from
+    * [[coPurchasePairs]], so the two symmetrization branches share
+    * materialized blocks (it is the whole upstream pipeline;
+    * recomputing it per branch doubles the operator). Emits
+    * `(item, rank, other, support)`.
     */
   def alsoBought(
       items: DataFrame,
@@ -133,9 +167,11 @@ object Basket {
       minSupport: Long = 1L,
       maxBasketSize: Int = 1024): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
+    // coPurchasePairs hands back an eagerly-checkpointed pair table,
+    // so the two symmetrization branches below read materialized
+    // blocks — no second persist, nothing left pinned
     val pairs =
       coPurchasePairs(items, basketCol, itemCol, minSupport, maxBasketSize)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = pairs
       .select(col("item_1").as("item"), col("item_2").as("other"),
         col("support"))
@@ -157,9 +193,11 @@ object Basket {
     * together far beyond their individual popularity — "lift" in
     * retail terms, in nats).
     *
-    * Pairs come from [[coPurchasePairs]] (both guards apply); the
-    * per-item basket counts attach by two item-keyed joins and the
-    * basket total by broadcast. Determinism is the 9-dp lattice
+    * Pairs come from [[pairsOverDomain]] over the SAME pinned domain
+    * that feeds the margins (both coPurchasePairs guards apply; the
+    * fact-scale distinct computes once, not twice); the per-item
+    * basket counts attach by two item-keyed joins and the basket
+    * total by broadcast. Determinism is the 9-dp lattice
     * (lm_score discipline): the log argument is a FIXED sequence of
     * correctly-rounded IEEE ops ((s·n as double) / (c_a·c_b as
     * double) — longs cast before multiplying), the result carried as
@@ -173,14 +211,20 @@ object Basket {
       itemCol: String,
       minSupport: Long = 1L,
       maxBasketSize: Int = 1024): DataFrame = {
-    val pairs = coPurchasePairs(items, basketCol, itemCol,
-      minSupport, maxBasketSize)
-    val li = items
-      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val perItem = li.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
-    val nb = li.agg(count_distinct(col("__b")).as("__nb"))
+    // ONE distinct (basket,item) domain feeds all three reads — the
+    // pair generation, the per-item margins, the basket total —
+    // then releases: pairs/margins/totals are checkpointed bounded
+    // tables, so nothing stays pinned and the fact-scale distinct
+    // computes exactly once (r11 built it twice and leaked both)
+    val li = pairDomain(items, basketCol, itemCol)
+    val pairs = pairsOverDomain(li, minSupport, maxBasketSize)
+      .localCheckpoint()
+    val perItem = li.groupBy(col("__item").as("__i"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // ≤ one row per item
+    val nb = li.agg(count_distinct(col("__basket")).as("__nb"))
+      .localCheckpoint() // one row
+    li.unpersist()
     val out = pairs
       .join(perItem.select(col("__i").as("item_1"), col("__c").as("__c1")),
         Seq("item_1"))

@@ -128,7 +128,12 @@ object Experiment {
       .withColumn("contrib",
         expr(s"CAST(dmicro AS $Dec) * dmicro div emicro"))
       .groupBy(col("n"), col("k"), col("m"))
-      .agg(sum(col("contrib")).as("chi2_micro"))
+      // per-cell contrib is a long, but the SUM accumulates in
+      // decimal(38,0): Σ contrib is bounded by n·10⁶·(min(k,m)−1),
+      // which clears Long.Max (9.2e18) already at n = 1e12, k = 10⁴.
+      // One cast back to long at the end — out of range goes NULL
+      // (visible), never a silent two's-complement wrap
+      .agg(sum(col("contrib").cast(Dec)).cast("long").as("chi2_micro"))
       .select(col("chi2_micro"),
         ((col("k") - 1) * (col("m") - 1)).as("dof"), col("n"))
   }

@@ -661,9 +661,20 @@ object Sampling {
     * keyed (user, item). Weights must be positive.
     *
     * @param positives (user, item) long pairs — need not be distinct
+    *   (the draw projection distincts internally; duplicates neither
+    *   inflate output arity nor change any draw)
     * @param itemWeights (item, weight) — the catalog, driver-bounded
+    *   (hard-capped at [[MaxCatalogItems]], failing loudly)
     * @return (user, pos_item, j, neg_item) — ≤ k rows per positive
     */
+  /** Hard cap on [[popularityNegatives]]' driver-collected item
+    * catalog — two longs per entry ≈ 512 MB of driver arrays at the
+    * cap. Item catalogs run 1e6–1e7 entries; anything larger is a
+    * fact table in the weights slot, and the require fails loudly
+    * rather than OOMing the driver.
+    */
+  val MaxCatalogItems: Int = 32 * 1000 * 1000
+
   def popularityNegatives(
       positives: DataFrame, userCol: Column, itemCol: Column,
       itemWeights: DataFrame, wItemCol: Column, weightCol: Column,
@@ -678,13 +689,26 @@ object Sampling {
       .orderBy(col("i"))
       .as[(Long, Long)].collect()
     require(catalog.nonEmpty, "empty item catalog")
+    // the driver-bounded contract stays LOUD: the collect above is
+    // safe only while the catalog is catalog-sized — fail fast if a
+    // fact table is passed where an item dimension belongs, instead
+    // of silently OOMing the driver at 100 TB
+    require(catalog.length <= MaxCatalogItems,
+      s"item catalog has ${catalog.length} rows — past the " +
+        s"driver-bounded budget of $MaxCatalogItems; aggregate or " +
+        "filter the weights table first")
     val items = catalog.map(_._1)
     val starts = catalog.map(_._2).scanLeft(0L)(_ + _)
     val total = starts.last
     val bItems = spark.sparkContext.broadcast(items)
     val bStarts = spark.sparkContext.broadcast(starts)
+    // draw j is keyed by (user, item, j) alone, so duplicate positive
+    // rows would emit byte-identical duplicate draw rows — distinct
+    // first (one exchange over two longs) so output arity is exactly
+    // ≤ k per distinct positive, never silently inflated
     val drawn = positives
       .select(userCol.cast("long").as("u"), itemCol.cast("long").as("p"))
+      .distinct()
       .as[(Long, Long)]
       .mapPartitions { it =>
         val is = bItems.value

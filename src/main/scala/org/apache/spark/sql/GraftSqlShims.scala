@@ -20,4 +20,17 @@ object GraftSqlShims {
   def collectTopK(e: Expression, k: Int, reverse: Boolean): Column =
     column(catalyst.expressions.aggregate.GraftCollectShims
       .collectTopK(e, k, reverse))
+
+  /** True when the session's CacheManager pins no plans — the
+    * persist-leak probe: an operator that `persist`s internally must
+    * release every pinned frame before returning (unpersist after
+    * materializing, or checkpoint-and-release), so after the
+    * operator's action the cache must be back to empty. Specs assert
+    * this; `getPersistentRDDs` can't distinguish CacheManager pins
+    * (leaks) from localCheckpoint blocks (ContextCleaner-reclaimed).
+    */
+  def cacheIsEmpty(spark: SparkSession): Boolean = spark match {
+    case s: classic.SparkSession => s.sharedState.cacheManager.isEmpty
+    case other => sys.error(s"unexpected session type: ${other.getClass}")
+  }
 }

@@ -99,4 +99,26 @@ class BasketSpec extends SparkTestBase {
     assert(got == Set(("A", "B", 2L, -117783036L),
       ("A", "C", 1L, 287682072L)))
   }
+
+  test("operators release every internally-pinned frame (no cache leak)") {
+    // the r11 verdict's hygiene finding: coPurchasePairs/pmiPairs
+    // persisted their domain frames and never unpersisted — in a
+    // 200-query session the pinned blocks accumulate. House contract
+    // now: materialize (checkpoint) then release, so after the call
+    // the CacheManager is back to empty. localCheckpoint blocks are
+    // NOT CacheManager entries (ContextCleaner reclaims them), so
+    // this probe sees exactly the leak class and nothing else.
+    spark.catalog.clearCache()
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L))
+      .toDF("basket", "item")
+    Basket.coPurchasePairs(df, "basket", "item", minSupport = 2L).collect()
+    assert(org.apache.spark.sql.GraftSqlShims.cacheIsEmpty(spark),
+      "coPurchasePairs left frames pinned in the CacheManager")
+    Basket.pmiPairs(df, "basket", "item").collect()
+    assert(org.apache.spark.sql.GraftSqlShims.cacheIsEmpty(spark),
+      "pmiPairs left frames pinned in the CacheManager")
+    Basket.alsoBought(df, "basket", "item", k = 2).collect()
+    assert(org.apache.spark.sql.GraftSqlShims.cacheIsEmpty(spark),
+      "alsoBought left frames pinned in the CacheManager")
+  }
 }
