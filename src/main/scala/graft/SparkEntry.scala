@@ -1602,6 +1602,27 @@ object SparkEntry {
           s, t("documents")(s, d)))
         .toDF()),
 
+    // ---- REAL video decode: synthesize genuine AVI-MJPEG containers
+    //      (RIFF chunk tree + imageio-encoded JPEG frames), walk them
+    //      back — avih header → cadence, movi 00dc chunks → per-frame
+    //      JPEG header decode for REAL dimensions (which VARY by
+    //      frame, so every individual frame decode is certified).
+    //      1→1 partition-parallel, no shuffle; a chunk-walk bug
+    //      (offset, size word, pad byte) breaks the hash ----
+    "q_video_features" -> ((s, d) =>
+      graft.multimodal.Video.extractVideoFeatures(s,
+        graft.multimodal.Video.synthAviAssets(s, t("documents")(s, d)))
+        .toDF()),
+
+    // ---- video frame-cadence expansion: 1→N flatMap off the real
+    //      parsed container, one row per 00dc frame at
+    //      ts = idx·usPerFrame/1000 with that frame's own decoded
+    //      dims — the preprocessing shape of frame sampling ----
+    "q_video_frames" -> ((s, d) =>
+      graft.multimodal.Video.videoFrames(s,
+        graft.multimodal.Video.synthAviAssets(s, t("documents")(s, d)))
+        .toDF()),
+
     // ---- argmax-row aggregation (keep-best-per-key): ONE hash
     //      aggregation via lexicographic max(struct) — no window, no
     //      per-key sort; ties on price resolve to the larger orderkey,
@@ -5516,6 +5537,41 @@ object SparkEntry {
            n*1000 // 8000 AS duration_ms, max(abs(v)) AS peak,
            CAST(sum(abs(v)) AS BIGINT) AS sum_abs
          FROM s GROUP BY doc_id, n""",
+
+    // replays the AVI synthesis rule (nf = 4 + id % 12 frames at
+    // 125000 µs cadence, frame f dims 16+((id+f)%4)·8 ×
+    // 12+((id+2f)%3)·8) against the REAL container walk + per-frame
+    // JPEG header decode — a chunk-offset or SOF-parse bug on the
+    // Spark side breaks the hash
+    "q_video_features" ->
+      """WITH base AS (SELECT doc_id, 4 + doc_id % 12 AS nf
+           FROM documents),
+         f AS (SELECT doc_id, nf,
+                 CAST(unnest(range(nf)) AS BIGINT) AS fi FROM base),
+         d AS (SELECT doc_id, nf,
+                 16 + ((doc_id + fi) % 4) * 8 AS fw,
+                 12 + ((doc_id + 2*fi) % 3) * 8 AS fh
+               FROM f)
+         SELECT doc_id AS asset_id, CAST(nf AS INT) AS n_frames,
+           CAST(125000 AS BIGINT) AS us_per_frame,
+           CAST(nf AS BIGINT) * 125000 // 1000 AS duration_ms,
+           40 AS width, 28 AS height,
+           CAST(sum(fw) AS BIGINT) AS sum_frame_w,
+           CAST(sum(fh) AS BIGINT) AS sum_frame_h
+         FROM d GROUP BY doc_id, nf""",
+
+    // same synthesis rule at per-frame grain: cadence timestamps and
+    // each frame's own decoded dimensions
+    "q_video_frames" ->
+      """WITH base AS (SELECT doc_id, 4 + doc_id % 12 AS nf
+           FROM documents),
+         f AS (SELECT doc_id,
+                 CAST(unnest(range(nf)) AS INT) AS frame_idx FROM base)
+         SELECT doc_id AS asset_id, frame_idx,
+           CAST(frame_idx AS BIGINT) * 125000 // 1000 AS ts_ms,
+           CAST(16 + ((doc_id + frame_idx) % 4) * 8 AS INT) AS frame_w,
+           CAST(12 + ((doc_id + 2*frame_idx) % 3) * 8 AS INT) AS frame_h
+         FROM f""",
 
     // window-free in Spark (one max(struct) hash-agg); the oracle
     // reproduces the same winner with the standard row_number form —

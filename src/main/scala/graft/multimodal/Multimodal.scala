@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * pluggable behind [[ImageCodec]]: [[ImageIoCodec]] does real
   * PNG/JPEG decode with the JDK's own `javax.imageio` (no extra
   * dependency), while [[StubCodec]] remains the deterministic-fake
-  * default for synthetic payloads (and stands in for the VIDEO
-  * container ops, whose libraries are not in this environment).
+  * default for generic opaque payloads (e.g. [[assetsFromDocuments]]
+  * text bytes, which no real codec could decode). VIDEO is real:
+  * [[Video.AviMjpegCodec]] writes and walks genuine RIFF/AVI
+  * containers with JPEG frames — AVI is the same RIFF format
+  * [[WavCodec]] parses, MJPEG frames are plain imageio JPEG.
   * AUDIO is real: [[WavCodec]] parses genuine RIFF/WAVE containers
   * with the JDK's own `javax.sound.sampled` — header decode, PCM
   * frame extraction, integer amplitude statistics — and
