@@ -232,8 +232,33 @@ object Recall {
       recallFloor = 0.14,
       truth = 64L, emitted = pcaModel.components.size.toLong)
 
+    // -- image pHash near-dup vs the PLANTED ground truth: the synth
+    //    fixture constructs (2k, 2k+1) as near-duplicate image pairs
+    //    (4 pixels bumped +8), so the truth set is external to the
+    //    operator — recall is "did the banded radius-3 hash join find
+    //    the pairs that were, by construction, near-duplicates".
+    //    Measured: every planted pair within Hamming 2 at the test
+    //    scales (PhashSpec histogram); floor 0.95 leaves room for an
+    //    unlucky coefficient-near-median id. Precision reads low by
+    //    design and is informational: accidental (unplanted) close
+    //    hashes are CORRECT radius-3 emissions, not errors — the
+    //    hash-exact DuckDB oracle certifies them pair for pair.
+    import graft.multimodal.Phash
+    val plantedPairs = docs.select((col("doc_id") - col("doc_id") % 2)
+        .as("doc_a"), col("doc_id"))
+      .groupBy(col("doc_a")).agg(count(lit(1)).as("n"))
+      .filter(col("n") === 2)
+      .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"))
+    val plantedTruth = pairSet(plantedPairs, "doc_a", "doc_b")
+    val phash = pairMetric("q_image_neardup", plantedTruth,
+      pairSet(Phash.neardupPairs(
+          Phash.phash64(spark, Phash.synthGrayPngAssets(spark, docs))
+            .toDF()),
+        "id_1", "id_2"),
+      floor = 0.95)
+
     Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf, knnIvfPq, qm,
-      qsApply, km, pca)
+      qsApply, km, pca, phash)
   }
 
   def toJson(ms: Seq[Metric]): String =

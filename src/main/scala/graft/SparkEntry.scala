@@ -1623,6 +1623,25 @@ object SparkEntry {
         graft.multimodal.Video.synthAviAssets(s, t("documents")(s, d)))
         .toDF()),
 
+    // ---- DCT perceptual hash over REALLY-decoded grayscale PNGs:
+    //      integer Q14 DCT on the decoded raster (PNG is lossless →
+    //      the oracle replays the exact lattice; a decode bug breaks
+    //      the hash). Per-image mapPartitions, no shuffle ----
+    "q_image_phash" -> ((s, d) =>
+      graft.multimodal.Phash.phash64(s,
+        graft.multimodal.Phash.synthGrayPngAssets(s, t("documents")(s, d)))
+        .toDF()),
+
+    // ---- image near-dup: banded 64-bit pHash join (4×16-bit bands;
+    //      pigeonhole makes radius-3 EXACT — no all-pairs compare),
+    //      Hamming verification filter, pair emitted once. The
+    //      image-modality twin of MinHash text dedup ----
+    "q_image_neardup" -> ((s, d) =>
+      graft.multimodal.Phash.neardupPairs(
+        graft.multimodal.Phash.phash64(s,
+          graft.multimodal.Phash.synthGrayPngAssets(
+            s, t("documents")(s, d))).toDF())),
+
     // ---- argmax-row aggregation (keep-best-per-key): ONE hash
     //      aggregation via lexicographic max(struct) — no window, no
     //      per-key sort; ties on price resolve to the larger orderkey,
@@ -3163,6 +3182,11 @@ object SparkEntry {
       // estimate and SimHash queries hash-checkable end to end
       "q_minhash_est" -> OracleXxh64.minhashEstSql,
       "q_simhash_pairs" -> OracleXxh64.simhashPairsSql,
+      // pHash replayed from the synthesis lattice through the SAME
+      // embedded Q14 cosine literals (OraclePhash): hash equality
+      // certifies the real PNG decode AND the banded join's exactness
+      "q_image_phash" -> OraclePhash.phashSql,
+      "q_image_neardup" -> OraclePhash.neardupSql,
       // the ANN surface replayed in DuckDB (OracleAnn): fixed-seed
       // hyperplanes inlined from the engine's own plane generator,
       // the driver-path spherical k-means unrolled iteration by
