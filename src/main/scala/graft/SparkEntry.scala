@@ -1642,6 +1642,123 @@ object SparkEntry {
           graft.multimodal.Phash.synthGrayPngAssets(
             s, t("documents")(s, d))).toDF())),
 
+    // ---- per-group OLS fit (slope + intercept + R²) through ONE
+    //      exact-decimal moment aggregate — the q_corr_exact family
+    //      completed: normal-equation numerators/denominators exact
+    //      in narrow decimals (n ≤ 1e12 per group documented; dy hits
+    //      the decimal(38) cap exactly like q_feature_scale's d),
+    //      then a FIXED IEEE sequence (cast double, one multiply
+    //      chain, one divide, round 6) both engines replay ----
+    "q_linreg" -> ((s, d) => {
+      val m = t("lineitem")(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("decimal(13,0)").as("n"),
+          sum(col("x").cast("decimal(5,0)")).as("sx"),
+          sum(col("y").cast("decimal(10,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(12,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(6,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(16,0)")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("dx"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("dy"),
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).as("numi"))
+      m.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        when(col("dx") > 0,
+          round(col("num").cast("double") / col("dx").cast("double"), 6))
+          .otherwise(lit(0.0)).as("slope"),
+        when(col("dx") > 0,
+          round(col("numi").cast("double") / col("dx").cast("double"), 6))
+          .otherwise(lit(0.0)).as("intercept"),
+        when(col("dx") > 0 && col("dy") > 0,
+          round((col("num").cast("double") * col("num").cast("double")) /
+            (col("dx").cast("double") * col("dy").cast("double")), 6))
+          .otherwise(lit(0.0)).as("r2"))
+    }),
+
+    // ---- ROC AUC by the tie-aware rank statistic, computed WITHOUT
+    //      a global sort: fact rows reduce to one hash agg over the
+    //      SCORE DOMAIN (≤ max-tokens distinct values, checkpointed
+    //      bounded), a cumulative window over that bounded domain,
+    //      and one final agg. 2U = Σ_s pos·(2·cumneg_below + neg)
+    //      stays integral (ties contribute half wins ×2); auc_bp =
+    //      HALF_UP(1e4·U/(n1·n0)) in pure decimal div — products in
+    //      decimal(38,0) clear n1·n0 ≈ 1e24 where long wraps ----
+    "q_auc" -> ((s, d) => {
+      import graft.text.TextOps._
+      // score = char length, label = the q_confusion truth predicate
+      // (token count ≥ 30): correlated but not functionally tied, so
+      // the AUC is a real separability number, not a degenerate 1.0
+      // (qualityOk is all-one on this corpus — a one-class label
+      // yields the 5000 bp no-discrimination convention below)
+      val byScore = t("documents")(s, d)
+        .select(length(col("text")).cast("long").as("score"),
+          (tokenCount(col("text")) >= 30).cast("int").as("label"))
+        .groupBy(col("score"))
+        .agg(sum(col("label")).cast("long").as("pos"),
+          sum(lit(1) - col("label")).cast("long").as("neg"))
+        .localCheckpoint() // ≤ |score domain| rows
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+        .rowsBetween(Long.MinValue, -1)
+      byScore
+        .withColumn("cumneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+        .agg(
+          sum(col("pos").cast("decimal(20,0)") *
+            (col("cumneg") * 2 + col("neg"))).as("u2"),
+          sum(col("pos")).as("n1"), sum(col("neg")).as("n0"))
+        .select(col("n1"), col("n0"),
+          expr("""CASE WHEN n1 > 0 AND n0 > 0 THEN
+            CAST((10000 * u2 + CAST(n1 AS DECIMAL(20,0)) * n0)
+              div (2 * CAST(n1 AS DECIMAL(20,0)) * n0) AS BIGINT)
+            ELSE CAST(5000 AS BIGINT) END""").as("auc_bp"))
+    }),
+
+    // ---- Herfindahl–Hirschman concentration per day over order-
+    //      priority revenue shares: two hash aggs (fact → (day,
+    //      priority) → day), zero joins — the second agg is
+    //      calendar-bounded; hhi_bp = HALF_UP(1e4·Σc²/T²) exact in
+    //      decimal. The concentration companion to gini/theil/pareto
+    //      (share-of-squares, the antitrust/mix-diversity read) ----
+    "q_hhi" -> ((s, d) => {
+      val a = t("orders")(s, d)
+        .groupBy(col("o_orderdate").as("day"), col("o_orderpriority"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")
+          .cast("decimal(10,0)")).as("c"))
+      a.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_categories"),
+          sum(col("c")).as("t"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("day"), col("n_categories"),
+          expr("CAST((2 * 10000 * s2 + t * t) div (2 * t * t) AS BIGINT)")
+            .as("hhi_bp"))
+    }),
+
+    // ---- asymmetric near-dup: n-gram CONTAINMENT ≥ 0.8 pairs
+    //      (|∩| / min(|A|,|B|)) — catches a small document pasted
+    //      inside a large one, which Jaccard structurally misses;
+    //      the decontamination-adjacent screen over the same shared-
+    //      shingle candidate plan as q_ngram_jaccard_pairs ----
+    "q_ngram_containment" -> ((s, d) =>
+      graft.dedup.Dedup.ngramContainmentPairs(
+        t("documents")(s, d), "doc_id", "text", 3, 0.8)),
+
+    // ---- feature hashing (the hashing-trick vectorizer): token →
+    //      xxhash64 mod 64 bucket, per-document bucket counts — the
+    //      constant-memory text vectorization every sparse-model
+    //      pipeline uses. One explode + one hash agg, no vocabulary
+    //      state at all; oracle replays Spark's exact xxhash64 via
+    //      the OracleXxh64 machinery ----
+    "q_feature_hash" -> ((s, d) =>
+      t("documents")(s, d)
+        .select(col("doc_id"),
+          explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"),
+          pmod(xxhash64(col("tok")), lit(64L)).as("bucket"))
+        .agg(count(lit(1)).as("tf"))),
+
     // ---- argmax-row aggregation (keep-best-per-key): ONE hash
     //      aggregation via lexicographic max(struct) — no window, no
     //      per-key sort; ties on price resolve to the larger orderkey,
@@ -3187,6 +3304,19 @@ object SparkEntry {
       // certifies the real PNG decode AND the banded join's exactness
       "q_image_phash" -> OraclePhash.phashSql,
       "q_image_neardup" -> OraclePhash.neardupSql,
+      // feature hashing: Spark's xxhash64 replayed through the same
+      // OracleXxh64 CTE machinery, joined back PER OCCURRENCE (strh,
+      // not the set-semantics hx) so bucket counts are term
+      // frequencies; hu % 64 ≡ pmod(signed, 64) since 2^64 ≡ 0 mod 64
+      "q_feature_hash" -> (
+        """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+             FROM documents),
+           e AS (SELECT doc_id, unnest(toks) s FROM t),""" +
+          OracleXxh64.hashCtes + """
+           SELECT e.doc_id, CAST(hu % 64 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS tf
+           FROM e JOIN strh ON e.s = strh.s
+           GROUP BY 1, 2"""),
       // the ANN surface replayed in DuckDB (OracleAnn): fixed-seed
       // hyperplanes inlined from the engine's own plane generator,
       // the driver-path spherical k-means unrolled iteration by
@@ -5596,6 +5726,101 @@ object SparkEntry {
            CAST(16 + ((doc_id + frame_idx) % 4) * 8 AS INT) AS frame_w,
            CAST(12 + ((doc_id + 2*frame_idx) % 3) * 8 AS INT) AS frame_h
          FROM f""",
+
+    // normal-equation moments in HUGEINT (exact), then the identical
+    // fixed IEEE sequence: cast double, multiply, divide, round 6
+    "q_linreg" ->
+      """WITH base AS (SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS y
+           FROM lineitem),
+         m AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x*y) AS HUGEINT) AS sxy,
+                 CAST(sum(x*x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT)*y) AS HUGEINT) AS syy
+               FROM base GROUP BY 1),
+         d AS (SELECT l_returnflag, n,
+                 n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx,
+                 n*syy - sy*sy AS dy, sy*sxx - sx*sxy AS numi
+               FROM m)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN dx > 0 THEN
+             round(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE), 6)
+           ELSE 0.0 END AS slope,
+           CASE WHEN dx > 0 THEN
+             round(CAST(numi AS DOUBLE) / CAST(dx AS DOUBLE), 6)
+           ELSE 0.0 END AS intercept,
+           CASE WHEN dx > 0 AND dy > 0 THEN
+             round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+               (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6)
+           ELSE 0.0 END AS r2
+         FROM d""",
+
+    // tie-aware rank AUC over the score domain: same token/quality
+    // predicates as q_confusion, same HALF_UP integer quotient
+    "q_auc" ->
+      """WITH l AS (SELECT
+             CAST(len(text) AS BIGINT) AS score,
+             CASE WHEN len(regexp_extract_all(text, '\S+')) >= 30
+               THEN 1 ELSE 0 END AS label
+           FROM documents),
+         b AS (SELECT score, CAST(sum(label) AS BIGINT) AS pos,
+                 CAST(sum(1 - label) AS BIGINT) AS neg
+               FROM l GROUP BY 1),
+         c AS (SELECT score, pos, neg,
+                 CAST(coalesce(sum(neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cumneg
+               FROM b),
+         u AS (SELECT
+                 sum(CAST(pos AS HUGEINT) * (cumneg*2 + neg)) AS u2,
+                 CAST(sum(pos) AS BIGINT) AS n1,
+                 CAST(sum(neg) AS BIGINT) AS n0
+               FROM c)
+         SELECT n1, n0,
+           CASE WHEN n1 > 0 AND n0 > 0 THEN
+             CAST((10000 * u2 + CAST(n1 AS HUGEINT) * n0)
+               // (2 * CAST(n1 AS HUGEINT) * n0) AS BIGINT)
+           ELSE CAST(5000 AS BIGINT) END AS auc_bp
+         FROM u""",
+
+    // two grouped aggregates, no join; HALF_UP(1e4·Σc²/T²) exact
+    "q_hhi" ->
+      """WITH a AS (SELECT o_orderdate AS day, o_orderpriority,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+               AS HUGEINT) AS c
+           FROM orders GROUP BY 1, 2),
+         d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_categories,
+                 sum(c) AS t, sum(c*c) AS s2
+               FROM a GROUP BY 1)
+         SELECT day, n_categories,
+           CAST((2*10000*s2 + t*t) // (2*t*t) AS BIGINT) AS hhi_bp
+         FROM d""",
+
+    // the q_ngram_jaccard_pairs gram construction with the
+    // asymmetric denominator: |∩| / min(|A|, |B|)
+    "q_ngram_containment" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, len(toks) - 1)]
+             ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         e AS (SELECT doc_id, unnest(sh) s FROM g),
+         p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(sh) n_sh FROM g)
+         SELECT p.doc_a, p.doc_b,
+           round(CAST(p.common AS DOUBLE)
+             / CAST(least(la.n_sh, lb.n_sh) AS DOUBLE), 6) AS containment
+         FROM p
+         JOIN sz la ON la.doc_id = p.doc_a
+         JOIN sz lb ON lb.doc_id = p.doc_b
+         WHERE CAST(p.common AS DOUBLE)
+             / CAST(least(la.n_sh, lb.n_sh) AS DOUBLE) >= 0.8""",
 
     // window-free in Spark (one max(struct) hash-agg); the oracle
     // reproduces the same winner with the standard row_number form —

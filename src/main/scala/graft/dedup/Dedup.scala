@@ -275,6 +275,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT pairs — the asymmetric near-dup measure
+    * Jaccard misses: a 100-line document pasted inside a 10,000-line
+    * one has Jaccard ≈ 0.01 but containment ≈ 1.0. Per unordered
+    * pair, containment = |∩| / min(|A|, |B|) (the smaller side's
+    * coverage — "is either document essentially a subset of the
+    * other"), the standard screen for quote-inclusion / template
+    * wrapping / partial scrapes in a training corpus.
+    *
+    * Same candidate plan as [[ngramJaccardPairs]] (shared-shingle
+    * hash join + intersection count; 64-bit shingle-hash tolerance
+    * documented there), same quadratic hot-shingle caveat — at
+    * corpus scale run it on LSH candidates or behind the prefix
+    * filter; as a certifying query it is the verification-scale twin.
+    * Emits `(doc_a, doc_b, containment)` with doc_a < doc_b.
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), shingleLen).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val expl = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = expl.as("x").join(expl.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("containment",
+        col("common").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components by
     * iterative min-label propagation — each document ends up labeled
     * with the smallest doc id reachable through near-dup pairs, which

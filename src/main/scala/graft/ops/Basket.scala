@@ -70,7 +70,7 @@ object Basket {
     * [[coPurchasePairs]] and [[pmiPairs]] both do, so no pinned block
     * outlives the operator call in a long-lived session.
     */
-  private def pairDomain(
+  private[graft] def pairDomain(
       items: DataFrame, basketCol: String, itemCol: String): DataFrame =
     items
       .select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
@@ -100,7 +100,7 @@ object Basket {
     * here. LAZY: the caller owns materialization and the domain's
     * release ordering.
     */
-  private def pairsOverDomain(
+  private[graft] def pairsOverDomain(
       li: DataFrame,
       minSupport: Long,
       maxBasketSize: Int): DataFrame = {

@@ -101,6 +101,26 @@ class DedupSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("containment catches subset-inclusion that Jaccard misses") {
+    // A's 4 shingles all appear in B (A pasted inside a larger doc):
+    // containment = 4/min(4,13) = 1.0, Jaccard = 4/13 ≈ 0.31
+    val a = "a b c d e f"
+    val b = a + " g h i j k l m n o"
+    val pair = Seq((1L, a), (2L, b), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(pair, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont == Set((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(pair, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(jac.isEmpty, "Jaccard at 0.8 should miss the inclusion pair")
+    // symmetric near-identical docs pass both (containment ≥ jaccard
+    // always: same numerator, smaller-or-equal denominator)
+    val twins = Seq((1L, a + " g"), (2L, a + " h")).toDF("doc_id", "text")
+    assert(Dedup.ngramContainmentPairs(twins, "doc_id", "text", 3, 0.6)
+      .count() == 1)
+  }
+
   test("minhashLshVerified equals the exact all-pairs ground truth") {
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .as[(Long, Long, Double)].collect().toSet

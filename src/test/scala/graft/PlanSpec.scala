@@ -373,16 +373,26 @@ class PlanSpec extends SparkTestBase {
   test("q_copurchase pairs entirely JOIN-FREE (heap collect + map-side expand)") {
     // the guarded market-basket pipeline replaced the per-basket
     // self-join with a bounded-heap collect and a higher-order
-    // transform: the whole plan must carry NO join operator of any
-    // kind and no Window — pair volume is bounded by construction,
-    // not by data luck
-    val plan = finalPlan(q("q_copurchase"))
+    // transform: the pair-generation plan must carry NO join operator
+    // of any kind and no Window — pair volume is bounded by
+    // construction, not by data luck. coPurchasePairs now checkpoints
+    // its output (so the FINAL plan is just the checkpoint scan —
+    // asserted too); the shape claim pins the lazy generator the
+    // checkpoint materializes
+    val li = graft.ops.Basket.pairDomain(
+      Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+    val gen = graft.ops.Basket.pairsOverDomain(li, 3L, 1024)
+    val plan = finalPlan(gen)
+    li.unpersist()
     assert(!plan.contains("Join") && !plan.contains("Cartesian"),
       s"a join reappeared in the basket pipeline:\n$plan")
     assert(!plan.contains("Window"),
       s"window crept into the basket pipeline:\n$plan")
     assert(plan.contains("ObjectHashAggregate"),
       s"bounded-heap basket collect missing:\n$plan")
+    val fin = finalPlan(q("q_copurchase"))
+    assert(!fin.contains("FileScan parquet"),
+      s"q_copurchase re-scans parquet past its checkpoint:\n$fin")
   }
 
   test("q_scd2_asof runs the as-of carry, never an interval nested loop") {
@@ -630,6 +640,45 @@ class PlanSpec extends SparkTestBase {
       s"seasonal-naive re-scans the fact table:\n$plan")
     assert(plan.contains("Scan ExistingRDD"),
       s"seasonal-naive not over the checkpointed series:\n$plan")
+  }
+
+  test("q_linreg: one moment exchange; the fit math runs on ≤1-row-per-group") {
+    // the whole OLS fit is ONE grouped moment aggregate (map-side
+    // partials through a single wide exchange) and bounded-row select
+    // arithmetic — no window, no join, no second fact pass
+    val plan = finalPlan(q("q_linreg"))
+    assert(distinctWideExchanges(plan).size == 1,
+      s"linreg shuffles more than the moment partials:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"linreg plans a window or join:\n$plan")
+  }
+
+  test("q_auc: rank statistic without a global sort of fact rows") {
+    // fact rows reduce to the score domain (checkpointed at
+    // construction), so the cumulative window and final aggregate
+    // read ONLY bounded domain rows — a FileScan here means the AUC
+    // is sorting/scanning the corpus instead of the domain
+    val plan = finalPlan(q("q_auc"))
+    assert(!plan.contains("FileScan parquet"),
+      s"AUC re-scans the fact table past the domain checkpoint:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"AUC not over the checkpointed score domain:\n$plan")
+  }
+
+  test("q_hhi: two grouped aggregates, zero joins") {
+    val plan = finalPlan(q("q_hhi"))
+    assert(!plan.contains("Join"),
+      s"HHI plans a join where a re-aggregate suffices:\n$plan")
+    assert(distinctWideExchanges(plan).size <= 2,
+      s"HHI shuffles more than (day,prio) → day partials:\n$plan")
+  }
+
+  test("q_feature_hash: one hash-agg exchange, no vocabulary state") {
+    val plan = finalPlan(q("q_feature_hash"))
+    assert(distinctWideExchanges(plan).size == 1,
+      s"feature hashing shuffles more than the (doc,bucket) agg:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"feature hashing plans vocabulary-style state:\n$plan")
   }
 
   test("q_feature_scale: moments broadcast; the fact never shuffles") {
