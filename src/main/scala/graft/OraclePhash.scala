@@ -78,4 +78,23 @@ object OraclePhash {
        FROM h h1 JOIN h h2 ON h1.asset_id < h2.asset_id
        WHERE bit_count(xor(h1.ph_hi, h2.ph_hi)) +
              bit_count(xor(h1.ph_lo, h2.ph_lo)) <= 3"""
+
+  /** Connected components over the radius-3 pair graph by a
+    * transitive-closure recursive CTE (the q_doc_neardup_clusters
+    * oracle pattern) — each image labeled with the smallest id
+    * reachable through near-dup pairs.
+    */
+  val clustersSql: String =
+    s"""${hashCte.replaceFirst("WITH g AS", "WITH RECURSIVE g AS")},
+       pp AS (SELECT h1.asset_id AS pa, h2.asset_id AS pb
+              FROM h h1 JOIN h h2 ON h1.asset_id < h2.asset_id
+              WHERE bit_count(xor(h1.ph_hi, h2.ph_hi)) +
+                    bit_count(xor(h1.ph_lo, h2.ph_lo)) <= 3),
+       edges AS (SELECT pa AS a, pb AS b FROM pp
+                 UNION SELECT pb, pa FROM pp),
+       reach AS (
+         SELECT a, b FROM edges
+         UNION SELECT a, a FROM edges
+         UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+       SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"""
 }

@@ -1642,6 +1642,87 @@ object SparkEntry {
           graft.multimodal.Phash.synthGrayPngAssets(
             s, t("documents")(s, d))).toDF())),
 
+    // ---- image near-dup CLUSTERS: connected components over the
+    //      radius-3 pHash pair graph (min-label propagation — the
+    //      text neardup-clusters machinery on the image modality),
+    //      each image labeled with its canonical smallest-id
+    //      representative ----
+    "q_image_dedup_clusters" -> ((s, d) =>
+      graft.dedup.Dedup.nearDupClusters(
+        graft.multimodal.Phash.neardupPairs(
+          graft.multimodal.Phash.phash64(s,
+            graft.multimodal.Phash.synthGrayPngAssets(
+              s, t("documents")(s, d))).toDF())
+          .select(col("id_1").as("doc_a"), col("id_2").as("doc_b")))),
+
+    // ---- skip-gram co-occurrence counts (the word2vec/GloVe prep
+    //      pass): ordered token pairs within a forward window of 2,
+    //      generated MAP-SIDE from each token array (higher-order
+    //      transform — the basket-pair discipline, no self-join),
+    //      one hash agg, bounded top-k ----
+    "q_skipgram_pairs" -> ((s, d) =>
+      t("documents")(s, d)
+        .select(graft.text.TextOps.tokens(col("text")).as("t"))
+        .select(explode(expr(
+          """flatten(transform(t, (x, i) ->
+               transform(slice(t, i + 2, 2),
+                 y -> struct(x AS w_a, y AS w_b))))""")).as("p"))
+        .groupBy(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w_a").asc, col("w_b").asc)
+        .limit(50)),
+
+    // ---- Zipf-law fit over the token frequency distribution: the
+    //      corpus-health diagnostic (natural text slopes ≈ −1;
+    //      boilerplate/spam floods flatten or steepen it). The corpus
+    //      reduces to ONE token-frequency hash agg and a bounded
+    //      top-100 (TakeOrdered, checkpointed ≤ 100 rows); the
+    //      log-log OLS runs on the 9-dp ln lattice (the lm_score
+    //      cross-engine discipline) in exact decimals ----
+    "q_zipf_fit" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val top = t("documents")(s, d)
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok").asc)
+        .limit(100)
+        .localCheckpoint() // ≤ 100 rows
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("tok").asc)
+      val pts = top
+        .withColumn("rank", row_number().over(w))
+        .select(
+          (round(log(col("rank").cast("double")), 9)
+            .cast("decimal(20,9)") * lit(1000000000L)).cast("long").as("x"),
+          (round(log(col("freq").cast("double")), 9)
+            .cast("decimal(20,9)") * lit(1000000000L)).cast("long").as("y"))
+      pts
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("y").cast(dec) * col("y")).as("syy"))
+        .select(col("n").cast("long").as("n_ranks"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"), 6))
+            .otherwise(lit(0.0)).as("zipf_slope"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+              (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            round(((col("n") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") *
+              (col("n") * col("sxy") - col("sx") * col("sy"))
+                .cast("double")) /
+              ((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+               (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 6))
+            .otherwise(lit(0.0)).as("r2"))
+    }),
+
     // ---- per-group OLS fit (slope + intercept + R²) through ONE
     //      exact-decimal moment aggregate — the q_corr_exact family
     //      completed: normal-equation numerators/denominators exact
@@ -3304,6 +3385,7 @@ object SparkEntry {
       // certifies the real PNG decode AND the banded join's exactness
       "q_image_phash" -> OraclePhash.phashSql,
       "q_image_neardup" -> OraclePhash.neardupSql,
+      "q_image_dedup_clusters" -> OraclePhash.clustersSql,
       // feature hashing: Spark's xxhash64 replayed through the same
       // OracleXxh64 CTE machinery, joined back PER OCCURRENCE (strh,
       // not the set-semantics hx) so bucket counts are term
@@ -5798,6 +5880,59 @@ object SparkEntry {
          SELECT day, n_categories,
            CAST((2*10000*s2 + t*t) // (2*t*t) AS BIGINT) AS hhi_bp
          FROM d""",
+
+    // rank/frequency 9-dp ln lattice (exact decimal ×1e9, the
+    // lm_score discipline), then the identical HUGEINT OLS moments
+    "q_zipf_fit" ->
+      """WITH t AS (SELECT regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         e AS (SELECT unnest(toks) s FROM t),
+         f AS (SELECT s, CAST(count(*) AS BIGINT) freq FROM e
+               GROUP BY 1),
+         tp AS (SELECT freq, row_number() OVER
+                  (ORDER BY freq DESC, s ASC) AS rn
+                FROM f QUALIFY rn <= 100),
+         pts AS (SELECT
+             CAST(CAST(round(ln(CAST(rn AS DOUBLE)), 9)
+               AS DECIMAL(20,9)) * 1000000000 AS BIGINT) AS x,
+             CAST(CAST(round(ln(CAST(freq AS DOUBLE)), 9)
+               AS DECIMAL(20,9)) * 1000000000 AS BIGINT) AS y
+           FROM tp),
+         m AS (SELECT CAST(count(*) AS HUGEINT) n,
+                 CAST(sum(x) AS HUGEINT) sx, CAST(sum(y) AS HUGEINT) sy,
+                 CAST(sum(CAST(x AS HUGEINT)*y) AS HUGEINT) sxy,
+                 CAST(sum(CAST(x AS HUGEINT)*x) AS HUGEINT) sxx,
+                 CAST(sum(CAST(y AS HUGEINT)*y) AS HUGEINT) syy
+               FROM pts)
+         SELECT CAST(n AS BIGINT) AS n_ranks,
+           CASE WHEN (n*sxx - sx*sx) > 0 THEN
+             round(CAST(n*sxy - sx*sy AS DOUBLE)
+               / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+           ELSE 0.0 END AS zipf_slope,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+             round((CAST(n*sxy - sx*sy AS DOUBLE) *
+                    CAST(n*sxy - sx*sy AS DOUBLE)) /
+               (CAST(n*sxx - sx*sx AS DOUBLE) *
+                CAST(n*syy - sy*sy AS DOUBLE)), 6)
+           ELSE 0.0 END AS r2
+         FROM m""",
+
+    // forward-window-2 ordered pairs from 1-based list slices, the
+    // same counts the map-side transform generates; total order
+    // (n desc, w_a, w_b) makes the top-50 cut deterministic
+    "q_skipgram_pairs" ->
+      """WITH t AS (SELECT regexp_extract_all(text, '\S+') toks
+           FROM documents),
+         g AS (SELECT flatten([
+             [{'wa': toks[i], 'wb': toks[i+1]}
+              for i in range(1, len(toks))],
+             [{'wa': toks[i], 'wb': toks[i+2]}
+              for i in range(1, len(toks)-1)]]) prs FROM t),
+         e AS (SELECT unnest(prs) AS pr FROM g)
+         SELECT pr.wa AS w_a, pr.wb AS w_b,
+           CAST(count(*) AS BIGINT) AS n
+         FROM e GROUP BY 1, 2
+         ORDER BY n DESC, w_a ASC, w_b ASC LIMIT 50""",
 
     // the q_ngram_jaccard_pairs gram construction with the
     // asymmetric denominator: |∩| / min(|A|, |B|)

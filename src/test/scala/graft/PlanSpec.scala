@@ -665,6 +665,25 @@ class PlanSpec extends SparkTestBase {
       s"AUC not over the checkpointed score domain:\n$plan")
   }
 
+  test("q_skipgram_pairs: join-free map-side pair expansion, bounded top-k") {
+    // pairs generate from each token array via a higher-order
+    // transform (the basket-pair discipline) — no self-join; the
+    // top-50 cut is a TakeOrdered, never a global sort
+    val plan = finalPlan(q("q_skipgram_pairs"))
+    assert(!plan.contains("Join") && !plan.contains("Cartesian"),
+      s"skip-gram pairs reintroduced a join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 not a bounded TakeOrdered:\n$plan")
+  }
+
+  test("q_zipf_fit: the OLS sees only the checkpointed top-100 ranks") {
+    val plan = finalPlan(q("q_zipf_fit"))
+    assert(!plan.contains("FileScan parquet"),
+      s"zipf fit re-scans the corpus past the top-k checkpoint:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"zipf fit not over the checkpointed rank table:\n$plan")
+  }
+
   test("q_hhi: two grouped aggregates, zero joins") {
     val plan = finalPlan(q("q_hhi"))
     assert(!plan.contains("Join"),
