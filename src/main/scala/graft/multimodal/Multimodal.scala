@@ -220,12 +220,26 @@ object Multimodal {
     * s_i = ((id·40503 + i·2654435761) mod 65536) − 32768.
     * Partition-parallel 1→1 synthesis; no shuffle.
     */
+  /** Spread per-clip work across tasks before a heavy 1→1/1→N
+    * mapPartitions: the documents fixture is ONE small parquet split,
+    * so without an explicit repartition every clip of a per-clip-
+    * linear operator lands in a single task and the whole pipeline
+    * serializes (measured: q_video_features 12.4 s at sf0.1 on one
+    * thread, ~1 s spread). One id-keyed exchange of bare longs buys
+    * full core utilization; a real 100 TB binary-asset corpus
+    * arrives pre-split across files and skips this, which is why the
+    * repartition lives in the SYNTH fixtures, not the decode
+    * operators.
+    */
+  private[multimodal] def spreadIds(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id")).repartition(col("doc_id"))
+
   def synthWavAssets(
       spark: SparkSession,
       docs: DataFrame,
       rate: Int = 8000): Dataset[Asset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    spreadIds(docs).as[Long].mapPartitions { it =>
       it.map { id =>
         val n = (8000L + id % 8000L).toInt
         val pcm = new Array[Byte](n * 2)

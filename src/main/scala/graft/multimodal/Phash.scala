@@ -121,7 +121,10 @@ object Phash {
     */
   def synthGrayPngAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // id-keyed spread before the per-image encode/decode loop
+    // (Multimodal.spreadIds — single-split fixture serializes the
+    // modality pipeline otherwise)
+    Multimodal.spreadIds(docs).as[Long].mapPartitions { it =>
       it.map { id =>
         val img = new java.awt.image.BufferedImage(
           Side, Side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)

@@ -237,7 +237,10 @@ object Video {
     */
   def synthAviAssets(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // one id-keyed exchange spreads clip synthesis+decode across all
+    // cores (Multimodal.spreadIds — the fixture is a single parquet
+    // split; measured 12.4 s single-task vs ~1 s spread at sf0.1)
+    Multimodal.spreadIds(docs).as[Long].mapPartitions { it =>
       it.map { id =>
         val frames = (0 until synthFrameCount(id)).map { f =>
           val (w, h) = synthFrameDims(id, f)

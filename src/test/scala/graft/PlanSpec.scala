@@ -613,10 +613,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q_audio_features: zero exchanges — synth and decode are 1→1") {
+  test("q_audio_features: one spread exchange of bare ids, then 1→1") {
+    // the ONLY exchange is Multimodal.spreadIds' id repartition (the
+    // single-split fixture serializes the clip loop without it —
+    // r12); synth and decode themselves stay 1→1 map work, so the
+    // exchange moves 8 bytes per clip, never payload bytes
     val plan = finalPlan(q("q_audio_features"))
-    assert(shuffles(plan) == 0,
-      s"audio pipeline shuffles, got ${shuffles(plan)}:\n$plan")
+    assert(shuffles(plan) == 1,
+      s"audio pipeline expected exactly the id-spread exchange, " +
+        s"got ${shuffles(plan)}:\n$plan")
   }
 
   test("q_doc_keywords ranks through the bounded heap, never a window") {
