@@ -110,6 +110,7 @@ object Multimodal {
     */
   object ImageIoCodec extends ImageCodec {
     def decodeImage(payload: Array[Byte]): (Int, Int) = {
+      Multimodal.imageIoMemCache()
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -122,6 +123,7 @@ object Multimodal {
     }
 
     def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      Multimodal.imageIoMemCache()
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       require(img != null, "ImageIoCodec: undecodable payload")
@@ -233,6 +235,21 @@ object Multimodal {
     */
   private[multimodal] def spreadIds(docs: DataFrame): DataFrame =
     docs.select(col("doc_id")).repartition(col("doc_id"))
+
+  /** Disable `javax.imageio`'s DISK-backed stream caches for this
+    * JVM. By default every `ImageIO.read`/`write`/
+    * `createImageInputStream` call routes bytes through a
+    * `FileCache*Stream` TEMP FILE — ~6 ms of file create/write/delete
+    * per tiny frame, which dwarfs the actual codec work on
+    * thumbnail-sized media (measured: the AVI pipeline spent ~85% of
+    * its time in temp-file churn). All payloads here are in-memory
+    * byte arrays, so the memory cache is strictly better. Idempotent
+    * volatile set — call it at the top of every imageio-using
+    * partition closure (executors each set it once per JVM).
+    */
+  private[multimodal] def imageIoMemCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache)
+      javax.imageio.ImageIO.setUseCache(false)
 
   def synthWavAssets(
       spark: SparkSession,

@@ -125,6 +125,7 @@ object Phash {
     // (Multimodal.spreadIds — single-split fixture serializes the
     // modality pipeline otherwise)
     Multimodal.spreadIds(docs).as[Long].mapPartitions { it =>
+      Multimodal.imageIoMemCache()
       it.map { id =>
         val img = new java.awt.image.BufferedImage(
           Side, Side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -208,6 +209,7 @@ object Phash {
   def phash64(spark: SparkSession, assets: Dataset[Asset]): Dataset[ImageHash] = {
     import spark.implicits._
     assets.mapPartitions { it =>
+      Multimodal.imageIoMemCache()
       it.map { a =>
         val img = javax.imageio.ImageIO.read(
           new ByteArrayInputStream(a.payload))

@@ -229,6 +229,29 @@ object Video {
   /** 8 fps cadence. */
   val UsPerFrame = 125000L
 
+  /** A reusable per-partition JPEG reader — the registry lookup in
+    * `ImageIO.getImageReaders` costs more than a thumbnail header
+    * parse, so the decode loops hoist ONE reader into mapPartitions
+    * scope and `setInput` per frame ([[Multimodal.ImageIoCodec]]
+    * stays the general per-call API for arbitrary formats).
+    */
+  private def jpegReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+
+  /** Header-only (w, h) of a JPEG via a reused reader — no pixel
+    * materialization, the 100 TB metadata-pass shape.
+    */
+  private def jpegDims(
+      reader: javax.imageio.ImageReader,
+      jp: Array[Byte]): (Int, Int) = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(jp))
+    try {
+      reader.setInput(iis)
+      (reader.getWidth(0), reader.getHeight(0))
+    } finally iis.close()
+  }
+
   /** Synthesize REAL AVI-MJPEG payloads, one clip per document id:
     * each frame is a genuine JPEG (imageio-encoded RGB gradient keyed
     * on (id, frame)) wrapped in a genuine RIFF/AVI container. The
@@ -241,6 +264,13 @@ object Video {
     // cores (Multimodal.spreadIds — the fixture is a single parquet
     // split; measured 12.4 s single-task vs ~1 s spread at sf0.1)
     Multimodal.spreadIds(docs).as[Long].mapPartitions { it =>
+      Multimodal.imageIoMemCache()
+      // ONE JPEG writer per partition (this is what mapPartitions'
+      // per-partition-init slot is FOR): ImageIO.write does a full
+      // writer-registry lookup per call, which at a frame per call
+      // costs more than the encode of a thumbnail-sized image
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
       it.map { id =>
         val frames = (0 until synthFrameCount(id)).map { f =>
           val (w, h) = synthFrameDims(id, f)
@@ -259,7 +289,11 @@ object Video {
             y += 1
           }
           val bos = new ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
+          val ios = new javax.imageio.stream
+            .MemoryCacheImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.flush()
           bos.toByteArray
         }
         Asset(id, "video/avi",
@@ -287,12 +321,14 @@ object Video {
       spark: SparkSession, assets: Dataset[Asset]): Dataset[VideoClipFeatures] = {
     import spark.implicits._
     assets.mapPartitions { it =>
+      Multimodal.imageIoMemCache()
+      val reader = jpegReader()
       it.map { a =>
         val m = AviMjpegCodec.parse(a.payload)
         var sw = 0L
         var sh = 0L
         m.frames.foreach { jp =>
-          val (fw, fh) = Multimodal.ImageIoCodec.decodeImage(jp)
+          val (fw, fh) = jpegDims(reader, jp)
           sw += fw; sh += fh
         }
         VideoClipFeatures(a.asset_id, m.totalFrames, m.usPerFrame,
@@ -322,10 +358,12 @@ object Video {
       spark: SparkSession, assets: Dataset[Asset]): Dataset[VideoFrameRow] = {
     import spark.implicits._
     assets.mapPartitions { it =>
+      Multimodal.imageIoMemCache()
+      val reader = jpegReader()
       it.flatMap { a =>
         val m = AviMjpegCodec.parse(a.payload)
         m.frames.iterator.zipWithIndex.map { case (jp, f) =>
-          val (fw, fh) = Multimodal.ImageIoCodec.decodeImage(jp)
+          val (fw, fh) = jpegDims(reader, jp)
           VideoFrameRow(a.asset_id, f, f.toLong * m.usPerFrame / 1000L,
             fw, fh)
         }
