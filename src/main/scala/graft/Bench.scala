@@ -56,6 +56,11 @@ object Bench {
     "q_audio_features", "q_pareto_share", "q_temporal_split",
     "q_doc_keywords", "q_chi_square", "q_negative_samples",
     "q_basket_pmi",
+    // round-12 additions over the ~1 s line (media pipelines +
+    // containment; ordered by r12 sweep cost, descending)
+    "q_video_features", "q_video_frames", "q_image_neardup",
+    "q_image_dedup_clusters", "q_ngram_containment", "q_audio_windows",
+    "q_image_phash", "q_linreg",
     // cheap plan-shape anchors
     "q1_lineitem_agg", "q_events_hourly", "q_knn_sq8")
 

@@ -1819,11 +1819,22 @@ object SparkEntry {
 
     // ---- asymmetric near-dup: n-gram CONTAINMENT ≥ 0.8 pairs
     //      (|∩| / min(|A|,|B|)) — catches a small document pasted
-    //      inside a large one, which Jaccard structurally misses;
-    //      the decontamination-adjacent screen over the same shared-
-    //      shingle candidate plan as q_ngram_jaccard_pairs ----
+    //      inside a large one, which Jaccard structurally misses.
+    //      This direct all-pairs form is the VERIFICATION twin (it
+    //      measured exp 2.0 over a hot-shingle decade); the prefix
+    //      form below is the scale path, same output, same oracle ----
     "q_ngram_containment" -> ((s, d) =>
       graft.dedup.Dedup.ngramContainmentPairs(
+        t("documents")(s, d), "doc_id", "text", 3, 0.8)),
+
+    // ---- the scale path: asymmetric prefix filtering (small-side
+    //      prefixes join large-side full postings — hot shingles sort
+    //      last in the rarest-first order and land in no prefix),
+    //      exact verification; identical output by construction,
+    //      certified by SHARING the direct form's oracle verbatim
+    //      (the q_ngram_jaccard_prefix precedent) ----
+    "q_ngram_containment_prefix" -> ((s, d) =>
+      graft.dedup.Dedup.ngramContainmentPairsPrefix(
         t("documents")(s, d), "doc_id", "text", 3, 0.8)),
 
     // ---- feature hashing (the hashing-trick vectorizer): token →
@@ -3376,6 +3387,8 @@ object SparkEntry {
       // — one oracle, two plans, same certification logic as the
       // persisted-index/live BM25 pair above
       "q_ngram_jaccard_prefix" -> oracleSqlBase("q_ngram_jaccard_pairs"),
+      // same contract for the asymmetric containment prefix form
+      "q_ngram_containment_prefix" -> oracleSqlBase("q_ngram_containment"),
       // xxhash64 replayed in DuckDB (OracleXxh64) makes the LSH
       // estimate and SimHash queries hash-checkable end to end
       "q_minhash_est" -> OracleXxh64.minhashEstSql,

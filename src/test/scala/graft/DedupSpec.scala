@@ -121,6 +121,28 @@ class DedupSpec extends SparkTestBase {
       .count() == 1)
   }
 
+  test("prefix-filtered containment equals the naive all-pairs result exactly") {
+    val naive = Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup
+      .ngramContainmentPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(naive.nonEmpty)
+    assert(prefix == naive)
+    // lower threshold (longer prefixes, more size-tie pairs) — and a
+    // hand case where the smaller doc is fully contained
+    val naive5 = Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix5 = Dedup
+      .ngramContainmentPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefix5 == naive5)
+    val incl = Seq((1L, "a b c d e f"),
+      (2L, "a b c d e f g h i j k l m n o")).toDF("doc_id", "text")
+    assert(Dedup.ngramContainmentPairsPrefix(incl, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet == Set((1L, 2L, 1.0)))
+  }
+
   test("minhashLshVerified equals the exact all-pairs ground truth") {
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .as[(Long, Long, Double)].collect().toSet
