@@ -28,9 +28,11 @@ object OraclePhash {
     s"""WITH g AS (SELECT doc_id, doc_id // 2 AS gid, doc_id % 2 AS odd
            FROM documents),
          grid AS (SELECT doc_id, gid, odd, y.i AS y, x.i AS x,
-             ((((gid*1000003 + (y.i*32 + x.i)) % 1000000007)
-               * 2654435761) % 4294967296) // 16777216 AS g0
-           FROM g, range(32) y(i), range(32) x(i)),
+             ((mm.m * mm.m % 1000000007) * mm.m % 1000000007) % 256
+               AS g0
+           FROM g, range(32) y(i), range(32) x(i),
+             LATERAL (SELECT (gid*1000003 + (y.i*32 + x.i) + 1)
+               % 1000000007 AS m) mm),
          pk AS (SELECT gid, (gid*31 + j.j*17) % 32 AS px,
                   (gid*57 + j.j*23) % 32 AS py, count(*) AS k
                 FROM (SELECT DISTINCT gid FROM g) gids, range(4) j(j)

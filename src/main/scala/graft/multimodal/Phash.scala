@@ -69,19 +69,26 @@ object Phash {
   val Side = 32
 
   /** Synthesis-rule pixel value BEFORE perturbation, for image-group
-    * `gid` at (x, y): a Knuth multiplicative-hash pseudo-random field
-    * (top byte of `((gid·1000003 + idx) mod 1e9+7) · 2654435761
-    * mod 2³²`). Broadband by construction — the 64 low-frequency DCT
-    * coefficients land well-SPREAD around their median, so a small
-    * pixel edit flips at most a few hash bits (a smooth/periodic
-    * base clusters coefficients at the median and a planted edit
-    * flipped up to 31 bits — measured, not hypothetical). All
-    * intermediate products stay under 2.7e18, exact in both long and
-    * DuckDB BIGINT.
+    * `gid` at (x, y): the low byte of the CUBE of
+    * `m = (gid·1000003 + idx + 1) mod 1e9+7` — i.e.
+    * `(m³ mod p) mod 256`. NONLINEAR in the pixel index on purpose:
+    * any affine-in-idx rule followed by a multiply (the first
+    * attempt's "multiplicative hash") produces an ARITHMETIC
+    * PROGRESSION across pixels, making every image a phase-shift of
+    * one sawtooth — 200k images collapsed to 3,291 distinct pHashes
+    * and the band join went quadratic (measured). The cubic residue
+    * field is noise-like per image AND independent across groups:
+    * 200k ids → 108k distinct hashes where the only duplicates are
+    * the planted pairs themselves, and 16-bit band buckets max out
+    * at ~26. Broadband noise also spreads the 64 DCT coefficients
+    * well clear of their median, so a small pixel edit flips at most
+    * a few hash bits. m < 1e9+7, so m² and m²·m stay under ~1e18 —
+    * exact in both long and DuckDB BIGINT.
     */
-  def basePixel(gid: Long, x: Int, y: Int): Int =
-    ((((gid * 1000003L + (y * Side + x)) % 1000000007L) * 2654435761L
-      % 4294967296L) / 16777216L).toInt
+  def basePixel(gid: Long, x: Int, y: Int): Int = {
+    val m = (gid * 1000003L + (y * Side + x) + 1L) % 1000000007L
+    ((m * m % 1000000007L) * m % 1000000007L % 256L).toInt
+  }
 
   /** Documents pair up as (2k, 2k+1): the odd id is the even id's
     * planted near-duplicate — same base image with
