@@ -233,8 +233,19 @@ object Multimodal {
     * repartition lives in the SYNTH fixtures, not the decode
     * operators.
     */
-  private[multimodal] def spreadIds(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id")).repartition(col("doc_id"))
+  private[multimodal] def spreadIds(docs: DataFrame): DataFrame = {
+    // EXPLICIT partition count: `repartition(col)` without a count is
+    // a REPARTITION_BY_COL shuffle, which AQE may coalesce BY SIZE —
+    // and 500k bare ids are ~4 MB, so the "spread" collapsed back to
+    // one task (observed via jstack at the 100× sweep: 2 runnable
+    // synth threads on a 32-core box). Pinning the count makes it a
+    // REPARTITION_BY_NUM shuffle AQE must honor; the per-ROW work
+    // here is heavy codec time, so partition count must track cores,
+    // not byte size.
+    val n = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    docs.select(col("doc_id")).repartition(n, col("doc_id"))
+  }
 
   /** Disable `javax.imageio`'s DISK-backed stream caches for this
     * JVM. By default every `ImageIO.read`/`write`/
