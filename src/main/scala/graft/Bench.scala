@@ -57,12 +57,57 @@ object Bench {
     "q_doc_keywords", "q_chi_square", "q_negative_samples",
     "q_basket_pmi",
     // round-12 additions over the ~1 s line (media pipelines +
-    // containment; ordered by r12 sweep cost, descending)
+    // containment; ordered by r12 sweep cost, descending). BOTH
+    // containment forms are tracked: the direct one is the documented
+    // quadratic verification twin, the prefix one is the shipped
+    // scale path — monitoring only the twin left the fix path's
+    // regression behavior unwatched (r12 advice)
     "q_video_features", "q_video_frames", "q_image_neardup",
-    "q_image_dedup_clusters", "q_ngram_containment", "q_audio_windows",
+    "q_image_dedup_clusters", "q_ngram_containment",
+    "q_ngram_containment_prefix", "q_audio_windows",
     "q_image_phash", "q_linreg",
     // cheap plan-shape anchors
     "q1_lineitem_agg", "q_events_hourly", "q_knn_sq8")
+
+  /** A per-query run spread self-identifies as contended when
+    * max/min ≥ this ratio — the empirical threshold from three rounds
+    * of adjudicated driver-box spikes (r10 triangle ×13, r12 k-core
+    * ×16): real per-query regressions moved the WHOLE spread, never
+    * one isolated sample.
+    */
+  val ContentionRatio: Double = 2.0
+
+  /** Extra trials granted to a contended line, so an isolated
+    * contention spike cannot become the median of record (three
+    * r12 medians — q_kcore 26.9 s, q_copurchase, q_calibration —
+    * absorbed a mid-run episode that the judge then had to
+    * re-adjudicate by hand).
+    */
+  val MaxExtraRuns: Int = 2
+
+  /** True when a run spread self-identifies as contended. A single
+    * sample carries no spread, so it can never be flagged.
+    */
+  def isContended(timings: Seq[Double]): Boolean =
+    timings.size >= 2 &&
+      timings.max(Ordering.Double.TotalOrdering) /
+        timings.min(Ordering.Double.TotalOrdering) >= ContentionRatio
+
+  /** Self-healing sample loop: `runs` base samples, then — if the
+    * spread is contended — [[MaxExtraRuns]] extra trials, and the
+    * caller medians over ALL samples. The extras cannot shrink the
+    * recorded max/min (a spike stays in the spread, which is the
+    * point: the artifact still shows contention happened), but with
+    * runs+2 samples one spike can no longer BE the lower-middle
+    * median of record. Factored from the timed loop so the retry
+    * policy is unit-testable without a Spark session.
+    */
+  def sampleWithRetry[A](runs: Int, sample: () => (Double, A)): Vector[(Double, A)] = {
+    val base = Vector.fill(runs)(sample())
+    if (isContended(base.map(_._1)))
+      base ++ Vector.fill(MaxExtraRuns)(sample())
+    else base
+  }
 
   /** Accumulates shuffle bytes across task-end events; reset per
     * query, snapshot after draining the listener bus.
@@ -173,7 +218,7 @@ object Bench {
     val envBefore = envSnapshot()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val samples = (1 to Runs).map { _ =>
+      def sample(): (Double, (Long, Long)) = {
         // induction queries re-train EVERY sample (the memo would turn
         // the median into a cache-hit timing); apply queries keep the
         // memo — they score with already-induced artifacts by design
@@ -202,19 +247,32 @@ object Bench {
         System.gc()
         (dt, sh)
       }
+      // self-healing against contention spikes: a contended base
+      // spread earns MaxExtraRuns extra trials and the median of
+      // record is over ALL samples — r12 shipped three medians that
+      // were themselves the spike
+      val samples = sampleWithRetry(Runs, () => sample())
       // shuffle bytes travel with the median run's sample so the pair
       // stays internally consistent (bytes are deterministic anyway).
       // Lower-middle for even run counts: noise on a shared box is
       // strictly additive, so between the two middles the faster one
       // is the better estimate (Runs=2 would otherwise record the MAX)
       val sorted = samples.sortBy(_._1)(Ordering.Double.TotalOrdering)
-      val (dt, sh) = sorted((Runs - 1) / 2)
+      val (dt, sh) = sorted((samples.size - 1) / 2)
       // full [min, median, max] run spread rides in the artifact: a
       // max/min ratio ≥ ~2 self-identifies a contended line from the
       // JSON alone, instead of costing a judge/builder re-measure
       // cycle (r10's 162 s and r11's 12.3 s triangle lines both did)
       (name, dt, sh, sorted.head._1, sorted.last._1)
     }
+    // lines whose final spread still self-identifies as contended —
+    // the retry cannot remove a spike from min/max (by design), so
+    // this is exactly "contention happened here; the median of record
+    // absorbed MaxExtraRuns extra trials"
+    val contendedNames = results.collect {
+      case (k, _, _, mn, mx) if isContended(Seq(mn, mx)) => k }
+    val contendedJson =
+      contendedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, (r, w), _, _) =>
@@ -226,7 +284,7 @@ object Bench {
     val total = results.map(_._2).sum
     val envAfter = envSnapshot()
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,"queries":$qs,"spread":$spread,"shuffle_bytes":$sh,"env_before":$envBefore,"env_after":$envAfter,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,"contended":$contendedJson,"queries":$qs,"spread":$spread,"shuffle_bytes":$sh,"env_before":$envBefore,"env_after":$envAfter,"sf":"$sfDir"}"""
     println(full)
     Files.writeString(Paths.get(out), full + "\n")
     // the contract-format line goes LAST on both streams AND must fit
@@ -244,7 +302,8 @@ object Bench {
     val sfLabel = Paths.get(sfDir).getFileName.toString
     val contract =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-        f""""n_queries":${results.size},"runs":$Runs,"queries":$qsShort,""" +
+        f""""n_queries":${results.size},"runs":$Runs,""" +
+        f""""contended":$contendedJson,"queries":$qsShort,""" +
         f""""full":"$out","sf":"$sfLabel"}"""
     println(contract)
     System.err.println(contract)

@@ -1747,16 +1747,27 @@ object SparkEntry {
           (col("n") * col("sxx") - col("sx") * col("sx")).as("dx"),
           (col("n") * col("syy") - col("sy") * col("sy")).as("dy"),
           (col("sy") * col("sxx") - col("sx") * col("sxy")).as("numi"))
+      // past-budget overflow (decimal(38) product → null) RAISES
+      // instead of falling through `when(dx > 0)` to a silent
+      // slope/intercept/r2 = 0.0 — the q_feature_scale discipline
+      val overflow = col("dx").isNull || col("dy").isNull ||
+        col("num").isNull || col("numi").isNull
+      val raiseD = raise_error(lit("q_linreg: normal-equation moment " +
+        "overflowed decimal(38) — group past the documented n<=1e12 " +
+        "budget")).cast("double")
       m.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
-        when(col("dx") > 0,
-          round(col("num").cast("double") / col("dx").cast("double"), 6))
+        when(overflow, raiseD)
+          .when(col("dx") > 0,
+            round(col("num").cast("double") / col("dx").cast("double"), 6))
           .otherwise(lit(0.0)).as("slope"),
-        when(col("dx") > 0,
-          round(col("numi").cast("double") / col("dx").cast("double"), 6))
+        when(overflow, raiseD)
+          .when(col("dx") > 0,
+            round(col("numi").cast("double") / col("dx").cast("double"), 6))
           .otherwise(lit(0.0)).as("intercept"),
-        when(col("dx") > 0 && col("dy") > 0,
-          round((col("num").cast("double") * col("num").cast("double")) /
-            (col("dx").cast("double") * col("dy").cast("double")), 6))
+        when(overflow, raiseD)
+          .when(col("dx") > 0 && col("dy") > 0,
+            round((col("num").cast("double") * col("num").cast("double")) /
+              (col("dx").cast("double") * col("dy").cast("double")), 6))
           .otherwise(lit(0.0)).as("r2"))
     }),
 

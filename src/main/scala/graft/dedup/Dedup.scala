@@ -306,7 +306,7 @@ object Dedup {
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
+    val pairs = common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -317,6 +317,13 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 6).as("containment"))
+      // materialize-then-release (the Basket ca83a16 discipline): the
+      // thresholded pair table is the bounded output — checkpoint it
+      // eagerly so the shingle frame can be unpinned before return,
+      // instead of leaking one MEMORY_AND_DISK frame per call
+      .localCheckpoint()
+    sh.unpersist()
+    pairs
   }
 
   /** Near-dup CLUSTERS from a pair list: connected components by
@@ -684,7 +691,7 @@ object Dedup {
           col("small_id") < col("big_id")))
       .select(col("small_id"), col("big_id"))
       .dropDuplicates("small_id", "big_id")
-    cand
+    val pairs = cand
       .join(sh.select(col("doc_id").as("small_id"), col("sh").as("sh_a")),
         Seq("small_id"))
       .join(sh.select(col("doc_id").as("big_id"), col("sh").as("sh_b")),
@@ -697,6 +704,13 @@ object Dedup {
       .select(least(col("small_id"), col("big_id")).as("doc_a"),
         greatest(col("small_id"), col("big_id")).as("doc_b"),
         round(col("containment"), 6).as("containment"))
+      // materialize-then-release (the Basket ca83a16 discipline): the
+      // thresholded pair table is the bounded output — checkpoint it
+      // eagerly so the shingle frame can be unpinned before return,
+      // instead of leaking one MEMORY_AND_DISK frame per call
+      .localCheckpoint()
+    sh.unpersist()
+    pairs
   }
 
   // ---------------------------------------------------------------

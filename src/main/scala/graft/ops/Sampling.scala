@@ -682,21 +682,23 @@ object Sampling {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = positives.sparkSession
     import spark.implicits._
+    // the driver-bounded contract stays LOUD *before* the bytes move:
+    // limit(cap+1) bounds what the executors ever ship to the driver,
+    // so a fact table in the weights slot fails the require below at
+    // ~cap memory instead of OOMing the collect itself at 100 TB
+    // (the post-collect require could never fire past driver memory)
     val catalog = itemWeights
       .select(wItemCol.cast("long").as("i"),
         weightCol.cast("long").as("w"))
       .filter(col("w") > 0)
       .orderBy(col("i"))
+      .limit(MaxCatalogItems + 1)
       .as[(Long, Long)].collect()
     require(catalog.nonEmpty, "empty item catalog")
-    // the driver-bounded contract stays LOUD: the collect above is
-    // safe only while the catalog is catalog-sized — fail fast if a
-    // fact table is passed where an item dimension belongs, instead
-    // of silently OOMing the driver at 100 TB
     require(catalog.length <= MaxCatalogItems,
-      s"item catalog has ${catalog.length} rows — past the " +
-        s"driver-bounded budget of $MaxCatalogItems; aggregate or " +
-        "filter the weights table first")
+      s"item catalog exceeds the driver-bounded budget of " +
+        s"$MaxCatalogItems rows; aggregate or filter the weights " +
+        "table first")
     val items = catalog.map(_._1)
     val starts = catalog.map(_._2).scanLeft(0L)(_ + _)
     val total = starts.last

@@ -143,6 +143,23 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().toSet == Set((1L, 2L, 1.0)))
   }
 
+  test("containment operators release their shingle cache (no leak)") {
+    // the BasketSpec ca83a16 discipline applied to the round-12
+    // containment pair operators: both persist a shingle frame
+    // internally and must checkpoint-and-release before returning —
+    // after the call the CacheManager is back to empty
+    // (localCheckpoint blocks are not CacheManager entries)
+    spark.catalog.clearCache()
+    Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 0.8).collect()
+    assert(org.apache.spark.sql.GraftSqlShims.cacheIsEmpty(spark),
+      "ngramContainmentPairs left frames pinned in the CacheManager")
+    Dedup.ngramContainmentPairsPrefix(docs, "doc_id", "text", 3, 0.8)
+      .collect()
+    assert(org.apache.spark.sql.GraftSqlShims.cacheIsEmpty(spark),
+      "ngramContainmentPairsPrefix left frames pinned in the " +
+        "CacheManager")
+  }
+
   test("minhashLshVerified equals the exact all-pairs ground truth") {
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .as[(Long, Long, Double)].collect().toSet
