@@ -66,6 +66,10 @@ object Bench {
     "q_image_dedup_clusters", "q_ngram_containment",
     "q_ngram_containment_prefix", "q_audio_windows",
     "q_image_phash", "q_linreg",
+    // round-13 additions over the ~1 s line: the streaming gates and
+    // the audio fingerprint family (WAV synth+decode dominates)
+    "q_audio_neardup", "q_audio_ingest_gate", "q_audio_fingerprint",
+    "q_image_ingest_gate", "q_video_neardup",
     // cheap plan-shape anchors
     "q1_lineitem_agg", "q_events_hourly", "q_knn_sq8")
 

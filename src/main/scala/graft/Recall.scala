@@ -271,8 +271,22 @@ object Recall {
         "id_1", "id_2"),
       floor = 0.95)
 
+    // -- audio near-dup vs the same planted (2k, 2k+1) truth: the odd
+    //    clip shares the even clip's waveform with 4 samples bumped
+    //    +8192; recall is "did windowed-energy delta fingerprint →
+    //    banded radius-3 join find the planted clip pairs". The bump
+    //    moves any window sum ≤ 32768 against typical adjacent-window
+    //    gaps of ~2e5, so the image family's floor carries over.
+    import graft.multimodal.AudioPrint
+    val aud = pairMetric("q_audio_neardup", plantedTruth,
+      pairSet(AudioPrint.neardupPairs(
+          AudioPrint.audioprint64(spark,
+            AudioPrint.synthWavPairAssets(spark, docs)).toDF()),
+        "id_1", "id_2"),
+      floor = 0.95)
+
     Seq(mh, sim, win, embLsh, embIvf, knnLsh, knnIvf, knnIvfPq, qm,
-      qsApply, km, pca, phash, vid)
+      qsApply, km, pca, phash, vid, aud)
   }
 
   def toJson(ms: Seq[Metric]): String =

@@ -1602,6 +1602,78 @@ object SparkEntry {
           s, t("documents")(s, d)))
         .toDF()),
 
+    // ---- audio perceptual fingerprint (Haitsma–Kalker delta bits
+    //      over integer band-energy proxies) off REALLY-decoded WAV
+    //      PCM: RIFF/WAVE container walk + streamed sample extract,
+    //      33 windows → 32 energy-delta bits (lo) + 32
+    //      first-difference-energy-delta bits (hi). Per-clip
+    //      mapPartitions, no shuffle; the integer chain replays in
+    //      the oracle bit for bit ----
+    "q_audio_fingerprint" -> ((s, d) =>
+      graft.multimodal.AudioPrint.audioprint64(s,
+        graft.multimodal.AudioPrint.synthWavPairAssets(
+          s, t("documents")(s, d))).toDF()),
+
+    // ---- audio near-dup: the image family's banded radius-3 join
+    //      on audio fingerprints (4×16-bit pigeonhole — exact, no
+    //      all-pairs compare); planted pairs are (2k, 2k+1) clips
+    //      sharing a waveform with 4 samples bumped ----
+    "q_audio_neardup" -> ((s, d) =>
+      graft.multimodal.AudioPrint.neardupPairs(
+        graft.multimodal.AudioPrint.audioprint64(s,
+          graft.multimodal.AudioPrint.synthWavPairAssets(
+            s, t("documents")(s, d))).toDF())),
+
+    // ---- audio similarity SEARCH: banded multi-probe candidacy
+    //      (every clip sharing ≥ 1 of the probe's 4 pigeonhole
+    //      bands) ranked by (hamming, id), cut to 5 with the
+    //      bounded-heap top-k aggregate — map-side k-heaps,
+    //      ≤ k-element exchange states, no window sort; the probe
+    //      set is every 50th clip ----
+    "q_audio_search" -> ((s, d) =>
+      graft.multimodal.AudioPrint.bandedSearch(
+        graft.multimodal.AudioPrint.audioprint64(s,
+          graft.multimodal.AudioPrint.synthWavPairAssets(
+            s, t("documents")(s, d))).toDF(),
+        col("asset_id") % 50 === 0, k = 5)),
+
+    // ---- audio STREAMING ingest gate, driver-replayed as two
+    //      deterministic epochs: [[ImageIngest.gateBatch]] is
+    //      hash-generic (any 64-bit hi/lo + the pigeonhole bands),
+    //      so the audio gate IS the image gate over fingerprints —
+    //      per-epoch CC representatives, cross-epoch band-index
+    //      first-seen drop, the same replay-idempotent sink path ----
+    "q_audio_ingest_gate" -> ((s, d) => {
+      import graft.multimodal.{AudioPrint, Phash}
+      import graft.streaming.ImageIngest
+      val hashes = AudioPrint.audioprint64(s,
+          AudioPrint.synthWavPairAssets(s, t("documents")(s, d))).toDF()
+        .select(col("asset_id"), col("fp_hi").as("ph_hi"),
+          col("fp_lo").as("ph_lo"))
+        .localCheckpoint() // consumed by both epochs' gates
+      val e0 = hashes.filter(col("asset_id") % 3 === 0)
+      val e1 = hashes.filter(col("asset_id") % 3 =!= 0)
+      val kept0 = ImageIngest.gateBatch(s, e0, ImageIngest.emptyIndex(s))
+      val index = Phash.bandRows(e0)
+        .select(col("b"), col("v"), col("ph_hi"), col("ph_lo"))
+      val kept1 = ImageIngest.gateBatch(s, e1, index)
+      kept0.withColumn("epoch", lit(0L))
+        .unionByName(kept1.withColumn("epoch", lit(1L)))
+        .select(col("asset_id"), col("epoch"),
+          col("ph_hi").as("fp_hi"), col("ph_lo").as("fp_lo"))
+    }),
+
+    // ---- audio near-dup CLUSTERS: connected components over the
+    //      radius-3 fingerprint pair graph — the image clusters
+    //      machinery on the audio modality ----
+    "q_audio_dedup_clusters" -> ((s, d) =>
+      graft.dedup.Dedup.nearDupClusters(
+        graft.multimodal.AudioPrint.neardupPairs(
+          graft.multimodal.AudioPrint.audioprint64(s,
+            graft.multimodal.AudioPrint.synthWavPairAssets(
+              s, t("documents")(s, d))).toDF())
+          .select(col("id_1").as("doc_a"), col("id_2").as("doc_b")))),
+
     // ---- REAL video decode: synthesize genuine AVI-MJPEG containers
     //      (RIFF chunk tree + imageio-encoded JPEG frames), walk them
     //      back — avih header → cadence, movi 00dc chunks → per-frame
@@ -5885,6 +5957,19 @@ object SparkEntry {
            n*1000 // 8000 AS duration_ms, max(abs(v)) AS peak,
            CAST(sum(abs(v)) AS BIGINT) AS sum_abs
          FROM s GROUP BY doc_id, n""",
+
+    // replays the gid-keyed pair waveform + planted 4-sample bump +
+    // windowed integer band energies + delta-sign bit packing — a
+    // Spark-side WAV decode bug (byte order, sign extension, frame
+    // miscount) or window-boundary bug breaks the hash
+    "q_audio_fingerprint" -> OracleAudioPrint.fingerprintSql,
+    // brute-force radius-3 pairing over the replayed fingerprints;
+    // the Spark side's pigeonhole band join must emit the identical
+    // exact set
+    "q_audio_neardup" -> OracleAudioPrint.neardupSql,
+    "q_audio_dedup_clusters" -> OracleAudioPrint.clustersSql,
+    "q_audio_ingest_gate" -> OracleAudioPrint.ingestGateSql,
+    "q_audio_search" -> OracleAudioPrint.searchSql,
 
     // replays the AVI synthesis rule (nf = 4 + id % 12 frames at
     // 125000 µs cadence, frame f dims 16+((id+f)%4)·8 ×

@@ -274,6 +274,43 @@ object Phash {
         col("band.b").as("b"), col("band.v").as("v"))
   }
 
+  /** Banded Hamming top-k retrieval — similarity SEARCH over the
+    * same 4×16-bit band space [[neardupPairs]] dedups with: for each
+    * probe hash, candidates are every OTHER hash agreeing on at
+    * least one 16-bit band (multi-probe LSH candidacy — by
+    * pigeonhole this includes EVERY hash within Hamming 3, plus any
+    * farther hash that happens to agree on a band), ranked by
+    * (hamming, id) and cut to k with the bounded-heap top-k
+    * aggregate ([[graft.ops.TopK.topKPerGroup]] — map-side k-heaps,
+    * ≤ k-element exchange states, never a window sort over a hot
+    * probe's full candidate set). Deterministic: ties break on id.
+    * Emits (probe_id, rank 1..k, hamming, cand_id).
+    */
+  def bandedSearch(
+      hashes: DataFrame,
+      probePred: org.apache.spark.sql.Column,
+      k: Int,
+      idCol: String = "asset_id"): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    val banded = bandRows(hashes, idCol)
+    val probe = banded.filter(probePred)
+      .select(col(idCol).as("probe_id"),
+        col("ph_hi").as("p_hi"), col("ph_lo").as("p_lo"),
+        col("b"), col("v"))
+    val cand = banded.select(col(idCol).as("cand_id"),
+      col("ph_hi").as("c_hi"), col("ph_lo").as("c_lo"),
+      col("b"), col("v"))
+    val pairs = probe.join(cand, Seq("b", "v"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        (bit_count(col("p_hi").bitwiseXOR(col("c_hi"))) +
+          bit_count(col("p_lo").bitwiseXOR(col("c_lo"))))
+          .as("hamming"))
+      .distinct() // a pair sharing j bands appears j times pre-distinct
+    graft.ops.TopK.topKPerGroup(pairs, Seq("probe_id"),
+      struct(col("hamming"), col("cand_id")), k)
+  }
+
   def neardupPairs(
       hashes: DataFrame,
       idCol: String = "asset_id",
