@@ -63,7 +63,7 @@ object OracleAudioPrint {
                   CASE WHEN he > lead(he) OVER
                     (PARTITION BY id ORDER BY w) THEN 1 ELSE 0 END AS hb
                 FROM e),
-       fp AS (SELECT id AS asset_id,
+       fp AS MATERIALIZED (SELECT id AS asset_id,
                 CAST(sum(hb * (CAST(1 AS BIGINT) << w)) AS BIGINT)
                   AS fp_hi,
                 CAST(sum(lb * (CAST(1 AS BIGINT) << w)) AS BIGINT)
@@ -90,7 +90,7 @@ object OracleAudioPrint {
     */
   val searchSql: String =
     s"""$fpChain,
-       bands AS (SELECT asset_id, fp_hi, fp_lo, bb.b AS b,
+       bands AS MATERIALIZED (SELECT asset_id, fp_hi, fp_lo, bb.b AS b,
                    CASE bb.b
                      WHEN 0 THEN fp_lo & 65535
                      WHEN 1 THEN (fp_lo >> 16) & 65535
@@ -122,7 +122,7 @@ object OracleAudioPrint {
     */
   val ingestGateSql: String =
     s"""${fpChain.replaceFirst("WITH base AS", "WITH RECURSIVE base AS")},
-       ep AS (SELECT asset_id, fp_hi, fp_lo,
+       ep AS MATERIALIZED (SELECT asset_id, fp_hi, fp_lo,
                 CASE WHEN asset_id % 3 = 0 THEN CAST(0 AS BIGINT)
                      ELSE CAST(1 AS BIGINT) END AS epoch
               FROM fp),

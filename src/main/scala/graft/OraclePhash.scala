@@ -70,7 +70,7 @@ object OraclePhash {
                      CASE WHEN coef > med THEN 1 ELSE 0 END AS bit
                    FROM s2 JOIN med ON s2.asset_id = med.asset_id
                      AND s2.fr = med.fr),
-         h AS (SELECT asset_id, fr,
+         h AS MATERIALIZED (SELECT asset_id, fr,
                  CAST(sum(CASE WHEN i >= 32
                    THEN bit * (CAST(1 AS BIGINT) << (i - 32))
                    ELSE 0 END) AS BIGINT) AS ph_hi,
@@ -128,7 +128,7 @@ object OraclePhash {
     */
   val ingestGateSql: String =
     s"""${imageChain.replaceFirst("WITH src AS", "WITH RECURSIVE src AS")},
-       ep AS (SELECT asset_id, ph_hi, ph_lo,
+       ep AS MATERIALIZED (SELECT asset_id, ph_hi, ph_lo,
                 CASE WHEN asset_id % 3 = 0 THEN CAST(0 AS BIGINT)
                      ELSE CAST(1 AS BIGINT) END AS epoch
               FROM h),
@@ -205,7 +205,7 @@ object OraclePhash {
                  CASE WHEN 2*pos.cnt > nfr.n_frames THEN 1 ELSE 0 END
                    AS bit
                FROM pos JOIN nfr ON nfr.asset_id = pos.asset_id),
-       sig AS (SELECT asset_id,
+       sig AS MATERIALIZED (SELECT asset_id,
                  CAST(sum(CASE WHEN i >= 32
                    THEN bit * (CAST(1 AS BIGINT) << (i - 32))
                    ELSE 0 END) AS BIGINT) AS sig_hi,
@@ -228,4 +228,124 @@ object OraclePhash {
        FROM sig va JOIN sig vb ON va.asset_id < vb.asset_id
        WHERE bit_count(xor(va.sig_hi, vb.sig_hi)) +
              bit_count(xor(va.sig_lo, vb.sig_lo)) <= 3"""
+
+  /** Replay of the banded top-k image search
+    * ([[graft.multimodal.Phash.bandedSearch]]): candidacy = sharing
+    * at least one 16-bit band (the pigeonhole space itself — the
+    * multi-probe LSH candidate rule is part of the certified
+    * semantics), ranked by (hamming, cand_id), cut at k=5; probes
+    * are every 50th image.
+    */
+  val imageSearchSql: String =
+    s"""$imageChain,
+       bands AS MATERIALIZED (SELECT asset_id, ph_hi, ph_lo, bb.b AS b,
+                   CASE bb.b
+                     WHEN 0 THEN ph_lo & 65535
+                     WHEN 1 THEN (ph_lo >> 16) & 65535
+                     WHEN 2 THEN ph_hi & 65535
+                     ELSE (ph_hi >> 16) & 65535 END AS v
+                 FROM h, range(4) bb(b)),
+       pairs AS (SELECT DISTINCT p.asset_id AS probe_id,
+                   c.asset_id AS cand_id,
+                   CAST(bit_count(xor(p.ph_hi, c.ph_hi)) +
+                        bit_count(xor(p.ph_lo, c.ph_lo)) AS INT)
+                     AS hamming
+                 FROM bands p JOIN bands c
+                   ON p.b = c.b AND p.v = c.v
+                 WHERE p.asset_id % 50 = 0
+                   AND p.asset_id != c.asset_id),
+       ranked AS (SELECT probe_id, cand_id, hamming,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY hamming, cand_id) AS rnk
+                  FROM pairs)
+       SELECT probe_id, CAST(rnk AS INT) AS rank, hamming, cand_id
+       FROM ranked WHERE rnk <= 5"""
+
+  /** Replay of the banded top-k VIDEO search — [[imageSearchSql]]'s
+    * candidate/rank rule over clip signatures.
+    */
+  val videoSearchSql: String =
+    s"""$videoChain$signatureTail,
+       bands AS MATERIALIZED (SELECT asset_id, sig_hi, sig_lo, bb.b AS b,
+                   CASE bb.b
+                     WHEN 0 THEN sig_lo & 65535
+                     WHEN 1 THEN (sig_lo >> 16) & 65535
+                     WHEN 2 THEN sig_hi & 65535
+                     ELSE (sig_hi >> 16) & 65535 END AS v
+                 FROM sig, range(4) bb(b)),
+       pairs AS (SELECT DISTINCT p.asset_id AS probe_id,
+                   c.asset_id AS cand_id,
+                   CAST(bit_count(xor(p.sig_hi, c.sig_hi)) +
+                        bit_count(xor(p.sig_lo, c.sig_lo)) AS INT)
+                     AS hamming
+                 FROM bands p JOIN bands c
+                   ON p.b = c.b AND p.v = c.v
+                 WHERE p.asset_id % 50 = 0
+                   AND p.asset_id != c.asset_id),
+       ranked AS (SELECT probe_id, cand_id, hamming,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY hamming, cand_id) AS rnk
+                  FROM pairs)
+       SELECT probe_id, CAST(rnk AS INT) AS rank, hamming, cand_id
+       FROM ranked WHERE rnk <= 5"""
+
+  /** Replay of the two-epoch streaming gate on the VIDEO modality —
+    * the [[ingestGateSql]] CTE tail over clip signatures (epoch 0 =
+    * `asset_id % 3 = 0`, epoch 1 = the rest): per-epoch connected
+    * components keep their min-id representative, and an epoch-1
+    * component is dropped entirely when any member is within radius
+    * of ANY epoch-0 clip.
+    */
+  val videoIngestGateSql: String =
+    s"""${(videoChain + signatureTail)
+        .replaceFirst("WITH src AS", "WITH RECURSIVE src AS")},
+       ep AS MATERIALIZED (SELECT asset_id, sig_hi, sig_lo,
+                CASE WHEN asset_id % 3 = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(1 AS BIGINT) END AS epoch
+              FROM sig),
+       pp AS (SELECT e1.asset_id AS pa, e2.asset_id AS pb
+              FROM ep e1 JOIN ep e2
+                ON e1.asset_id < e2.asset_id AND e1.epoch = e2.epoch
+              WHERE bit_count(xor(e1.sig_hi, e2.sig_hi)) +
+                    bit_count(xor(e1.sig_lo, e2.sig_lo)) <= 3),
+       edges AS (SELECT pa AS a, pb AS b FROM pp
+                 UNION SELECT pb, pa FROM pp),
+       reach AS (
+         SELECT a, b FROM edges
+         UNION SELECT a, a FROM edges
+         UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+       cid AS (SELECT ep.asset_id, ep.epoch, ep.sig_hi, ep.sig_lo,
+                 coalesce(mn.c, ep.asset_id) AS cid
+               FROM ep LEFT JOIN
+                 (SELECT a, min(b) AS c FROM reach GROUP BY a) mn
+                 ON mn.a = ep.asset_id),
+       seen AS (SELECT DISTINCT o.asset_id
+                FROM ep o JOIN ep x ON o.epoch = 1 AND x.epoch = 0
+                WHERE bit_count(xor(o.sig_hi, x.sig_hi)) +
+                      bit_count(xor(o.sig_lo, x.sig_lo)) <= 3),
+       bad AS (SELECT DISTINCT c.cid FROM cid c
+               JOIN seen s ON s.asset_id = c.asset_id)
+       SELECT c.asset_id, c.epoch, c.sig_hi, c.sig_lo
+       FROM cid c
+       WHERE c.asset_id = c.cid
+         AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.cid = c.cid)"""
+
+  /** Connected components over the video radius-3 signature pair
+    * graph — [[clustersSql]]'s recursive-CTE pattern over clip
+    * signatures, for the multimodal manifest's video-keep column.
+    */
+  val videoClustersSql: String =
+    s"""${(videoChain + signatureTail)
+        .replaceFirst("WITH src AS", "WITH RECURSIVE src AS")},
+       pp AS (SELECT va.asset_id AS pa, vb.asset_id AS pb
+              FROM sig va JOIN sig vb ON va.asset_id < vb.asset_id
+              WHERE bit_count(xor(va.sig_hi, vb.sig_hi)) +
+                    bit_count(xor(va.sig_lo, vb.sig_lo)) <= 3),
+       edges AS (SELECT pa AS a, pb AS b FROM pp
+                 UNION SELECT pb, pa FROM pp),
+       reach AS (
+         SELECT a, b FROM edges
+         UNION SELECT a, a FROM edges
+         UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+       SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"""
 }

@@ -1674,6 +1674,98 @@ object SparkEntry {
               s, t("documents")(s, d))).toDF())
           .select(col("id_1").as("doc_a"), col("id_2").as("doc_b")))),
 
+    // ---- image similarity SEARCH: [[Phash.bandedSearch]] over
+    //      pHashes — banded multi-probe candidacy ranked by
+    //      (hamming, id), bounded-heap top-5, probes every 50th
+    //      image (the audio search's machinery, image modality) ----
+    "q_image_search" -> ((s, d) =>
+      graft.multimodal.Phash.bandedSearch(
+        graft.multimodal.Phash.phash64(s,
+          graft.multimodal.Phash.synthGrayPngAssets(
+            s, t("documents")(s, d))).toDF(),
+        col("asset_id") % 50 === 0, k = 5)),
+
+    // ---- video similarity SEARCH: [[Phash.bandedSearch]] over clip
+    //      signatures — same banded candidacy + bounded-heap top-5,
+    //      probes every 50th clip ----
+    "q_video_search" -> ((s, d) =>
+      graft.multimodal.Phash.bandedSearch(
+        graft.multimodal.VideoPhash.signature(s,
+          graft.multimodal.VideoPhash.synthPngAviAssets(
+            s, t("documents")(s, d))).toDF()
+          .select(col("asset_id"), col("sig_hi").as("ph_hi"),
+            col("sig_lo").as("ph_lo")),
+        col("asset_id") % 50 === 0, k = 5)),
+
+    // ---- video STREAMING ingest gate, driver-replayed as two
+    //      deterministic epochs — [[ImageIngest.gateBatch]] over clip
+    //      signatures (hash-generic), closing the gate family across
+    //      all three binary modalities ----
+    "q_video_ingest_gate" -> ((s, d) => {
+      import graft.multimodal.{Phash, VideoPhash}
+      import graft.streaming.ImageIngest
+      val hashes = VideoPhash.signature(s,
+          VideoPhash.synthPngAviAssets(s, t("documents")(s, d))).toDF()
+        .select(col("asset_id"), col("sig_hi").as("ph_hi"),
+          col("sig_lo").as("ph_lo"))
+        .localCheckpoint() // consumed by both epochs' gates
+      val e0 = hashes.filter(col("asset_id") % 3 === 0)
+      val e1 = hashes.filter(col("asset_id") % 3 =!= 0)
+      val kept0 = ImageIngest.gateBatch(s, e0, ImageIngest.emptyIndex(s))
+      val index = Phash.bandRows(e0)
+        .select(col("b"), col("v"), col("ph_hi"), col("ph_lo"))
+      val kept1 = ImageIngest.gateBatch(s, e1, index)
+      kept0.withColumn("epoch", lit(0L))
+        .unionByName(kept1.withColumn("epoch", lit(1L)))
+        .select(col("asset_id"), col("epoch"),
+          col("ph_hi").as("sig_hi"), col("ph_lo").as("sig_lo"))
+    }),
+
+    // ---- multimodal pretrain MANIFEST: the composition query — one
+    //      keep/drop row per document across all four modalities
+    //      (text exact first-seen; image/audio/video near-dup
+    //      cluster representative). Adds no new hash math: each
+    //      modality relation is the already-certified dedup pipeline,
+    //      and the manifest certifies the COMPOSITION (four doc_id
+    //      equi-joins over drop sets bounded by pair counts — one
+    //      exchange domain, no new scale surface; excluded from the
+    //      sweep because every part is already swept) ----
+    "q_multimodal_manifest" -> ((s, d) => {
+      import graft.multimodal.{AudioPrint, Phash, VideoPhash}
+      import graft.dedup.Dedup
+      val docs = t("documents")(s, d)
+      val ids = docs.select(col("doc_id"))
+      val textKeeps = Dedup.exactDedup(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), lit(true).as("tk"))
+      def drops(pairs: DataFrame, flag: String): DataFrame =
+        Dedup.nearDupClusters(
+            pairs.select(col("id_1").as("doc_a"), col("id_2").as("doc_b")))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"), lit(false).as(flag))
+      val img = drops(Phash.neardupPairs(Phash.phash64(s,
+        Phash.synthGrayPngAssets(s, docs)).toDF()), "ik")
+      val aud = drops(AudioPrint.neardupPairs(AudioPrint.audioprint64(s,
+        AudioPrint.synthWavPairAssets(s, docs)).toDF()), "ak")
+      val vid = drops(VideoPhash.neardupPairs(VideoPhash.signature(s,
+        VideoPhash.synthPngAviAssets(s, docs)).toDF()), "vk")
+      val flags = ids.join(textKeeps, Seq("doc_id"), "left")
+        .join(img, Seq("doc_id"), "left")
+        .join(aud, Seq("doc_id"), "left")
+        .join(vid, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("tk"), lit(false)).as("text_keep"),
+          coalesce(col("ik"), lit(true)).as("image_keep"),
+          coalesce(col("ak"), lit(true)).as("audio_keep"),
+          coalesce(col("vk"), lit(true)).as("video_keep"))
+      flags.select(col("doc_id"), col("text_keep"), col("image_keep"),
+        col("audio_keep"), col("video_keep"),
+        (col("text_keep").cast("int") + col("image_keep").cast("int") +
+          col("audio_keep").cast("int") + col("video_keep").cast("int"))
+          .as("n_kept"),
+        (col("text_keep") && col("image_keep") && col("audio_keep") &&
+          col("video_keep")).as("keep_all"))
+    }),
+
     // ---- REAL video decode: synthesize genuine AVI-MJPEG containers
     //      (RIFF chunk tree + imageio-encoded JPEG frames), walk them
     //      back — avih header → cadence, movi 00dc chunks → per-frame
@@ -5970,6 +6062,13 @@ object SparkEntry {
     "q_audio_dedup_clusters" -> OracleAudioPrint.clustersSql,
     "q_audio_ingest_gate" -> OracleAudioPrint.ingestGateSql,
     "q_audio_search" -> OracleAudioPrint.searchSql,
+    // the cross-modality composition: each modality relation is the
+    // already-certified cluster chain embedded as a derived table;
+    // the manifest certifies the keep/drop composition itself
+    "q_multimodal_manifest" -> OracleManifest.manifestSql,
+    "q_image_search" -> OraclePhash.imageSearchSql,
+    "q_video_search" -> OraclePhash.videoSearchSql,
+    "q_video_ingest_gate" -> OraclePhash.videoIngestGateSql,
 
     // replays the AVI synthesis rule (nf = 4 + id % 12 frames at
     // 125000 µs cadence, frame f dims 16+((id+f)%4)·8 ×

@@ -292,7 +292,9 @@ object Phash {
       k: Int,
       idCol: String = "asset_id"): DataFrame = {
     require(k >= 1, s"top-k needs k >= 1, got $k")
-    val banded = bandRows(hashes, idCol)
+    // probe and candidate sides both read the hash frame —
+    // materialize once (the neardupPairs double-decode lesson)
+    val banded = bandRows(hashes.localCheckpoint(), idCol)
     val probe = banded.filter(probePred)
       .select(col(idCol).as("probe_id"),
         col("ph_hi").as("p_hi"), col("ph_lo").as("p_lo"),
@@ -318,7 +320,12 @@ object Phash {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-band pigeonhole guarantees exactness only to Hamming 3, " +
         s"got $maxHamming")
-    val banded = bandRows(hashes, idCol)
+    // the hash frame feeds BOTH sides of the self-join — materialize
+    // it once (3 longs per asset) or each side re-derives the whole
+    // upstream pipeline, which for the media families means decoding
+    // the corpus twice (measured: q_audio_neardup 6.2 s → the
+    // fingerprint pass is 2.8 s — both sides re-ran synth+decode)
+    val banded = bandRows(hashes.localCheckpoint(), idCol)
       .withColumnRenamed(idCol, "id")
     val left = banded.select(col("id").as("id_1"),
       col("ph_hi").as("hi_1"), col("ph_lo").as("lo_1"),

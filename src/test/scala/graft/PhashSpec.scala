@@ -59,6 +59,31 @@ class PhashSpec extends SparkTestBase {
     assert(planted.exists(_ > 0), "all planted pairs hash identically")
   }
 
+  test("bandedSearch matches a brute-force band-candidacy top-k") {
+    import org.apache.spark.sql.functions.col
+    val n = 200L
+    val docs = (0L until n).toDF("doc_id")
+    val hs = Phash.phash64(spark, Phash.synthGrayPngAssets(spark, docs))
+    val hl = hs.collect().map(h => h.asset_id -> ((h.ph_hi, h.ph_lo)))
+    def bands(h: (Long, Long)): Seq[Long] = Seq(
+      h._2 & 0xFFFFL, (h._2 >> 16) & 0xFFFFL,
+      h._1 & 0xFFFFL, (h._1 >> 16) & 0xFFFFL)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    val expected = (for {
+      (p, hp) <- hl if p % 50 == 0
+      ranked = hl.filter { case (c, hc) =>
+          c != p && bands(hp).zip(bands(hc)).exists { case (x, y) => x == y }
+        }.map { case (c, hc) => (ham(hp, hc), c) }
+        .sortBy(identity).take(5).zipWithIndex
+      ((h, c), i) <- ranked
+    } yield (p, i + 1, h, c)).toSet
+    val got = Phash.bandedSearch(hs.toDF(), col("asset_id") % 50 === 0, 5)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("neardupPairs banding is exact vs brute force at radius 3") {
     val n = 300L
     val docs = (0L until n).toDF("doc_id")

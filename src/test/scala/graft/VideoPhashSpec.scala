@@ -100,6 +100,35 @@ class VideoPhashSpec extends SparkTestBase {
     assert(gotPairs == brute)
   }
 
+  test("video ingest gate: batch parity vs union-find over signatures") {
+    import org.apache.spark.sql.functions.col
+    import graft.multimodal.Phash
+    import graft.streaming.ImageIngest
+    import spark.implicits._
+    val docs = (0L until 80L).toDF("doc_id")
+    val sigs = VideoPhash.signature(spark,
+        VideoPhash.synthPngAviAssets(spark, docs)).toDF()
+      .select(col("asset_id"), col("sig_hi").as("ph_hi"),
+        col("sig_lo").as("ph_lo"))
+      .localCheckpoint()
+    val fl = sigs.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    val parent = scala.collection.mutable.Map(fl.map(f => f._1 -> f._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for { (i1, h1) <- fl; (i2, h2) <- fl if i1 < i2 && ham(h1, h2) <= 3 } {
+      val (a, b) = (find(i1), find(i2)); if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val reps = fl.map(_._1).groupBy(find).map { case (_, m) => m.min }.toSet
+    val keptAll = ImageIngest.gateBatch(spark, sigs,
+      ImageIngest.emptyIndex(spark)).select("asset_id")
+      .as[Long].collect().toSet
+    assert(keptAll == reps)
+  }
+
   test("codec rejects fourccs outside MJPG/MPNG") {
     val png = {
       val img = new java.awt.image.BufferedImage(8, 8,
