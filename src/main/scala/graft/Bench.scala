@@ -66,10 +66,12 @@ object Bench {
     "q_image_dedup_clusters", "q_ngram_containment",
     "q_ngram_containment_prefix", "q_audio_windows",
     "q_image_phash", "q_linreg",
-    // round-13 additions over the ~1 s line: the streaming gates and
-    // the audio fingerprint family (WAV synth+decode dominates)
-    "q_audio_neardup", "q_audio_ingest_gate", "q_audio_fingerprint",
-    "q_image_ingest_gate", "q_video_neardup",
+    // round-13 additions over the ~1 s line: the streaming gates,
+    // the audio fingerprint family (WAV synth+decode dominates),
+    // and the cross-modality manifest composition
+    "q_multimodal_manifest", "q_audio_neardup", "q_audio_ingest_gate",
+    "q_audio_fingerprint", "q_image_ingest_gate", "q_video_neardup",
+    "q_video_ingest_gate",
     // cheap plan-shape anchors
     "q1_lineitem_agg", "q_events_hourly", "q_knn_sq8")
 
@@ -221,6 +223,12 @@ object Bench {
     require(Runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $Runs")
     val envBefore = envSnapshot()
     val results = names.map { name =>
+      // stderr progress marker: ties any mid-run failure (OOM, disk
+      // full) to the query that caused it — the r13 100× sweep died
+      // with only a bare stack trace and cost a full re-run to locate
+      System.err.println(f"[bench] $name disk_free_gb=${
+        new java.io.File(System.getProperty("java.io.tmpdir"))
+          .getUsableSpace / 1e9}%.1f")
       val fn = SparkEntry.queries(name)
       def sample(): (Double, (Long, Long)) = {
         // induction queries re-train EVERY sample (the memo would turn
@@ -249,6 +257,11 @@ object Bench {
         // is not billed to the next
         spark.catalog.clearCache()
         System.gc()
+        // shuffle files are reclaimed by the ASYNC ContextCleaner,
+        // which can lag a loop of shuffle-heavy queries until the
+        // disk fills (the r13 100× sweep died this way) — drop them
+        // synchronously; no job is running between samples
+        GraftCoreShims.dropAllShuffles(spark.sparkContext)
         (dt, sh)
       }
       // self-healing against contention spikes: a contended base

@@ -1685,6 +1685,18 @@ object SparkEntry {
             s, t("documents")(s, d))).toDF(),
         col("asset_id") % 50 === 0, k = 5)),
 
+    // ---- video near-dup CLUSTERS: connected components over the
+    //      radius-3 signature pair graph — completes the
+    //      clusters-per-modality family (oracle chain already built
+    //      for the manifest's video-keep column) ----
+    "q_video_dedup_clusters" -> ((s, d) =>
+      graft.dedup.Dedup.nearDupClusters(
+        graft.multimodal.VideoPhash.neardupPairs(
+          graft.multimodal.VideoPhash.signature(s,
+            graft.multimodal.VideoPhash.synthPngAviAssets(
+              s, t("documents")(s, d))).toDF())
+          .select(col("id_1").as("doc_a"), col("id_2").as("doc_b")))),
+
     // ---- video similarity SEARCH: [[Phash.bandedSearch]] over clip
     //      signatures — same banded candidacy + bounded-heap top-5,
     //      probes every 50th clip ----
@@ -6069,6 +6081,7 @@ object SparkEntry {
     "q_image_search" -> OraclePhash.imageSearchSql,
     "q_video_search" -> OraclePhash.videoSearchSql,
     "q_video_ingest_gate" -> OraclePhash.videoIngestGateSql,
+    "q_video_dedup_clusters" -> OraclePhash.videoClustersSql,
 
     // replays the AVI synthesis rule (nf = 4 + id % 12 frames at
     // 125000 µs cadence, frame f dims 16+((id+f)%4)·8 ×

@@ -671,11 +671,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expl = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = expl.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // materialize ONCE: `ordered` feeds the prefix AND the full
+    // postings side, and unmaterialized each side re-executes the
+    // whole df-join + rarest-first aggregation — at 100× the doubled
+    // shuffle plus the verification joins outran the ASYNC
+    // ContextCleaner and filled the sweep box's disk (~70 GB). One
+    // compact row per document (the sorted shingle array), so the
+    // checkpoint is the cheap thing here.
     val ordered = expl.join(freq, Seq("s"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("fs"))
       .select(col("doc_id"),
         transform(col("fs"), f => f.getField("s")).as("osh"))
+      .localCheckpoint()
     // ε-guarded ceil: rounding may only LENGTHEN the prefix
     val prefLen = greatest(lit(1),
       size(col("osh")) -
