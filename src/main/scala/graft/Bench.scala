@@ -91,6 +91,20 @@ object Bench {
     */
   val MaxExtraRuns: Int = 2
 
+  /** Extra trials for a contended HEAVY line (best sample above
+    * [[HeavyTierSec]]): with only runs+2 samples, one sustained
+    * episode can still shift the lower-middle median of a >5 s line
+    * by whole seconds (r13: 38 driver lines self-flagged even after
+    * the retry pass), so heavy lines buy two more trials. The tier
+    * tests the spread MINIMUM — the least-contaminated estimate of
+    * the line's true cost (a contended median may itself be the
+    * spike).
+    */
+  val MaxExtraRunsHeavy: Int = 4
+
+  /** Boundary between the cheap and heavy retry tiers, seconds. */
+  val HeavyTierSec: Double = 5.0
+
   /** True when a run spread self-identifies as contended. A single
     * sample carries no spread, so it can never be flagged.
     */
@@ -100,19 +114,25 @@ object Bench {
         timings.min(Ordering.Double.TotalOrdering) >= ContentionRatio
 
   /** Self-healing sample loop: `runs` base samples, then — if the
-    * spread is contended — [[MaxExtraRuns]] extra trials, and the
-    * caller medians over ALL samples. The extras cannot shrink the
-    * recorded max/min (a spike stays in the spread, which is the
-    * point: the artifact still shows contention happened), but with
-    * runs+2 samples one spike can no longer BE the lower-middle
-    * median of record. Factored from the timed loop so the retry
-    * policy is unit-testable without a Spark session.
+    * spread is contended — [[MaxExtraRuns]] extra trials
+    * ([[MaxExtraRunsHeavy]] when the spread minimum clears
+    * [[HeavyTierSec]]), and the caller medians over ALL samples. The
+    * extras cannot shrink the recorded max/min (a spike stays in the
+    * spread, which is the point: the artifact still shows contention
+    * happened), but with the extra samples one spike can no longer BE
+    * the lower-middle median of record. Factored from the timed loop
+    * so the retry policy is unit-testable without a Spark session.
     */
   def sampleWithRetry[A](runs: Int, sample: () => (Double, A)): Vector[(Double, A)] = {
     val base = Vector.fill(runs)(sample())
-    if (isContended(base.map(_._1)))
-      base ++ Vector.fill(MaxExtraRuns)(sample())
-    else base
+    val t = base.map(_._1)
+    if (isContended(t)) {
+      val extra =
+        if (t.min(Ordering.Double.TotalOrdering) > HeavyTierSec)
+          MaxExtraRunsHeavy
+        else MaxExtraRuns
+      base ++ Vector.fill(extra)(sample())
+    } else base
   }
 
   /** Accumulates shuffle bytes across task-end events; reset per
@@ -226,9 +246,16 @@ object Bench {
       // stderr progress marker: ties any mid-run failure (OOM, disk
       // full) to the query that caused it — the r13 100× sweep died
       // with only a bare stack trace and cost a full re-run to locate
+      // the disk that matters is where SHUFFLE/SPILL files land —
+      // spark.local.dir (SPARK_LOCAL_DIRS), which may be a different
+      // volume from java.io.tmpdir; report that one (first entry of a
+      // comma list), falling back to tmpdir when unset
+      val spillDir = spark.sparkContext.getConf
+        .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+        .split(',').head
       System.err.println(f"[bench] $name disk_free_gb=${
-        new java.io.File(System.getProperty("java.io.tmpdir"))
-          .getUsableSpace / 1e9}%.1f")
+        new java.io.File(spillDir).getUsableSpace / 1e9}%.1f" +
+        s" spill_dir=$spillDir")
       val fn = SparkEntry.queries(name)
       def sample(): (Double, (Long, Long)) = {
         // induction queries re-train EVERY sample (the memo would turn

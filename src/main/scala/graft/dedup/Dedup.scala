@@ -653,8 +653,10 @@ object Dedup {
     * stop generating candidate floods — tightened by the PPJoin
     * POSITIONAL bound (see the inline note; it is what keeps
     * candidates linear when a templated/replicated corpus inflates
-    * every shingle's document frequency), followed by one exact
-    * set-intersection verification. "Smaller" ties break by id, and
+    * every shingle's document frequency), followed by an exact
+    * overlap COUNT joined from the thin shingle-hash postings (never
+    * the documents' arrays — see the inline note). "Smaller" ties
+    * break by id, and
     * each unordered pair re-canonicalizes to (min id, max id) after
     * verification, so the output contract matches the direct form
     * row for row (they share one oracle).
@@ -671,19 +673,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expl = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = expl.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // materialize ONCE: `ordered` feeds the prefix AND the full
-    // postings side, and unmaterialized each side re-executes the
-    // whole df-join + rarest-first aggregation — at 100× the doubled
-    // shuffle plus the verification joins outran the ASYNC
-    // ContextCleaner and filled the sweep box's disk (~70 GB). One
-    // compact row per document (the sorted shingle array), so the
-    // checkpoint is the cheap thing here.
+    // `ordered` feeds the prefix AND the full postings side as one
+    // UNMATERIALIZED subtree: Spark's ReuseExchange already
+    // deduplicates the identical agg plans, so both sides share one
+    // physical aggregation for free. (An eager localCheckpoint here
+    // was tried in round 13 and measured 3× SLOWER at 10× — the
+    // checkpoint write traded away the free reuse — and did not fix
+    // the 100× disk kill, which lived in the array-carrying
+    // verification join below, since re-shaped to postings counts.)
     val ordered = expl.join(freq, Seq("s"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("fs"))
       .select(col("doc_id"),
         transform(col("fs"), f => f.getField("s")).as("osh"))
-      .localCheckpoint()
     // ε-guarded ceil: rounding may only LENGTHEN the prefix
     val prefLen = greatest(lit(1),
       size(col("osh")) -
@@ -723,17 +725,30 @@ object Dedup {
         least(col("n_small") - col("p_small"),
           col("n_big") - col("p_big")) >=
         ceil(col("n_small") * lit(threshold) - lit(1e-9)))
-      .select(col("small_id"), col("big_id"))
+      .select(col("small_id"), col("big_id"), col("n_small"), col("n_big"))
       .dropDuplicates("small_id", "big_id")
+    // verification by POSTINGS COUNT, never by array shipment: the
+    // r13 form joined both documents' full shingle ARRAYS into every
+    // candidate row, so the verify join's sort/spill payload was
+    // |cand| × 2·|doc| longs per row — the measured 100×-sweep disk
+    // kill (~76 GB of SMJ spill). Here overlap is counted from the
+    // 8-byte shingle-hash postings themselves (the direct form's
+    // discipline restricted to candidates): candidate × small-side
+    // postings rows are 3 longs wide, the (big_id, s) equi-join keeps
+    // only actually-shared shingles, and the count aggregate partial-
+    // combines map-side — spill is bounded by thin posting rows, not
+    // candidates × documents.
     val pairs = cand
-      .join(sh.select(col("doc_id").as("small_id"), col("sh").as("sh_a")),
+      .join(expl.select(col("doc_id").as("small_id"), col("s")),
         Seq("small_id"))
-      .join(sh.select(col("doc_id").as("big_id"), col("sh").as("sh_b")),
-        Seq("big_id"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(expl.select(col("doc_id").as("big_id"), col("s")),
+        Seq("big_id", "s"))
+      .groupBy(col("small_id"), col("big_id"),
+        col("n_small"), col("n_big"))
+      .agg(count(lit(1)).as("common"))
       .withColumn("containment",
         col("common").cast("double") /
-          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+          least(col("n_small"), col("n_big")).cast("double"))
       .filter(col("containment") >= threshold)
       .select(least(col("small_id"), col("big_id")).as("doc_a"),
         greatest(col("small_id"), col("big_id")).as("doc_b"),

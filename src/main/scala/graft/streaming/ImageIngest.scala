@@ -118,11 +118,14 @@ object ImageIngest {
       s"4-band pigeonhole guarantees exactness only to Hamming 3, " +
         s"got $maxHamming")
     // the batch is re-read by three consumers (seen probe, pair join,
-    // cluster labeling) — materialize once, micro-batch-bounded
-    val h = hashes.select(col("asset_id").cast("long").as("asset_id"),
-      col("ph_hi").cast("long").as("ph_hi"),
-      col("ph_lo").cast("long").as("ph_lo"))
-      .localCheckpoint()
+    // cluster labeling) — materialize once, micro-batch-bounded;
+    // Phash.materializeOnce skips the copy when the caller already
+    // checkpointed the frame (the two-epoch gate queries and
+    // applyBatch both do), instead of stacking eager copies per call
+    val h = Phash.materializeOnce(
+      hashes.select(col("asset_id").cast("long").as("asset_id"),
+        col("ph_hi").cast("long").as("ph_hi"),
+        col("ph_lo").cast("long").as("ph_lo")))
     val probeAll = Phash.bandRows(h)
     // Bloom fast path: a band key missing from the Bloom is certainly
     // not indexed (no false negatives), so only might-contain rows

@@ -55,6 +55,23 @@ class BenchSpec extends AnyFunSuite {
       "median of record must not be a contention spike")
   }
 
+  test("heavy tier: a contended >5 s line earns MaxExtraRunsHeavy") {
+    // base min 6.2 s clears HeavyTierSec — with only 2 extras a
+    // sustained two-spike episode could still own the 5-sample
+    // lower-middle median; 4 extras make the 7-sample median immune
+    val s = new Script(6.2, 31.0, 29.0, 6.3, 6.4, 6.25, 6.35)
+    val got = Bench.sampleWithRetry(3, () => s.sample())
+    assert(s.calls == 3 + Bench.MaxExtraRunsHeavy)
+    assert(medianOf(got) == 6.35,
+      "heavy-tier median of record must not be a contention spike")
+    // the tier keys on the spread MINIMUM: a cheap line with a huge
+    // spike (min < 5 s) stays on the 2-extra tier
+    val s2 = new Script(1.0, 30.0, 1.1, 1.0, 1.05)
+    val got2 = Bench.sampleWithRetry(3, () => s2.sample())
+    assert(s2.calls == 3 + Bench.MaxExtraRuns)
+    assert(medianOf(got2) == 1.05)
+  }
+
   test("contention detection threshold and single-sample behavior") {
     assert(Bench.isContended(Seq(1.0, 2.0)))
     assert(Bench.isContended(Seq(1.0, 1.2, 5.0)))
