@@ -35,6 +35,53 @@ class SearchIndexSpec extends SparkTestBase {
     assert(indexed == live, "persisted-index scores diverged from live")
   }
 
+  test("indexed RM3 equals the live operator, row for row") {
+    val docs = corpus.toDF("doc_id", "text")
+    val qs = queries.toDF("qid", "qtext")
+    val store = newStore("rm3")
+    SearchIndex.build(store, "docs", docs, "doc_id", "text", nBuckets = 16)
+    // small fb/exp params exercise both passes + the RM1 forward
+    // lookup on this 5-doc corpus; every score must match bit for bit
+    // (same lattice, same decimal sums — the operator's whole point)
+    val live = TextOps.rm3Search(docs, "doc_id", "text",
+        qs, "qid", "qtext", fbDocs = 2, fbTerms = 2, beta = 0.5, k = 4)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    val indexed = SearchIndex.rm3Search(spark, store, "docs",
+        docs, "doc_id", "text",
+        qs, "qid", "qtext", fbDocs = 2, fbTerms = 2, beta = 0.5, k = 4)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == live, "persisted-index RM3 diverged from live")
+    assert(live.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("indexed RM3 pass-1 reads only the query terms' buckets") {
+    val docs = corpus.toDF("doc_id", "text")
+    val store = newStore("rm3prune")
+    SearchIndex.build(store, "docs", docs, "doc_id", "text", nBuckets = 16)
+    val oneTerm = Seq(("q", "egg")).toDF("qid", "qtext")
+    val res = SearchIndex.rm3Search(spark, store, "docs",
+      docs, "doc_id", "text", oneTerm, "qid", "qtext",
+      fbDocs = 2, fbTerms = 2, k = 3)
+    // pass 2's buckets cover the expanded vocabulary, so the overall
+    // input set is exp-terms' buckets ∪ {bucket("egg")} — but it must
+    // stay a strict subset of all 16, and never include the doclen
+    // table (posting-local dl end to end)
+    val files = res.inputFiles.toSeq
+    val postingDirs = files.filter(_.contains("docs_postings"))
+      .flatMap("bucket=([0-9]+)".r.findFirstMatchIn(_)).map(_.group(1))
+      .toSet
+    val allBuckets = spark.range(1).select(explode(array(
+        corpus.flatMap(_._2.split(' ')).distinct.map(t =>
+          pmod(xxhash64(lit(t)), lit(16L)).cast("string")): _*)))
+      .collect().map(_.getString(0)).toSet
+    assert(postingDirs.subsetOf(allBuckets))
+    assert(!files.exists(_.contains("docs_doclen")),
+      "RM3 search must never read the corpus-cardinality doclen table")
+    spark.catalog.clearCache()
+  }
+
   test("incremental addDocuments equals a full rebuild") {
     val old = corpus.filter(_._1 <= 3).toDF("doc_id", "text")
     val fresh = corpus.filter(_._1 > 3).toDF("doc_id", "text")
