@@ -69,7 +69,8 @@ object Bench {
     // round-13 additions over the ~1 s line: the streaming gates,
     // the audio fingerprint family (WAV synth+decode dominates),
     // and the cross-modality manifest composition
-    "q_multimodal_manifest", "q_audio_neardup", "q_audio_ingest_gate",
+    "q_multimodal_manifest", "q_multimodal_ingest",
+    "q_audio_neardup", "q_audio_ingest_gate",
     "q_audio_fingerprint", "q_image_ingest_gate", "q_video_neardup",
     "q_video_ingest_gate",
     // cheap plan-shape anchors

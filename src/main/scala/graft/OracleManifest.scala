@@ -61,4 +61,56 @@ object OracleManifest {
          ON a.doc_id = d.doc_id
        LEFT JOIN (${dropSet(OraclePhash.videoClustersSql)}) v
          ON v.doc_id = d.doc_id"""
+
+  /** DuckDB-SQL replay of the STREAMING multimodal manifest
+    * (q_multimodal_ingest) — the two-epoch composed ingest
+    * ([[graft.streaming.MultimodalIngest.manifestBatch]] applied as
+    * epoch 0 = `doc_id % 3 = 0`, epoch 1 = the rest):
+    *
+    *  - text_keep: within-epoch min-id representative of the md5
+    *    fingerprint group, dropped when the fingerprint was recorded
+    *    by the earlier epoch (the first-seen exact gate);
+    *  - image/audio/video keep: membership in that modality's
+    *    two-epoch gate SURVIVOR set — each the already-certified
+    *    gate oracle ([[OraclePhash.ingestGateSql]],
+    *    [[OracleAudioPrint.ingestGateSql]],
+    *    [[OraclePhash.videoIngestGateSql]]) embedded as a derived
+    *    table, each referenced exactly once (the CTE-materialization
+    *    lesson needs no new care here).
+    */
+  val ingestManifestSql: String = {
+    val textKept =
+      s"""SELECT doc_id, TRUE AS k FROM (
+            SELECT doc_id, md5(text) AS f,
+              CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS e,
+              min(doc_id) OVER (PARTITION BY md5(text),
+                CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END) AS kid
+            FROM documents) x
+          WHERE doc_id = kid AND (e = 0 OR NOT EXISTS (
+            SELECT 1 FROM documents d0
+            WHERE d0.doc_id % 3 = 0 AND md5(d0.text) = x.f))"""
+    s"""SELECT d.doc_id,
+         CAST(CASE WHEN d.doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+           AS epoch,
+         coalesce(t.k, FALSE) AS text_keep,
+         i.asset_id IS NOT NULL AS image_keep,
+         a.asset_id IS NOT NULL AS audio_keep,
+         v.asset_id IS NOT NULL AS video_keep,
+         CAST((CASE WHEN coalesce(t.k, FALSE) THEN 1 ELSE 0 END) +
+              (CASE WHEN i.asset_id IS NOT NULL THEN 1 ELSE 0 END) +
+              (CASE WHEN a.asset_id IS NOT NULL THEN 1 ELSE 0 END) +
+              (CASE WHEN v.asset_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS INT) AS n_kept,
+         coalesce(t.k, FALSE) AND i.asset_id IS NOT NULL AND
+           a.asset_id IS NOT NULL AND v.asset_id IS NOT NULL
+           AS keep_all
+       FROM documents d
+       LEFT JOIN ($textKept) t ON t.doc_id = d.doc_id
+       LEFT JOIN (${OraclePhash.ingestGateSql}) i
+         ON i.asset_id = d.doc_id
+       LEFT JOIN (${OracleAudioPrint.ingestGateSql}) a
+         ON a.asset_id = d.doc_id
+       LEFT JOIN (${OraclePhash.videoIngestGateSql}) v
+         ON v.asset_id = d.doc_id"""
+  }
 }

@@ -1778,6 +1778,58 @@ object SparkEntry {
           col("video_keep")).as("keep_all"))
     }),
 
+    // ---- STREAMING multimodal manifest, driver-replayed as two
+    //      deterministic epochs (doc_id % 3 — the gate queries'
+    //      split): the ONE-PASS ingest composition of all four gates
+    //      ([[MultimodalIngest.manifestBatch]]) emitting the batch
+    //      manifest's keep/drop row per ARRIVING document — text
+    //      first-seen fingerprint gate + the three banded-index
+    //      modality gates, each probing only the earlier epoch's
+    //      state. MultimodalIngestSpec pins single-batch parity with
+    //      q_multimodal_manifest and the TableStore sink's replay
+    //      idempotence; the oracle composes the four already-
+    //      certified gate replays ----
+    "q_multimodal_ingest" -> ((s, d) => {
+      import graft.multimodal.{AudioPrint, Phash, VideoPhash}
+      import graft.streaming.{ImageIngest, MultimodalIngest}
+      val docs = t("documents")(s, d)
+      val imgH = Phash.phash64(s,
+        Phash.synthGrayPngAssets(s, docs)).toDF().localCheckpoint()
+      val audH = AudioPrint.audioprint64(s,
+          AudioPrint.synthWavPairAssets(s, docs)).toDF()
+        .select(col("asset_id"), col("fp_hi").as("ph_hi"),
+          col("fp_lo").as("ph_lo"))
+        .localCheckpoint()
+      val vidH = VideoPhash.signature(s,
+          VideoPhash.synthPngAviAssets(s, docs)).toDF()
+        .select(col("asset_id"), col("sig_hi").as("ph_hi"),
+          col("sig_lo").as("ph_lo"))
+        .localCheckpoint()
+      def ep(h: DataFrame, e: Int): DataFrame =
+        if (e == 0) h.filter(col("asset_id") % 3 === 0)
+        else h.filter(col("asset_id") % 3 =!= 0)
+      val m0 = MultimodalIngest.manifestBatch(s,
+        docs.filter(col("doc_id") % 3 === 0),
+        ep(imgH, 0), ep(audH, 0), ep(vidH, 0),
+        MultimodalIngest.emptyTextSeen(s),
+        ImageIngest.emptyIndex(s), ImageIngest.emptyIndex(s),
+        ImageIngest.emptyIndex(s))
+      val seen0 = docs.filter(col("doc_id") % 3 === 0)
+        .select(graft.text.TextOps.fingerprint(col("text")).as("fp"))
+        .distinct()
+      def idx(h: DataFrame): DataFrame = Phash.bandRows(ep(h, 0))
+        .select(col("b"), col("v"), col("ph_hi"), col("ph_lo"))
+      val m1 = MultimodalIngest.manifestBatch(s,
+        docs.filter(col("doc_id") % 3 =!= 0),
+        ep(imgH, 1), ep(audH, 1), ep(vidH, 1),
+        seen0, idx(imgH), idx(audH), idx(vidH))
+      m0.withColumn("epoch", lit(0L))
+        .unionByName(m1.withColumn("epoch", lit(1L)))
+        .select(col("doc_id"), col("epoch"), col("text_keep"),
+          col("image_keep"), col("audio_keep"), col("video_keep"),
+          col("n_kept"), col("keep_all"))
+    }),
+
     // ---- REAL video decode: synthesize genuine AVI-MJPEG containers
     //      (RIFF chunk tree + imageio-encoded JPEG frames), walk them
     //      back — avih header → cadence, movi 00dc chunks → per-frame
@@ -6087,6 +6139,10 @@ object SparkEntry {
     // already-certified cluster chain embedded as a derived table;
     // the manifest certifies the keep/drop composition itself
     "q_multimodal_manifest" -> OracleManifest.manifestSql,
+    // the streaming composition: the four certified two-epoch gate
+    // replays (text first-seen window + the three recursive-CTE band
+    // gates) joined into one keep/drop row per arriving document
+    "q_multimodal_ingest" -> OracleManifest.ingestManifestSql,
     "q_image_search" -> OraclePhash.imageSearchSql,
     "q_video_search" -> OraclePhash.videoSearchSql,
     "q_video_ingest_gate" -> OraclePhash.videoIngestGateSql,
