@@ -3721,12 +3721,23 @@ object SparkEntry {
       // all five dims, top-k plans TakeOrderedAndProject, the point
       // lookup and anti/semi joins run exchange-free) — any drift is
       // a plan regression that must fail the gate until re-reviewed
+      // r14 adds the LLM-pipeline scale-claim rows: banded neardup
+      // (one distinct exchange + the band equi-join, NO cartesian),
+      // banded search (broadcast band probe; top-k is the bounded-
+      // heap AGGREGATE, so has_topk stays false by design — never a
+      // window sort), the prefix-filtered pair path (broadcast-probe
+      // verify, zero sort-merge joins), and the Bloom-gated exact
+      // incremental dedup (one exchange, broadcast index probe)
       "q_plan_audit" -> """SELECT * FROM (VALUES
         ('q1_lineitem_agg',          1, 0, 0, 2, false, false),
         ('q5_local_supplier_volume', 1, 5, 0, 2, false, false),
         ('q_daily_load',             1, 0, 0, 2, false, false),
+        ('q_dedup_incremental_exact',1, 1, 0, 2, false, false),
         ('q_exists_semijoin',        0, 1, 0, 0, false, false),
+        ('q_image_neardup',          1, 1, 0, 2, false, false),
+        ('q_image_search',           2, 1, 0, 2, false, false),
         ('q_membership_level',       1, 1, 0, 2, false, false),
+        ('q_ngram_jaccard_prefix',   2, 4, 0, 4, false, false),
         ('q_point_lookup',           0, 0, 0, 0, false, false),
         ('q_sync_delete_antijoin',   0, 1, 0, 0, false, false),
         ('q_top5_sales',             0, 0, 0, 0, false, true),
