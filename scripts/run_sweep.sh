@@ -44,9 +44,15 @@ QUERIES_COMMON=(
 run_tier() {
   local dir="$1" parts="$2" out="$3"; shift 3
   echo "=== tier $out: $dir parts=$parts $(date -u +%H:%M:%S) ==="
+  # -Xmx100g: the 100x tier NEEDS the box-sized heap — the r14 sweep
+  # learned this the hard way: under the default 32 GB heap the
+  # containment-prefix broadcast-verify at 100x GC-locker-thrashed
+  # until spill temp files errored out and the whole tier's artifact
+  # (written only at Bench exit) was lost on the LAST query
   SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_SHUFFLE_PARTITIONS="$parts" \
   SPARK_GRAFT_BENCH_OUT="$out" \
-    java "${JAVA_OPTS[@]}" -cp "$CP" graft.Bench "$@" 2>"$out.err" | tail -1
+    java -Xmx100g "${JAVA_OPTS[@]}" -cp "$CP" graft.Bench "$@" \
+      2>"$out.err" | tail -1
 }
 
 synth() { # scale dir if missing
