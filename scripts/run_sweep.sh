@@ -38,7 +38,7 @@ QUERIES_COMMON=(
   q_image_ingest_gate q_video_search q_video_features q_image_neardup
   q_image_dedup_clusters q_image_search q_video_frames q_video_phash
   q_feature_hash q_video_signature q_hhi q_zipf_fit q_auc q_image_phash
-  q_ngram_containment_prefix
+  q_ngram_containment_prefix q_containment_pipeline
 )
 
 run_tier() {
@@ -55,6 +55,13 @@ run_tier() {
       2>"$out.err" | tail -1
 }
 
+probe() { # candidate-reduction probe for the pipeline-ordering claim
+  local dir="$1" out="$2"
+  echo "=== PipelineProbe $dir $(date -u +%H:%M:%S) ==="
+  java -Xmx100g "${JAVA_OPTS[@]}" -cp "$CP" graft.tools.PipelineProbe \
+    "$dir" 2>"$out.err" | tail -1 | tee "$out"
+}
+
 synth() { # scale dir if missing
   local dir="$1" factor="$2"
   if [ ! -d "$dir" ]; then
@@ -68,13 +75,16 @@ tier="${1:-all}"
 case "$tier" in
   1x|all)
     run_tier /root/testdata/sf0.1 32 bench_1x.json \
-      "${QUERIES_COMMON[@]}" q_ngram_containment ;;&
+      "${QUERIES_COMMON[@]}" q_ngram_containment
+    probe /root/testdata/sf0.1 pipeline_probe_1x.json ;;&
   10x|all)
     synth /tmp/scale10 10
     run_tier /tmp/scale10 64 bench_10x.json \
-      "${QUERIES_COMMON[@]}" q_ngram_containment ;;&
+      "${QUERIES_COMMON[@]}" q_ngram_containment
+    probe /tmp/scale10 pipeline_probe_10x.json ;;&
   100x|all)
     synth /tmp/scale100 100
-    run_tier /tmp/scale100 256 bench_100x.json "${QUERIES_COMMON[@]}" ;;
+    run_tier /tmp/scale100 256 bench_100x.json "${QUERIES_COMMON[@]}"
+    probe /tmp/scale100 pipeline_probe_100x.json ;;
 esac
 echo "=== sweep done $(date -u +%H:%M:%S) ==="

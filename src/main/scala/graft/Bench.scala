@@ -247,12 +247,14 @@ object Bench {
       // stderr progress marker: ties any mid-run failure (OOM, disk
       // full) to the query that caused it — the r13 100× sweep died
       // with only a bare stack trace and cost a full re-run to locate
-      // the disk that matters is where SHUFFLE/SPILL files land —
-      // spark.local.dir (SPARK_LOCAL_DIRS), which may be a different
-      // volume from java.io.tmpdir; report that one (first entry of a
-      // comma list), falling back to tmpdir when unset
-      val spillDir = spark.sparkContext.getConf
-        .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+      // the disk that matters is where SHUFFLE/SPILL files land;
+      // mirror Utils.getConfiguredLocalDirs precedence — the
+      // SPARK_LOCAL_DIRS env var OVERRIDES the spark.local.dir conf —
+      // so the marker reports the volume Spark actually spills to
+      // (first entry of a comma list), falling back to tmpdir
+      val spillDir = sys.env.get("SPARK_LOCAL_DIRS")
+        .getOrElse(spark.sparkContext.getConf
+          .get("spark.local.dir", System.getProperty("java.io.tmpdir")))
         .split(',').head
       System.err.println(f"[bench] $name disk_free_gb=${
         new java.io.File(spillDir).getUsableSpace / 1e9}%.1f" +

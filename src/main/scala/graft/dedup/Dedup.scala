@@ -577,6 +577,19 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Estimated in-memory size of a `(doc_id, sh: array<long>)` frame
+    * as a broadcast hash relation: 8 B per shingle hash plus ~48 B of
+    * per-row fixed cost (UnsafeRow header + array header + the
+    * relation's key slot). One count+sum aggregate over the frame —
+    * the callers run it against their freshly-persisted shingle
+    * table, so the job doubles as the cache warm they need anyway.
+    */
+  private def shingleTableBytes(sh: DataFrame): Long = {
+    val st = sh.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("sh"))), lit(0L)).as("tot")).head()
+    st.getLong(1) * 8L + st.getLong(0) * 48L
+  }
+
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin,
     * Bayardo WWW'07): provably the same output as [[ngramJaccardPairs]]
     * without the all-pairs shared-token join.
@@ -599,16 +612,20 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3,
       threshold: Double = 0.8,
-      broadcastVerifyMaxDocs: Long = 2000000L): DataFrame = {
-    // same guarded verify strategy as [[ngramContainmentPairsPrefix]]
-    // (see the measured head-to-head there): under the cap the
-    // per-doc array table broadcasts and candidates stream through
-    // hash probes — no array-carrying sort-merge join anywhere
-    val broadcastVerify = docs.count() <= broadcastVerifyMaxDocs
+      broadcastVerifyMaxBytes: Long = 2L << 30): DataFrame = {
     val sh = docs.select(
       col(idCol).as("doc_id"),
       shingleHashes(col(textCol), shingleLen).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same guarded verify strategy as [[ngramContainmentPairsPrefix]]
+    // (see the measured head-to-head there): under the BYTE cap the
+    // per-doc array table broadcasts and candidates stream through
+    // hash probes — no array-carrying sort-merge join anywhere. The
+    // guard prices the broadcast in estimated bytes (long-document
+    // corpora blow a row-count guard long before 2M docs), and the
+    // stats job doubles as the cache warm for the persisted frame.
+    val broadcastVerify =
+      shingleTableBytes(sh) <= broadcastVerifyMaxBytes
     val expl = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = expl.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // canonical rarest-first order; (df, s) sorts deterministically
@@ -677,77 +694,29 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3,
       threshold: Double = 0.8,
-      broadcastVerifyMaxDocs: Long = 2000000L): DataFrame = {
-    // one metadata-cheap count decides the verification join strategy
-    // (see the verify note below): up to ~2M docs the whole postings
-    // table (≤ a few hundred M 16-byte rows) fits a broadcast hash
-    // relation on warehouse-grade executors, and the verify fan then
-    // STREAMS through two hash probes instead of sort-merge-sorting
-    // candidates × |doc| rows; past the cap (the real-cluster corpus)
-    // the joins fall back to shuffled form and partition-fit is the
-    // operator's documented scale knob.
-    val nDocs = docs.count()
-    val broadcastVerify = nDocs <= broadcastVerifyMaxDocs
+      broadcastVerifyMaxBytes: Long = 2L << 30): DataFrame = {
     val sh = docs.select(
       col(idCol).as("doc_id"),
       shingleHashes(col(textCol), shingleLen).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one stats pass over the freshly-persisted shingle frame decides
+    // the verification join strategy (see the verify note below) and
+    // doubles as the cache warm the pipeline pays anyway. The guard is
+    // sized in estimated BYTES, not document count: a long-document
+    // corpus can blow Spark's broadcast limit at a fraction of the old
+    // 2M-row cap, and a short-document one can broadcast far past it.
+    // Under the cap the whole sorted-array table fits a broadcast hash
+    // relation on warehouse-grade executors (the default 2 GiB leaves
+    // headroom under Spark's 8 GB broadcast hard limit even with both
+    // verify sides resident), and the verify fan then STREAMS through
+    // two hash probes instead of sort-merge-sorting candidates × |doc|
+    // rows; past the cap (the real-cluster corpus) the joins fall back
+    // to shuffled form and partition-fit is the operator's documented
+    // scale knob.
+    val broadcastVerify =
+      shingleTableBytes(sh) <= broadcastVerifyMaxBytes
     val expl = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val freq = expl.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // `ordered` feeds the prefix AND the full postings side as one
-    // UNMATERIALIZED subtree: Spark's ReuseExchange already
-    // deduplicates the identical agg plans, so both sides share one
-    // physical aggregation for free. (An eager localCheckpoint here
-    // was tried in round 13 and measured 3× SLOWER at 10× — the
-    // checkpoint write traded away the free reuse — and did not fix
-    // the 100× disk kill, which lived in the array-carrying
-    // verification join below, since re-shaped to postings counts.)
-    val ordered = expl.join(freq, Seq("s"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("fs"))
-      .select(col("doc_id"),
-        transform(col("fs"), f => f.getField("s")).as("osh"))
-    // ε-guarded ceil: rounding may only LENGTHEN the prefix
-    val prefLen = greatest(lit(1),
-      size(col("osh")) -
-        ceil(size(col("osh")) * lit(threshold) - lit(1e-9)).cast("int") + 1)
-    // both sides carry their 1-based POSITION in the shared global
-    // rarest-first order — the PPJoin positional filter's input
-    val pref = ordered.select(col("doc_id"),
-        size(col("osh")).as("n"),
-        posexplode(slice(col("osh"), lit(1), prefLen)))
-      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
-        col("col").as("s"))
-    val full = ordered.select(col("doc_id"),
-        size(col("osh")).as("n"), posexplode(col("osh")))
-      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
-        col("col").as("s"))
-    val cand = pref.select(col("s"), col("doc_id").as("small_id"),
-        col("n").as("n_small"), col("p").as("p_small"))
-      .join(full.select(col("s"), col("doc_id").as("big_id"),
-        col("n").as("n_big"), col("p").as("p_big")), Seq("s"))
-      .filter(col("n_small") < col("n_big") ||
-        (col("n_small") === col("n_big") &&
-          col("small_id") < col("big_id")))
-      // POSITIONAL filter (the PPJoin bound, Xiao et al. WWW'08 —
-      // public algorithm): under one global order, a pair's earliest
-      // shared shingle s* has no shared shingle before it on EITHER
-      // side, so overlap ≤ 1 + min(|a|−p_a*, |b|−p_b*); a qualifying
-      // pair (overlap ≥ ⌈t·|a|⌉) therefore passes this predicate on
-      // its earliest-match row, and rows it drops are only ones some
-      // other row must carry — no false negatives. This is what keeps
-      // candidates linear when replication/templating inflates every
-      // shingle's df: a match sitting deep in both orders cannot
-      // reach the threshold and dies inside the join stage (measured:
-      // the 100× sweep corpus — 100 marker-perturbed replicas per
-      // document — generated ~20M array-carrying verify rows and
-      // 76 GB of spill without this, ~linear candidates with it).
-      .filter(lit(1) +
-        least(col("n_small") - col("p_small"),
-          col("n_big") - col("p_big")) >=
-        ceil(col("n_small") * lit(threshold) - lit(1e-9)))
-      .select(col("small_id"), col("big_id"), col("n_small"), col("n_big"))
-      .dropDuplicates("small_id", "big_id")
+    val cand = containmentCandidatesFrom(expl, threshold)
     // VERIFICATION — the 100×-sweep disk kill lived here, and the fix
     // is the JOIN STRATEGY, not just the row shape (all three shapes
     // were measured head-to-head on the 10× sweep corpus, 9.2M
@@ -762,12 +731,13 @@ object Dedup {
     //    broadcast the per-fan-row aggregate costs 48 s;
     //  - array attach via BROADCAST HASH probes — this branch: the
     //    per-doc sorted-array table is tiny (~|doc|·8 B per row:
-    //    ~30 MB at 10×, ~300 MB at 100×, ~1.1 GB at the 2M-doc cap),
+    //    ~30 MB at 10×, ~300 MB at 100× on the sweep corpus — the
+    //    guard above prices it in bytes against the 2 GiB default),
     //    so candidates STREAM through two hash probes and one
     //    array_intersect each (sorted 67-element arrays: sub-μs):
     //    7.2 s at 10×, no sort, no shuffle of array-carrying rows,
     //    no disk high-water at any sweep tier.
-    // Past `broadcastVerifyMaxDocs` (the genuine-cluster corpus) the
+    // Past `broadcastVerifyMaxBytes` (the genuine-cluster corpus) the
     // array table stops being broadcastable and the fallback is the
     // thin postings-count in its shuffled form — per-row payload 3
     // longs, sort capacity distributed across the cluster's
@@ -810,6 +780,138 @@ object Dedup {
       .localCheckpoint()
     sh.unpersist()
     pairs
+  }
+
+  /** The asymmetric prefix filter's candidate stage over an exploded
+    * `(doc_id, s)` shingle table: returns the deduplicated
+    * `(small_id, big_id, n_small, n_big)` candidate pairs that
+    * verification must score — shared by
+    * [[ngramContainmentPairsPrefix]] and the pipeline-ordering
+    * measurement probe [[containmentPrefixCandidateCount]].
+    */
+  private def containmentCandidatesFrom(
+      expl: DataFrame, threshold: Double): DataFrame = {
+    val freq = expl.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // `ordered` feeds the prefix AND the full postings side as one
+    // UNMATERIALIZED subtree: Spark's ReuseExchange already
+    // deduplicates the identical agg plans, so both sides share one
+    // physical aggregation for free. (An eager localCheckpoint here
+    // was tried in round 13 and measured 3× SLOWER at 10× — the
+    // checkpoint write traded away the free reuse — and did not fix
+    // the 100× disk kill, which lived in the array-carrying
+    // verification join, since re-shaped to broadcast hash probes.)
+    val ordered = expl.join(freq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("fs"))
+      .select(col("doc_id"),
+        transform(col("fs"), f => f.getField("s")).as("osh"))
+    // ε-guarded ceil: rounding may only LENGTHEN the prefix
+    val prefLen = greatest(lit(1),
+      size(col("osh")) -
+        ceil(size(col("osh")) * lit(threshold) - lit(1e-9)).cast("int") + 1)
+    // both sides carry their 1-based POSITION in the shared global
+    // rarest-first order — the PPJoin positional filter's input
+    val pref = ordered.select(col("doc_id"),
+        size(col("osh")).as("n"),
+        posexplode(slice(col("osh"), lit(1), prefLen)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
+        col("col").as("s"))
+    val full = ordered.select(col("doc_id"),
+        size(col("osh")).as("n"), posexplode(col("osh")))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
+        col("col").as("s"))
+    pref.select(col("s"), col("doc_id").as("small_id"),
+        col("n").as("n_small"), col("p").as("p_small"))
+      .join(full.select(col("s"), col("doc_id").as("big_id"),
+        col("n").as("n_big"), col("p").as("p_big")), Seq("s"))
+      .filter(col("n_small") < col("n_big") ||
+        (col("n_small") === col("n_big") &&
+          col("small_id") < col("big_id")))
+      // POSITIONAL filter (the PPJoin bound, Xiao et al. WWW'08 —
+      // public algorithm): under one global order, a pair's earliest
+      // shared shingle s* has no shared shingle before it on EITHER
+      // side, so overlap ≤ 1 + min(|a|−p_a*, |b|−p_b*); a qualifying
+      // pair (overlap ≥ ⌈t·|a|⌉) therefore passes this predicate on
+      // its earliest-match row, and rows it drops are only ones some
+      // other row must carry — no false negatives. This is what keeps
+      // candidates linear when replication/templating inflates every
+      // shingle's df: a match sitting deep in both orders cannot
+      // reach the threshold and dies inside the join stage (measured:
+      // the 100× sweep corpus — 100 marker-perturbed replicas per
+      // document — generated ~20M array-carrying verify rows and
+      // 76 GB of spill without this, ~linear candidates with it).
+      .filter(lit(1) +
+        least(col("n_small") - col("p_small"),
+          col("n_big") - col("p_big")) >=
+        ceil(col("n_small") * lit(threshold) - lit(1e-9)))
+      .select(col("small_id"), col("big_id"), col("n_small"), col("n_big"))
+      .dropDuplicates("small_id", "big_id")
+  }
+
+  /** Candidate-pair COUNT of the containment prefix filter on `docs`
+    * — the measurement surface behind the pipeline-ordering claim
+    * (see [[containmentPipeline]]): the sweep probe
+    * (`graft.tools.PipelineProbe`) runs this on the raw corpus and on
+    * the pipeline's survivor corpus at each tier and reports the
+    * reduction, turning "run the collapse stages first" from prose
+    * into a measured number. Not part of the certified query surface.
+    */
+  def containmentPrefixCandidateCount(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8): Long = {
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), shingleLen).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try containmentCandidatesFrom(
+        sh.select(col("doc_id"), explode(col("sh")).as("s")), threshold)
+      .count()
+    finally { sh.unpersist(); () }
+  }
+
+  /** The PRODUCTION ordering for template-/boilerplate-heavy corpora
+    * (the pipeline SURVEY §2.9 documents, promoted from prose to a
+    * certified operator): exact-duplicate collapse, then MinHash-LSH
+    * near-dup collapse ([[dedupCorpus]]), THEN containment-prefix
+    * pairing on the survivors. Containment's candidate volume is
+    * driven by replicated/near-identical documents inflating shingle
+    * document frequencies until even mid-rank shingles land in
+    * prefixes (the measured 10×-sweep middle decade: 148.6k → 9.24M
+    * candidates on the raw corpus); the two collapse stages remove
+    * exactly those documents — one fingerprint hash-shuffle plus the
+    * banded LSH join, both linear — so the prefix join prices
+    * candidates on the COLLAPSED corpus.
+    *
+    * Output contract: the residual asymmetric containment pairs
+    * (small-inside-large pastes) among the near-dup survivor corpus —
+    * `(doc_a, doc_b, containment)`, exactly
+    * [[ngramContainmentPairsPrefix]] over [[dedupCorpus]]'s output.
+    * Exact-first changes nothing in that set: exact duplicates have
+    * identical shingle sets, hence identical Jaccard edges to every
+    * other document, so removing an exact group's non-min members
+    * preserves every near-dup component and its min-id
+    * representative; the survivor set equals [[dedupCorpus]] run
+    * directly on the raw corpus. q_containment_pipeline certifies the
+    * composition against the all-pairs oracle on that survivor set.
+    */
+  def containmentPipeline(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val exactKeeps = exactDedup(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    // survivors of the exact stage: one hash semi-join on the id —
+    // the keep set is corpus-sized, so no broadcast; both sides
+    // shuffle once on the key they are already keyed by downstream
+    val exSurv = docs.join(exactKeeps, Seq(idCol), "left_semi")
+    val survivors = dedupCorpus(exSurv, idCol, textCol)
+    ngramContainmentPairsPrefix(
+      survivors, idCol, textCol, shingleLen, threshold)
   }
 
   // ---------------------------------------------------------------

@@ -221,15 +221,19 @@ object Phash {
     * GC. Re-running a projection or filter over an already-pinned
     * RDD per consumer is strictly cheaper than another full copy;
     * anything wider (a join, an aggregate, a decode pipeline) still
-    * checkpoints.
+    * checkpoints — and so does any NONDETERMINISTIC narrow op: the
+    * whole point of pinning is that every consumer observes the same
+    * rows, which a re-run nondeterministic projection/filter over a
+    * pinned RDD would break.
     */
   private[graft] def materializeOnce(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def cheap(p: LogicalPlan): Boolean = p match {
       case _: org.apache.spark.sql.execution.LogicalRDD => true
       case _: LocalRelation => true
-      case pr: Project => cheap(pr.child)
-      case f: Filter => cheap(f.child)
+      case pr: Project =>
+        pr.projectList.forall(_.deterministic) && cheap(pr.child)
+      case f: Filter => f.condition.deterministic && cheap(f.child)
       case a: SubqueryAlias => cheap(a.child)
       case _ => false
     }

@@ -59,9 +59,16 @@ import graft.text.TextOps
   */
 object MultimodalIngest {
 
-  /** Stored text state: every content fingerprint ever seen. */
+  /** Stored text state: every (fingerprint, doc_id) ever seen. The
+    * gate only probes the fp column (first-seen is an anti-join on
+    * the fingerprint set); the doc_id makes the state sufficient for
+    * OFFLINE recompute ([[recomputeManifest]]) — without it a late
+    * repair could not re-elect the global min-id representative of a
+    * fingerprint group whose members arrived out of id order.
+    */
   val textIndexSchema: StructType = StructType(Seq(
     StructField("fp", StringType),
+    StructField("doc_id", LongType),
     StructField("ingest_batch", StringType)))
 
   /** Persisted manifest rows. */
@@ -180,7 +187,8 @@ object MultimodalIngest {
           "ingest_batch"),
       "ingest_batch", Seq(part))
     store.overwritePartitions(textIndexTable,
-      d.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+      d.select(TextOps.fingerprint(col("text")).as("fp"),
+          col("doc_id").cast("long").as("doc_id")).distinct()
         .withColumn("ingest_batch", lit(part)),
       "ingest_batch", Seq(part))
     def record(table: String, hashes: DataFrame): Unit = {
@@ -244,4 +252,122 @@ object MultimodalIngest {
   /** Read the persisted manifest back. */
   def manifest(spark: SparkSession, store: TableStore, table: String): DataFrame =
     store.read(spark, table, manifestSchema)
+
+  /** The OFFLINE manifest over accumulated ingest state — the batch
+    * manifest (`q_multimodal_manifest`'s keep/drop semantics) of
+    * everything the stream has EVER seen, recomputed from the state
+    * tables alone:
+    *
+    *  - text_keep: the document is the global min-id member of its
+    *    fingerprint group (over `textState`'s `(doc_id, fp)` rows —
+    *    kept AND dropped sightings);
+    *  - image/audio/video keep: the document is the min-id member of
+    *    its GLOBAL radius-`maxHamming` near-dup component, clustered
+    *    over that modality's full band index (again: kept and dropped
+    *    sightings — exactly so a late-arriving linking member joins
+    *    the chains it connects).
+    *
+    * Contract: the composed stream records every modality's hash for
+    * every arriving document ([[applyBatch]]), so each index covers
+    * the full doc spine; a document absent from a modality's index
+    * carries that modality's keep = true (no recorded near-dup
+    * evidence), matching the batch manifest's drop-set convention.
+    */
+  def manifestOffline(
+      spark: SparkSession,
+      textState: DataFrame, // (doc_id, fp), every sighting
+      imageIndex: DataFrame, // band rows: (asset_id, ph_hi, ph_lo, ...)
+      audioIndex: DataFrame,
+      videoIndex: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val ids = textState.select(col("doc_id")).distinct()
+    val textKeeps = textState.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("tk"))
+    def drops(index: DataFrame, flag: String): DataFrame = {
+      // one hash row per seen asset (the index carries 4 band rows)
+      val seen = index
+        .select(col("asset_id"), col("ph_hi"), col("ph_lo")).distinct()
+      graft.dedup.Dedup.nearDupClusters(
+          Phash.neardupPairs(seen, "asset_id", maxHamming)
+            .select(col("id_1").as("doc_a"), col("id_2").as("doc_b")))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"), lit(false).as(flag))
+    }
+    ids
+      .join(textKeeps, Seq("doc_id"), "left")
+      .join(drops(imageIndex, "ik"), Seq("doc_id"), "left")
+      .join(drops(audioIndex, "ak"), Seq("doc_id"), "left")
+      .join(drops(videoIndex, "vk"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tk"), lit(false)).as("text_keep"),
+        coalesce(col("ik"), lit(true)).as("image_keep"),
+        coalesce(col("ak"), lit(true)).as("audio_keep"),
+        coalesce(col("vk"), lit(true)).as("video_keep"))
+      .select(col("doc_id"), col("text_keep"), col("image_keep"),
+        col("audio_keep"), col("video_keep"),
+        (col("text_keep").cast("int") + col("image_keep").cast("int") +
+          col("audio_keep").cast("int") + col("video_keep").cast("int"))
+          .as("n_kept"),
+        (col("text_keep") && col("image_keep") && col("audio_keep") &&
+          col("video_keep")).as("keep_all"))
+  }
+
+  /** The manifest's COMPACTION job (the [[ImageIngest
+    * .compactNearDups]] discipline lifted to the composition): the
+    * online manifest is the greedy form of the batch manifest, so a
+    * chain whose LINKING member arrives late — A, then C (not near
+    * A), then B (near both) — keeps both A and C, and a fingerprint
+    * group whose min-id member arrives after a larger-id sibling
+    * keeps the wrong representative. This job recomputes the OFFLINE
+    * manifest from the accumulated state tables
+    * ([[manifestOffline]]), re-attaches each document's original
+    * `(epoch, ingest_batch)` partition identity, and rewrites the
+    * manifest table as ONE new version (compare-and-flip via
+    * `expectVersion` — single-writer contract as in the per-modality
+    * compactions). Returns the number of rows whose keep flags
+    * changed.
+    */
+  def recomputeManifest(
+      spark: SparkSession,
+      store: TableStore,
+      manifestTable: String,
+      textIndexTable: String,
+      imageIndexTable: String,
+      audioIndexTable: String,
+      videoIndexTable: String,
+      maxHamming: Int = 3): Long = {
+    val v0 = store.currentVersion(manifestTable)
+    val textState = store.read(spark, textIndexTable, textIndexSchema)
+      .select(col("doc_id"), col("fp")).distinct()
+    def idx(table: String): DataFrame =
+      store.read(spark, table, ImageIngest.indexSchema)
+    val offline = manifestOffline(spark, textState,
+      idx(imageIndexTable), idx(audioIndexTable), idx(videoIndexTable),
+      maxHamming)
+    val cur = manifest(spark, store, manifestTable)
+    // corrected rows keep their document's original partition
+    // identity, so the rewrite stays partition-aligned with the
+    // epoch-scoped writes that built the table. Checkpoint before
+    // comparing: the repaired frame feeds both the changed-count and
+    // the overwrite, and the offline clustering above is the
+    // expensive subtree.
+    val repaired = cur
+      .select(col("doc_id"), col("epoch"), col("ingest_batch"))
+      .join(offline, Seq("doc_id"))
+      .select(col("doc_id"), col("epoch"), col("text_keep"),
+        col("image_keep"), col("audio_keep"), col("video_keep"),
+        col("n_kept"), col("keep_all"), col("ingest_batch"))
+      .localCheckpoint()
+    val changed = repaired.alias("r")
+      .join(cur.alias("c"), Seq("doc_id"))
+      .filter(col("r.text_keep") =!= col("c.text_keep") ||
+        col("r.image_keep") =!= col("c.image_keep") ||
+        col("r.audio_keep") =!= col("c.audio_keep") ||
+        col("r.video_keep") =!= col("c.video_keep"))
+      .count()
+    store.overwrite(manifestTable, repaired,
+      partitionBy = Seq("ingest_batch"), expectVersion = Some(v0))
+    changed
+  }
 }

@@ -397,6 +397,14 @@ object SearchIndex {
       // weights() — pin it once (≤ |q| + fbTerms rows per query) so the
       // pass-2 plan does not re-run pass 1 + RM1 per reference
       .localCheckpoint()
+    // the eager wq checkpoint (plus the fbIds collect above) has
+    // materialized every plan that reads the three cached pass-1
+    // frames; pass 2 touches only the postings store and wq, so
+    // release them here instead of leaking three cached frames per
+    // library call (Bench's per-sample clearCache masked this)
+    qt.unpersist()
+    fb.unpersist()
+    ftf.unpersist()
     // pass 2: rescore over the expanded vocabulary's buckets
     val s2 = weights(wq.select("term")).join(broadcast(wq), Seq("term"))
       .withColumn("c",

@@ -143,6 +143,48 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().toSet == Set((1L, 2L, 1.0)))
   }
 
+  test("containmentPipeline: collapse-first equals all-pairs containment " +
+      "on the dedupCorpus survivor set") {
+    // the exact-first equivalence the operator's doc argues: survivors
+    // of (exact collapse -> LSH collapse) == dedupCorpus on the raw
+    // corpus, so the pipeline's residual pairs == direct all-pairs
+    // containment restricted to those survivors
+    val survivors = Dedup.dedupCorpus(docs, "doc_id", "text")
+    val expected = Dedup
+      .ngramContainmentPairs(survivors, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Dedup.containmentPipeline(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // hand case covering every stage: {2,5} exact dups (keep 2),
+    // {8,9} near-dups at Jaccard 6/8 = 0.75... use 0.8-qualifying
+    // twins; 1 pasted inside 10 (the residual the pipeline is FOR)
+    val small = "a b c d e f"
+    val nd = "p q r s t u v w x y"
+    val hand = Seq(
+      (1L, small),
+      (2L, "dup dup dup dup one two three"),
+      (5L, "dup dup dup dup one two three"),
+      (8L, nd + " z"),
+      (9L, nd + " zz"),
+      (10L, small + " g h i j k l m n o")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPipeline(hand, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((1L, 10L, 1.0)),
+      s"expected only the residual inclusion pair, got $pairs")
+    // the measurement surface: collapsing first strictly reduces (or
+    // preserves) the prefix filter's candidate volume on a corpus
+    // with duplicate structure, and never changes the verified output
+    val rawCands = Dedup.containmentPrefixCandidateCount(
+      hand, "doc_id", "text", 3, 0.8)
+    val survCands = Dedup.containmentPrefixCandidateCount(
+      Dedup.dedupCorpus(hand, "doc_id", "text"), "doc_id", "text", 3, 0.8)
+    assert(rawCands > survCands,
+      s"exact+near-dup collapse should shrink candidates " +
+        s"($rawCands -> $survCands)")
+    assert(survCands >= 1L) // the (1, 10) candidate must survive
+  }
+
   test("containment operators release their shingle cache (no leak)") {
     // the BasketSpec ca83a16 discipline applied to the round-12
     // containment pair operators: both persist a shingle frame

@@ -110,6 +110,81 @@ class MultimodalIngestSpec extends SparkTestBase {
       "replayed epoch must rewrite its band partition, not append")
   }
 
+  test("recomputeManifest: late-linking chain + id-order inversion " +
+      "repair to the batch manifest, one CAS version") {
+    // hand-crafted hash frames (no decode): image chain A=doc1 (0,0),
+    // B=doc2 (0,1), C=doc3 (0,15) — hamming(A,B)=1, hamming(B,C)=3,
+    // hamming(A,C)=4 > 3, so B is the LINKING member; text group
+    // {4,5} shares a fingerprint with the MIN id arriving second.
+    // Epoch 0 = {1,3,5}, epoch 1 = {2,4}: the online gate keeps BOTH
+    // 1 and 3 (B arrives last) and elects 5 (4 arrives later) — both
+    // decisions offline clustering reverses.
+    def spread(id: Long): (Long, Long) = {
+      val x = id * 0x9E3779B97F4A7C15L
+      (x, java.lang.Long.rotateLeft(x, 17))
+    }
+    val imageOf = Map(1L -> (0L, 0L), 2L -> (0L, 1L), 3L -> (0L, 15L),
+      4L -> spread(104L), 5L -> spread(105L))
+    def hashFrame(ids: Seq[Long], of: Long => (Long, Long)) =
+      ids.map(i => (i, of(i)._1, of(i)._2))
+        .toDF("asset_id", "ph_hi", "ph_lo")
+    def run(store: TableStore, epoch: Long,
+        docs: org.apache.spark.sql.DataFrame, ids: Seq[Long]): Unit =
+      MultimodalIngest.applyBatch(spark, docs,
+        hashFrame(ids, imageOf),
+        hashFrame(ids, i => spread(200L + i)),
+        hashFrame(ids, i => spread(300L + i)),
+        store, "manifest", "tfp", "ibands", "abands", "vbands",
+        epoch, runId = "rp")
+    val store = new TableStore(tmp("mm_repair"))
+    val e0 = Seq((1L, "one"), (3L, "three"), (5L, "t"))
+      .toDF("doc_id", "text")
+    val e1 = Seq((2L, "two"), (4L, "t")).toDF("doc_id", "text")
+    run(store, 0L, e0, Seq(1L, 3L, 5L))
+    run(store, 1L, e1, Seq(2L, 4L))
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text_keep", "image_keep", "audio_keep",
+          "video_keep")
+        .as[(Long, Boolean, Boolean, Boolean, Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+    val online = flags(MultimodalIngest.manifest(spark, store, "manifest"))
+    assert(online(3L)._3, "online gate must keep doc 3 (link not yet seen)")
+    assert(!online(2L)._3, "doc 2 arrives near both indexed ends")
+    assert(online(5L)._2 && !online(4L)._2,
+      "online text gate elects the FIRST-seen id 5 over the later min 4")
+    val changed = MultimodalIngest.recomputeManifest(spark, store,
+      "manifest", "tfp", "ibands", "abands", "vbands")
+    // exactly the three reversed decisions: doc3 image, doc4/5 text
+    assert(changed == 3L, s"expected 3 corrected rows, got $changed")
+    val after = MultimodalIngest.manifest(spark, store, "manifest")
+    val repaired = flags(after)
+    assert(!repaired(3L)._3 && repaired(1L)._3,
+      "offline clustering collapses {1,2,3} to its min member")
+    assert(repaired(4L)._2 && !repaired(5L)._2,
+      "offline text keep is the global min id of the fingerprint group")
+    // the repair contract: equality with the BATCH manifest over the
+    // full corpus (manifestBatch against empty state), row for row
+    val full = e0.unionByName(e1)
+    val allIds = Seq(1L, 2L, 3L, 4L, 5L)
+    val batch = MultimodalIngest.manifestBatch(spark, full,
+      hashFrame(allIds, imageOf),
+      hashFrame(allIds, i => spread(200L + i)),
+      hashFrame(allIds, i => spread(300L + i)),
+      MultimodalIngest.emptyTextSeen(spark),
+      ImageIngest.emptyIndex(spark), ImageIngest.emptyIndex(spark),
+      ImageIngest.emptyIndex(spark))
+    assert(after.select("doc_id", "text_keep", "image_keep",
+        "audio_keep", "video_keep", "n_kept", "keep_all")
+        .collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet,
+      "repaired manifest must equal the batch manifest on the corpus")
+    // partition identity preserved: doc 3's row stays in its epoch-0
+    // partition (the rewrite is ONE new version, partition-aligned)
+    val part = after.filter(col("doc_id") === 3L)
+      .select("epoch", "ingest_batch").as[(Long, String)].head()
+    assert(part == ((0L, "rp.0")))
+  }
+
   test("streaming end to end: real decode of all three modalities") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
