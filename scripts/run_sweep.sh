@@ -56,10 +56,10 @@ run_tier() {
 }
 
 probe() { # candidate-reduction probe for the pipeline-ordering claim
-  local dir="$1" out="$2"
-  echo "=== PipelineProbe $dir $(date -u +%H:%M:%S) ==="
+  local dir="$1" parts="$2" out="$3"
+  echo "=== PipelineProbe $dir parts=$parts $(date -u +%H:%M:%S) ==="
   java -Xmx100g "${JAVA_OPTS[@]}" -cp "$CP" graft.tools.PipelineProbe \
-    "$dir" 2>"$out.err" | tail -1 | tee "$out"
+    "$dir" "$parts" 2>"$out.err" | tail -1 | tee "$out"
 }
 
 synth() { # scale dir if missing
@@ -76,15 +76,15 @@ case "$tier" in
   1x|all)
     run_tier /root/testdata/sf0.1 32 bench_1x.json \
       "${QUERIES_COMMON[@]}" q_ngram_containment
-    probe /root/testdata/sf0.1 pipeline_probe_1x.json ;;&
+    probe /root/testdata/sf0.1 32 pipeline_probe_1x.json ;;&
   10x|all)
     synth /tmp/scale10 10
     run_tier /tmp/scale10 64 bench_10x.json \
       "${QUERIES_COMMON[@]}" q_ngram_containment
-    probe /tmp/scale10 pipeline_probe_10x.json ;;&
+    probe /tmp/scale10 64 pipeline_probe_10x.json ;;&
   100x|all)
     synth /tmp/scale100 100
     run_tier /tmp/scale100 256 bench_100x.json "${QUERIES_COMMON[@]}"
-    probe /tmp/scale100 pipeline_probe_100x.json ;;
+    probe /tmp/scale100 256 pipeline_probe_100x.json ;;
 esac
 echo "=== sweep done $(date -u +%H:%M:%S) ==="

@@ -637,13 +637,44 @@ object Dedup {
     val prefLen = greatest(lit(1),
       size(col("osh")) -
         ceil(size(col("osh")) * lit(threshold) - lit(1e-9)).cast("int") + 1)
+    // 1-based position in the global rarest-first order rides along —
+    // the PPJoin positional filter's input (the containment twin's
+    // machinery, symmetric form)
     val pref = ordered.select(col("doc_id"),
-      explode(slice(col("osh"), lit(1), prefLen)).as("s"))
-    val cand = pref.select(col("s"), col("doc_id").as("doc_a"))
-      .join(pref.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
+        size(col("osh")).as("n"),
+        posexplode(slice(col("osh"), lit(1), prefLen)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
+        col("col").as("s"))
+    val candRaw = pref.select(col("s"), col("doc_id").as("doc_a"),
+        col("n").as("n_a"), col("p").as("p_a"))
+      .join(pref.select(col("s"), col("doc_id").as("doc_b"),
+        col("n").as("n_b"), col("p").as("p_b")), Seq("s"))
       .filter(col("doc_a") < col("doc_b"))
+      // LENGTH filter (Arasu et al. VLDB'06 / Bayardo WWW'07, exact):
+      // J ≥ t needs common ≥ t·max(|a|,|b|) and common ≤ min(|a|,|b|),
+      // so min(|a|,|b|) ≥ ⌈t·max(|a|,|b|)⌉ — ε-guarded the lenient way
+      .filter(least(col("n_a"), col("n_b")) >=
+        ceil(greatest(col("n_a"), col("n_b")) * lit(threshold) - lit(1e-9)))
+      // POSITIONAL filter (Xiao et al. WWW'08, symmetric form): on a
+      // qualifying pair's EARLIEST shared-shingle row, overlap ≤ 1 +
+      // min(|a|−p_a, |b|−p_b); J ≥ t needs overlap ≥
+      // ⌈t·(|a|+|b|)/(1+t)⌉, so that row always passes — rows dropped
+      // are ones some other row must carry (no false negatives, the
+      // containment path's proof verbatim)
+      .filter(lit(1) + least(col("n_a") - col("p_a"),
+          col("n_b") - col("p_b")) >=
+        ceil((col("n_a") + col("n_b")) *
+          lit(threshold / (1.0 + threshold)) - lit(1e-9)))
       .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+    // VERIFY-BEFORE-DEDUP under the broadcast branch (the containment
+    // twin's r16 re-ordering): raw per-match rows stream through the
+    // broadcast hash probes inside the candidate-join stage and the
+    // only wide exchange dedups the THRESHOLDED output; the shuffled
+    // fallback keeps the candidate-set dedup ahead of its
+    // array-carrying joins
+    val cand =
+      if (broadcastVerify) candRaw
+      else candRaw.dropDuplicates("doc_a", "doc_b")
     def mb(df: DataFrame): DataFrame =
       if (broadcastVerify) broadcast(df) else df
     cand
@@ -657,6 +688,7 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Exact n-gram CONTAINMENT pairs via ASYMMETRIC prefix filtering —
@@ -716,7 +748,6 @@ object Dedup {
     val broadcastVerify =
       shingleTableBytes(sh) <= broadcastVerifyMaxBytes
     val expl = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cand = containmentCandidatesFrom(expl, threshold)
     // VERIFICATION — the 100×-sweep disk kill lived here, and the fix
     // is the JOIN STRATEGY, not just the row shape (all three shapes
     // were measured head-to-head on the 10× sweep corpus, 9.2M
@@ -737,15 +768,31 @@ object Dedup {
     //    array_intersect each (sorted 67-element arrays: sub-μs):
     //    7.2 s at 10×, no sort, no shuffle of array-carrying rows,
     //    no disk high-water at any sweep tier.
+    // VERIFY-BEFORE-DEDUP (r16): under the broadcast branch the
+    // candidate rows skip the pre-verify dropDuplicates outright —
+    // the raw per-match rows (a pair sharing j prefix shingles
+    // appears j times, each scoring the identical containment)
+    // stream through the hash probes INSIDE the candidate-join
+    // stage, and the only wide exchange dedups the THRESHOLDED
+    // output. The r15 100× sweep measured 252.7M deduped candidates
+    // against ~25k true pairs: the old shape shuffled all 252.7M
+    // 4-long rows (~8 GB) through the dedup hash aggregate before a
+    // single verification ran, which was the dominant term of the
+    // 10→100 wall exponent 1.88; re-scoring duplicate matches costs
+    // one extra sorted-array intersect per redundant row — map-side,
+    // no exchange — and the dedup exchange shrinks by |candidates| /
+    // |true pairs| (four orders of magnitude on that corpus).
     // Past `broadcastVerifyMaxBytes` (the genuine-cluster corpus) the
     // array table stops being broadcastable and the fallback is the
-    // thin postings-count in its shuffled form — per-row payload 3
+    // thin postings-count in its shuffled form — there the
+    // candidate-set dedup stays BEFORE the fan (per-row payload 3
     // longs, sort capacity distributed across the cluster's
-    // executors, aggregate partial-combining map-side. Both branches
-    // compute the identical exact overlap (DedupSpec pins them to the
-    // direct form's output).
+    // executors, aggregate partial-combining map-side), because the
+    // fan multiplies candidates × |small| and must price deduped
+    // candidates. Both branches compute the identical exact overlap
+    // (DedupSpec pins them to the direct form's output).
     val pairs = (if (broadcastVerify) {
-      cand
+      containmentCandidatesFrom(expl, threshold, dedup = false)
         .join(broadcast(
             sh.select(col("doc_id").as("small_id"), col("sh").as("sh_a"))),
           Seq("small_id"))
@@ -757,7 +804,7 @@ object Dedup {
         .select(col("small_id"), col("big_id"),
           col("n_small"), col("n_big"), col("common"))
     } else {
-      cand
+      containmentCandidatesFrom(expl, threshold)
         .join(expl.select(col("doc_id").as("small_id"), col("s")),
           Seq("small_id"))
         .join(expl.select(col("doc_id").as("big_id"), col("s")),
@@ -773,6 +820,11 @@ object Dedup {
       .select(least(col("small_id"), col("big_id")).as("doc_a"),
         greatest(col("small_id"), col("big_id")).as("doc_b"),
         round(col("containment"), 6).as("containment"))
+      // the raw-match branch emits each true pair once per shared
+      // prefix shingle — identical rows, deduped here where the
+      // exchange carries output-sized data (a no-op row-wise for the
+      // shuffled branch, whose candidates arrived deduped)
+      .dropDuplicates("doc_a", "doc_b")
       // materialize-then-release (the Basket ca83a16 discipline): the
       // thresholded pair table is the bounded output — checkpoint it
       // eagerly so the shingle frame can be unpinned before return,
@@ -790,7 +842,8 @@ object Dedup {
     * measurement probe [[containmentPrefixCandidateCount]].
     */
   private def containmentCandidatesFrom(
-      expl: DataFrame, threshold: Double): DataFrame = {
+      expl: DataFrame, threshold: Double,
+      dedup: Boolean = true): DataFrame = {
     val freq = expl.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // `ordered` feeds the prefix AND the full postings side as one
     // UNMATERIALIZED subtree: Spark's ReuseExchange already
@@ -820,7 +873,7 @@ object Dedup {
         size(col("osh")).as("n"), posexplode(col("osh")))
       .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
         col("col").as("s"))
-    pref.select(col("s"), col("doc_id").as("small_id"),
+    val base = pref.select(col("s"), col("doc_id").as("small_id"),
         col("n").as("n_small"), col("p").as("p_small"))
       .join(full.select(col("s"), col("doc_id").as("big_id"),
         col("n").as("n_big"), col("p").as("p_big")), Seq("s"))
@@ -845,7 +898,13 @@ object Dedup {
           col("n_big") - col("p_big")) >=
         ceil(col("n_small") * lit(threshold) - lit(1e-9)))
       .select(col("small_id"), col("big_id"), col("n_small"), col("n_big"))
-      .dropDuplicates("small_id", "big_id")
+    // `dedup = false` hands back the RAW per-match rows (a pair sharing
+    // j prefix shingles appears j times): the broadcast-verify caller
+    // scores them in-stage and dedups AFTER thresholding, so the wide
+    // exchange prices true pairs, not candidates (see the verify note
+    // in [[ngramContainmentPairsPrefix]]). The shuffled-verify caller
+    // and the measurement probe keep the candidate-set dedup here.
+    if (dedup) base.dropDuplicates("small_id", "big_id") else base
   }
 
   /** Candidate-pair COUNT of the containment prefix filter on `docs`
@@ -889,13 +948,19 @@ object Dedup {
     * (small-inside-large pastes) among the near-dup survivor corpus —
     * `(doc_a, doc_b, containment)`, exactly
     * [[ngramContainmentPairsPrefix]] over [[dedupCorpus]]'s output.
-    * Exact-first changes nothing in that set: exact duplicates have
-    * identical shingle sets, hence identical Jaccard edges to every
-    * other document, so removing an exact group's non-min members
-    * preserves every near-dup component and its min-id
-    * representative; the survivor set equals [[dedupCorpus]] run
-    * directly on the raw corpus. q_containment_pipeline certifies the
-    * composition against the all-pairs oracle on that survivor set.
+    * Exact-first changes nothing in that set UP TO the LSH bucket
+    * guard: exact duplicates have identical shingle sets, hence
+    * identical Jaccard edges to every other document, so removing an
+    * exact group's non-min members preserves every near-dup component
+    * and its min-id representative — PROVIDED no qualifying pair's
+    * last shared band sat in a bucket the `maxBucket` skew guard
+    * drops. The guard's size accounting sees the collapsed corpus, so
+    * on heavily replicated inputs the two orderings can disagree on
+    * pairs found only through oversized buckets (ADVICE r15); on
+    * corpora whose buckets stay under the guard the survivor set
+    * equals [[dedupCorpus]] run directly on the raw corpus.
+    * q_containment_pipeline certifies the composition against the
+    * all-pairs oracle on that survivor set.
     */
   def containmentPipeline(
       docs: DataFrame,

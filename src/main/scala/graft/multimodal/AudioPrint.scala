@@ -151,8 +151,10 @@ object AudioPrint {
         val ais = new javax.sound.sampled.AudioInputStream(
           new ByteArrayInputStream(pcm), fmt, n.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        // SoundIo, not AudioSystem.write: the static entry point's
+        // per-call provider lookup holds a GLOBAL class lock that
+        // serialized the 32-thread synth stage (Multimodal.SoundIo)
+        Multimodal.SoundIo.writeWave(ais, bos)
         Asset(id, "audio/wav", bos.toByteArray)
       }
     }
@@ -165,8 +167,10 @@ object AudioPrint {
     * 16-bit signed LE PCM (the quarantine discipline).
     */
   def decodeSamples(payload: Array[Byte]): Array[Int] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(payload))
+    // SoundIo, not AudioSystem: identical providers and parse, minus
+    // the per-call global provider lock (measured: 29/32 executor
+    // threads BLOCKED on JSSecurityManager during the decode stage)
+    val ais = Multimodal.SoundIo.audioInputStream(payload)
     try {
       val f = ais.getFormat
       require(

@@ -184,8 +184,9 @@ object Multimodal {
     */
   object WavCodec extends AudioCodec {
     def decodeAudio(payload: Array[Byte]): AudioMeta = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      // SoundIo, not AudioSystem: same providers, same parse, minus
+      // the per-call global provider lock (see SoundIo's doc)
+      val ais = SoundIo.audioInputStream(payload)
       try {
         val f = ais.getFormat
         require(
@@ -262,6 +263,72 @@ object Multimodal {
     if (javax.imageio.ImageIO.getUseCache)
       javax.imageio.ImageIO.setUseCache(false)
 
+  /** `javax.sound.sampled` through the public SPI, with the provider
+    * list resolved ONCE per JVM. The static `AudioSystem.write` /
+    * `getAudioInputStream` entry points route EVERY call through
+    * `com.sun.media.sound.JDK13Services.getProviders`, whose lookup
+    * synchronizes on a global class monitor — measured r16 on
+    * local[32]: 29 of 32 executor threads sat BLOCKED on
+    * `JSSecurityManager.getProviders` during the audio stages, i.e.
+    * the whole fingerprint pass ran effectively single-threaded
+    * (stage executorRunTime 67 s vs 3.3 s of actual CPU). Resolving
+    * the same providers once via `ServiceLoader` (the library's own
+    * public extension point — AudioSystem consults the identical
+    * instances) removes the per-call lock with byte-identical
+    * encode/decode behavior. Provider instances are stateless
+    * (each call builds fresh stream objects), exactly why the JDK
+    * itself shares one instance across threads.
+    */
+  private[multimodal] object SoundIo {
+    import javax.sound.sampled.{AudioFileFormat, AudioInputStream, UnsupportedAudioFileException}
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+
+    private lazy val readers: List[AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      // WAVE reader FIRST: the JDK's SoftMidiAudioFileReader probes a
+      // payload by calling MidiSystem.getSequence, which re-enters the
+      // very JDK13Services global lock this cache exists to avoid
+      // (measured: 30/32 threads re-blocked through the MIDI probe
+      // when it sat ahead of the WAV reader); readers that reject
+      // WAV headers locally sort by class name for determinism
+      java.util.ServiceLoader.load(classOf[AudioFileReader])
+        .iterator().asScala.toList
+        .sortBy(r => (!r.getClass.getName.contains("WaveFileReader"),
+          r.getClass.getName.contains("Midi"),
+          r.getClass.getName))
+    }
+    private lazy val writers: List[AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[AudioFileWriter])
+        .iterator().asScala.toList
+    }
+
+    /** `AudioSystem.getAudioInputStream` minus the global lock: first
+      * provider that accepts the payload wins (the JDK's own loop
+      * shape); a fresh ByteArrayInputStream per attempt stands in for
+      * AudioSystem's mark/reset rewind.
+      */
+    def audioInputStream(payload: Array[Byte]): AudioInputStream = {
+      val it = readers.iterator
+      while (it.hasNext) {
+        try return it.next().getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: UnsupportedAudioFileException => () }
+      }
+      throw new UnsupportedAudioFileException(
+        "SoundIo: no installed AudioFileReader accepts the payload")
+    }
+
+    /** `AudioSystem.write(ais, WAVE, out)` minus the global lock. */
+    def writeWave(ais: AudioInputStream, out: java.io.OutputStream): Unit = {
+      val w = writers.find(
+        _.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+      require(w.isDefined, "SoundIo: no installed WAVE AudioFileWriter")
+      w.get.write(ais, AudioFileFormat.Type.WAVE, out)
+      ()
+    }
+  }
+
   def synthWavAssets(
       spark: SparkSession,
       docs: DataFrame,
@@ -285,8 +352,7 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        SoundIo.writeWave(ais, bos)
         Asset(id, "audio/wav", bos.toByteArray)
       }
     }

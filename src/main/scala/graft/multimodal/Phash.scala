@@ -133,6 +133,12 @@ object Phash {
     // modality pipeline otherwise)
     Multimodal.spreadIds(docs).as[Long].mapPartitions { it =>
       Multimodal.imageIoMemCache()
+      // ONE PNG writer per partition (the Video.synthAviAssets
+      // discipline): ImageIO.write re-runs the writer-registry lookup
+      // per call, which at one call per thumbnail costs more than the
+      // encode itself
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
       it.map { id =>
         val img = new java.awt.image.BufferedImage(
           Side, Side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -147,7 +153,10 @@ object Phash {
           y += 1
         }
         val bos = new ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
         Asset(id, "image/png", bos.toByteArray)
       }
     }
@@ -248,9 +257,17 @@ object Phash {
     import spark.implicits._
     assets.mapPartitions { it =>
       Multimodal.imageIoMemCache()
+      // ONE PNG reader per partition (the Video.jpegDims discipline):
+      // ImageIO.read re-runs stream-spi + reader-registry lookups per
+      // call, which at one call per 32×32 thumbnail dominates decode
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
       it.map { a =>
-        val img = javax.imageio.ImageIO.read(
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new ByteArrayInputStream(a.payload))
+        val img =
+          try { reader.setInput(iis); reader.read(0) }
+          finally iis.close()
         require(img != null, s"phash64: undecodable payload ${a.asset_id}")
         require(img.getWidth == Side && img.getHeight == Side,
           s"phash64: expected ${Side}x$Side, got " +

@@ -91,6 +91,10 @@ object VideoPhash {
     import spark.implicits._
     Multimodal.spreadIds(docs).as[Long].mapPartitions { it =>
       Multimodal.imageIoMemCache()
+      // ONE PNG writer per partition (the Video.synthAviAssets
+      // discipline) — ImageIO.write pays a registry lookup per frame
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
       it.map { id =>
         val frames = (0 until synthFrames(id)).map { f =>
           val vid = frameImageId(id, f)
@@ -107,7 +111,10 @@ object VideoPhash {
             y += 1
           }
           val bos = new ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.flush()
           bos.toByteArray
         }
         Asset(id, "video/avi", AviMjpegCodec.write(frames, UsPerFrame,
@@ -123,10 +130,16 @@ object VideoPhash {
     * real per-frame PNG decode, [[Phash.hashPixels]]. Fails loudly on
     * undecodable or wrong-sized frames.
     */
-  private def clipHashes(a: Asset): Seq[(Int, (Long, Long))] = {
+  private def clipHashes(
+      reader: javax.imageio.ImageReader,
+      a: Asset): Seq[(Int, (Long, Long))] = {
     val m = AviMjpegCodec.parse(a.payload)
     m.frames.zipWithIndex.map { case (png, f) =>
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(png))
+      val img =
+        try { reader.setInput(iis); reader.read(0) }
+        finally iis.close()
       require(img != null,
         s"VideoPhash: undecodable frame $f of clip ${a.asset_id}")
       require(img.getWidth == Phash.Side && img.getHeight == Phash.Side,
@@ -152,8 +165,11 @@ object VideoPhash {
     import spark.implicits._
     assets.mapPartitions { it =>
       Multimodal.imageIoMemCache()
+      // ONE PNG reader per partition (the Video.jpegDims discipline)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
       it.flatMap { a =>
-        clipHashes(a).iterator.map { case (f, (hi, lo)) =>
+        clipHashes(reader, a).iterator.map { case (f, (hi, lo)) =>
           VideoFrameHash(a.asset_id, f, hi, lo)
         }
       }
@@ -172,8 +188,11 @@ object VideoPhash {
     import spark.implicits._
     assets.mapPartitions { it =>
       Multimodal.imageIoMemCache()
+      // ONE PNG reader per partition (the Video.jpegDims discipline)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
       it.map { a =>
-        val hs = clipHashes(a)
+        val hs = clipHashes(reader, a)
         val n = hs.size
         val cnt = new Array[Int](64)
         hs.foreach { case (_, (hi, lo)) =>

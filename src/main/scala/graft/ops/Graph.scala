@@ -45,8 +45,14 @@ object Graph {
       checkEvery: Int = 4): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    // the edge list feeds TWO independent jobs before the loop (the
+    // node-set distinct and the out-degree fold) — materialize it once
+    // or the caller's whole edge-DERIVATION subtree (a join+distinct
+    // for the trade graph) executes per job (r16; the triangleCounts
+    // discipline)
     val e = edges.select(srcCol.cast("long").as("src"),
       dstCol.cast("long").as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().persist()
@@ -154,7 +160,13 @@ object Graph {
       dstCol: Column,
       k: Int,
       maxIter: Int = 50,
-      checkEvery: Int = 3): DataFrame = {
+      // 1, not the pageRankInt-style span: the peel's convergence
+      // probe is a count() EVERY round, so an unmaterialized round is
+      // re-executed by every later count until the next cut — at
+      // checkEvery=3 rounds 1..3 ran 3/2/1 times each (r16 measured
+      // the peel ~2× its necessary work); pageRankInt has no per-round
+      // action, so a lazy span is free THERE and priced HERE
+      checkEvery: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")

@@ -79,16 +79,30 @@ object Stats {
   def weightedQuantiles(
       df: DataFrame, groupCol: Column, valueCol: Column,
       weightCol: Column, percents: Seq[Int],
-      bands: Int = 4096): DataFrame = {
+      bands: Int = 4096, inputIsDomain: Boolean = false): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     // null values are EXCLUDED, like every SQL ordered-set aggregate —
     // kept in, a null band would sort NULLS FIRST into every
     // cumulative offset and silently shift each percentile
-    val byValue = df
-      .select(groupCol.as("g"), valueCol.as("v"), weightCol.as("w"))
-      .filter(col("v").isNotNull)
-      .groupBy(col("g"), col("v"))
-      .agg(sum(col("w").cast(Dec)).as("wsum"))
+    //
+    // `inputIsDomain = true` is the caller's guarantee that (g, v) is
+    // ALREADY unique (the checkpointed domain every operator in this
+    // file hands back in) — the domain-collapsing aggregate below is
+    // then an identity re-shuffle of the whole domain, so it is
+    // skipped outright: one full exchange + two stages saved per
+    // quantile pass (r16; results identical by the uniqueness
+    // contract, which madOutliers/winsorizedMean/paretoTopShare
+    // establish with their own groupBy)
+    val byValue =
+      if (inputIsDomain)
+        df.select(groupCol.as("g"), valueCol.as("v"),
+            weightCol.cast(Dec).as("wsum"))
+          .filter(col("v").isNotNull)
+      else df
+        .select(groupCol.as("g"), valueCol.as("v"), weightCol.as("w"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("g"), col("v"))
+        .agg(sum(col("w").cast(Dec)).as("wsum"))
     // per-group value bounds: ≤ #groups rows, broadcast back; the
     // band id is exact integer arithmetic ((v−lo) div width, width =
     // ceil(range/bands) ≥ 1) — no double division that could misband
@@ -180,7 +194,8 @@ object Stats {
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // domain-sized; the fact table scans ONCE
     val med = weightedQuantiles(
-        dom, col("g"), col("v"), col("cnt"), Seq(50), bands)
+        dom, col("g"), col("v"), col("cnt"), Seq(50), bands,
+        inputIsDomain = true)
       .select(col("g").as("_mg"), col("value").as("median"))
     val dev = dom
       .join(broadcast(med), col("g") === col("_mg"))
@@ -236,7 +251,8 @@ object Stats {
     val bound = weightedQuantiles(
         dom.select(col("g"), (-col("v")).as("nv"),
           (col("v") * col("cnt")).as("mass")),
-        col("g"), col("nv"), col("mass"), Seq(pct), bands)
+        col("g"), col("nv"), col("mass"), Seq(pct), bands,
+        inputIsDomain = true)
       .select(col("g").as("_bg"), (-col("value")).as("vstar"))
     dom
       .join(broadcast(bound), col("g") === col("_bg"))
@@ -341,7 +357,8 @@ object Stats {
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val th = weightedQuantiles(
-        dom, col("g"), col("v"), col("cnt"), Seq(pLo, pHi), bands)
+        dom, col("g"), col("v"), col("cnt"), Seq(pLo, pHi), bands,
+        inputIsDomain = true)
       .groupBy(col("g").as("_tg"))
       .agg(max(when(col("pct") === pLo, col("value"))).as("lo"),
         max(when(col("pct") === pHi, col("value"))).as("hi"))

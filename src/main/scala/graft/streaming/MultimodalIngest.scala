@@ -270,8 +270,14 @@ object MultimodalIngest {
     * Contract: the composed stream records every modality's hash for
     * every arriving document ([[applyBatch]]), so each index covers
     * the full doc spine; a document absent from a modality's index
-    * carries that modality's keep = true (no recorded near-dup
-    * evidence), matching the batch manifest's drop-set convention.
+    * ENTIRELY (a decode drop upstream of [[applyBatch]]) carries that
+    * modality's keep = false — the same coalesce default
+    * [[manifestBatch]] applies to a document missing from a gate's
+    * output, so repair can only correct flags, never invert a batch
+    * drop into a keep (ADVICE r15). A null doc_id in `textState`
+    * (a pre-doc_id legacy partition read back under the current
+    * schema) fails the job loudly instead of electing a null spine
+    * row and silently corrupting every keep flag.
     */
   def manifestOffline(
       spark: SparkSession,
@@ -280,30 +286,48 @@ object MultimodalIngest {
       audioIndex: DataFrame,
       videoIndex: DataFrame,
       maxHamming: Int = 3): DataFrame = {
-    val ids = textState.select(col("doc_id")).distinct()
-    val textKeeps = textState.groupBy(col("fp"))
+    // legacy-state guard: rides the existing scan as one row-level
+    // assertion (no extra action) — nulls here mean the state predates
+    // the (fp, doc_id) schema and CANNOT be repaired from
+    val spine = textState.select(
+      when(col("doc_id").isNull,
+        raise_error(lit("manifestOffline: null doc_id in text state — " +
+          "pre-doc_id legacy partitions cannot be repaired from")))
+        .otherwise(col("doc_id")).as("doc_id"),
+      col("fp"))
+    val ids = spine.select(col("doc_id")).distinct()
+    val textKeeps = spine.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("tk"))
-    def drops(index: DataFrame, flag: String): DataFrame = {
-      // one hash row per seen asset (the index carries 4 band rows)
-      val seen = index
-        .select(col("asset_id"), col("ph_hi"), col("ph_lo")).distinct()
-      graft.dedup.Dedup.nearDupClusters(
+    def keeps(index: DataFrame, flag: String): DataFrame = {
+      // one hash row per seen asset (the index carries 4 band rows);
+      // pinned once — the pair join and the presence spine both read it
+      val seen = Phash.materializeOnce(index
+        .select(col("asset_id"), col("ph_hi"), col("ph_lo")).distinct())
+      val dropped = graft.dedup.Dedup.nearDupClusters(
           Phash.neardupPairs(seen, "asset_id", maxHamming)
             .select(col("id_1").as("doc_a"), col("id_2").as("doc_b")))
         .filter(col("doc_id") =!= col("cluster_id"))
-        .select(col("doc_id"), lit(false).as(flag))
+        .select(col("doc_id"), lit(true).as("_dropped"))
+      // keep = present in the index AND not a dropped cluster member —
+      // a doc absent from the index entirely then coalesces to FALSE
+      // below, the SAME default manifestBatch applies to a doc missing
+      // from a gate's output (ADVICE r15: the old absent→true default
+      // silently inverted batch drops on decode-dropped documents)
+      seen.select(col("asset_id").as("doc_id"))
+        .join(dropped, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("_dropped").isNull.as(flag))
     }
     ids
       .join(textKeeps, Seq("doc_id"), "left")
-      .join(drops(imageIndex, "ik"), Seq("doc_id"), "left")
-      .join(drops(audioIndex, "ak"), Seq("doc_id"), "left")
-      .join(drops(videoIndex, "vk"), Seq("doc_id"), "left")
+      .join(keeps(imageIndex, "ik"), Seq("doc_id"), "left")
+      .join(keeps(audioIndex, "ak"), Seq("doc_id"), "left")
+      .join(keeps(videoIndex, "vk"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("tk"), lit(false)).as("text_keep"),
-        coalesce(col("ik"), lit(true)).as("image_keep"),
-        coalesce(col("ak"), lit(true)).as("audio_keep"),
-        coalesce(col("vk"), lit(true)).as("video_keep"))
+        coalesce(col("ik"), lit(false)).as("image_keep"),
+        coalesce(col("ak"), lit(false)).as("audio_keep"),
+        coalesce(col("vk"), lit(false)).as("video_keep"))
       .select(col("doc_id"), col("text_keep"), col("image_keep"),
         col("audio_keep"), col("video_keep"),
         (col("text_keep").cast("int") + col("image_keep").cast("int") +

@@ -22,11 +22,18 @@ import graft.dedup.Dedup
 object PipelineProbe {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: PipelineProbe <sfDir>")
+    require(args.length == 1 || args.length == 2,
+      "usage: PipelineProbe <sfDir> [shufflePartitions]")
     val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions are the documented scale knob of the shuffled
+    // prefix join — the sweep passes each tier's partition count so the
+    // probe's plan matches the tier's bench run (ADVICE r15: probing
+    // 100x at the 1x partition count measured spill, not the operator)
+    val parts =
+      if (args.length == 2) args(1).toInt else cpus.toInt
     val spark: SparkSession =
-      GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+      GraftSession.builder(s"local[$cpus]", parts).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -52,12 +59,14 @@ object PipelineProbe {
     val nSurv = surv.count()
     val (candSurv, tCandSurv) = timed(
       Dedup.containmentPrefixCandidateCount(surv, "doc_id", "text", 3, 0.8))
+    // zero collapsed candidates → null, not NaN: NaN is not a JSON
+    // literal and breaks any consumer of the artifact (ADVICE r15)
     val reduction =
-      if (candSurv > 0) candRaw.toDouble / candSurv else Double.NaN
+      if (candSurv > 0) f"${candRaw.toDouble / candSurv}%.2f" else "null"
     println(s"""{"probe":"containment_pipeline","dir":"$dir"""" +
       s""","docs_raw":$nRaw,"docs_collapsed":$nSurv""" +
       s""","cand_raw":$candRaw,"cand_collapsed":$candSurv""" +
-      f""","cand_reduction":$reduction%.2f""" +
+      s""","cand_reduction":$reduction""" +
       f""","sec_cand_raw":$tCandRaw%.1f,"sec_collapse":$tCollapse%.1f""" +
       f""","sec_cand_collapsed":$tCandSurv%.1f}""")
     spark.stop()
